@@ -1,0 +1,101 @@
+"""tensor_networks_tpu — a TPU-native tensor-network framework.
+
+A from-scratch JAX/XLA re-design of the capabilities of
+``gorodetsky-umich/tensor_networks`` (pytens): named-index tensor networks
+on a host-side graph, einsum contraction with edge-aware cached plans,
+TT/Tucker/HT constructors, four TT-rounding families, TT-operators and a
+TT-GMRES solver, dimension-tree cross approximation (maxvol/DEIM), and a
+tensor-network structure-search engine — plus multi-chip sharding
+(:mod:`tensor_networks_tpu.parallel`) that the single-process reference
+does not have.
+
+Numerics run as jit-compiled XLA programs; float64 is enabled because the
+library's accuracy contract (1e-13-level rounding fidelity) requires it.
+On TPU, pass float32/bfloat16 arrays for full-speed execution — x64 mode
+only *allows* wide types, it does not force them.
+"""
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from tensor_networks_tpu.types import (  # noqa: E402
+    Index,
+    IndexName,
+    IntOrStr,
+    NodeName,
+    SVDConfig,
+    DimTreeNode,
+    NodeInfo,
+)
+from tensor_networks_tpu.kernels import TruncSVD, delta_svd  # noqa: E402
+from tensor_networks_tpu.tensor import Tensor  # noqa: E402
+from tensor_networks_tpu.network import (  # noqa: E402
+    EinsumArgs,
+    TensorNetwork,
+    vector,
+)
+from tensor_networks_tpu.ops import (  # noqa: E402
+    tt_rank1,
+    tt_separable,
+    tt_right_orth,
+    tt_sum,
+    rand_tree,
+    ttop_rank1,
+    ttop_rank2,
+    ttop_sum,
+    ttop_apply,
+    ttop_sum_apply,
+    tt_svd_round,
+    tt_gramsvd_round,
+    tt_sum_gramsvd_round,
+    TTRandRound,
+    tt_randomized_round,
+    tt_sum_randomized_round,
+    tt_rand_precond_svd_round,
+    gmres,
+    tt_inner_fast,
+    tt_inner_fn,
+    stack_tt_cores,
+    tt_round_fixed,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Index",
+    "IndexName",
+    "IntOrStr",
+    "NodeName",
+    "SVDConfig",
+    "DimTreeNode",
+    "NodeInfo",
+    "TruncSVD",
+    "delta_svd",
+    "Tensor",
+    "EinsumArgs",
+    "TensorNetwork",
+    "vector",
+    "tt_rank1",
+    "tt_separable",
+    "tt_right_orth",
+    "tt_sum",
+    "rand_tree",
+    "ttop_rank1",
+    "ttop_rank2",
+    "ttop_sum",
+    "ttop_apply",
+    "ttop_sum_apply",
+    "tt_svd_round",
+    "tt_gramsvd_round",
+    "tt_sum_gramsvd_round",
+    "TTRandRound",
+    "tt_randomized_round",
+    "tt_sum_randomized_round",
+    "tt_rand_precond_svd_round",
+    "gmres",
+    "tt_inner_fast",
+    "tt_inner_fn",
+    "stack_tt_cores",
+    "tt_round_fixed",
+]

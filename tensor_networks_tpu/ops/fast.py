@@ -1,0 +1,186 @@
+"""Fused fixed-shape TT kernels for uniform trains.
+
+The generic graph engine handles arbitrary topologies and ranks; when a
+train is *uniform* (all middle cores share (r, n, r)), the hot operations
+collapse into single ``lax.scan`` sweeps compiled to one XLA executable:
+
+* :func:`tt_inner_fn` — the O(d n r^3) inner-product zipper, the headline
+  benchmark (reference harness: ``examples/inner_product_scaling.py``),
+* :func:`tt_round_fixed` — orthogonalization + truncation sweep with
+  static shapes (truncated directions are zero-masked on device; bonds are
+  compacted on host afterwards).
+
+These are the kernels the multi-chip sharded paths in
+:mod:`tensor_networks_tpu.parallel` build on.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensor_networks_tpu.network import TensorNetwork
+
+
+def stack_tt_cores(
+    tn: TensorNetwork,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+    """Extract (first, stacked middles, last) from a uniform TT.
+
+    ``first`` is (n, r), ``mids`` is (d-2, r, n, r) or None when d == 2,
+    ``last`` is (r, n).  Raises ValueError if the train is not uniform.
+    """
+    nodes = list(tn.network.nodes)
+    first = tn.value(nodes[0])
+    last = tn.value(nodes[-1])
+    mids = [tn.value(n) for n in nodes[1:-1]]
+    if mids:
+        shapes = {m.shape for m in mids}
+        if len(shapes) != 1:
+            raise ValueError(f"non-uniform TT cores: {sorted(shapes)}")
+        return first, jnp.stack(mids), last
+    return first, None, last
+
+
+@lru_cache(maxsize=64)
+def tt_inner_fn(has_mids: bool):
+    """The jitted TT inner-product zipper.
+
+    W_0 = A_0^T B_0;  W_k = sum_n A_k(n)^T W_{k-1} B_k(n);
+    result = <W_{d-2}, A_last B_last^T>.
+    Two MXU matmuls per scan step carrying an (r_a x r_b) state.
+    """
+
+    def inner(first_a, mids_a, last_a, first_b, mids_b, last_b):
+        w = first_a.T @ first_b  # (r_a, r_b)
+
+        if has_mids:
+
+            def step(w, cores):
+                a, b = cores  # (r_a, n, r_a2), (r_b, n, r_b2)
+                ra, n, ra2 = a.shape
+                rb, _, rb2 = b.shape
+                # t[(b1 n), a2] = sum_a1 w[a1, b1] a[a1, n, a2]
+                t = (w.T @ a.reshape(ra, n * ra2)).reshape(rb * n, ra2)
+                # w2[a2, b2] = sum_{b1, n} t[(b1 n), a2] b[(b1 n), b2]
+                return t.T @ b.reshape(rb * n, rb2), None
+
+            w, _ = jax.lax.scan(step, w, (mids_a, mids_b))
+
+        return jnp.sum(w * (last_a @ last_b.T))
+
+    return jax.jit(inner)
+
+
+def tt_inner_fast(a: TensorNetwork, b: TensorNetwork) -> jnp.ndarray:
+    """Inner product of two uniform TTs through the fused zipper scan.
+
+    Falls back to the generic graph contraction for non-uniform trains.
+    """
+    try:
+        fa, ma, la = stack_tt_cores(a)
+        fb, mb, lb = stack_tt_cores(b)
+    except ValueError:
+        return a.inner(b)
+    if (ma is None) != (mb is None):
+        return a.inner(b)
+    fn = tt_inner_fn(ma is not None)
+    if ma is None:
+        ma = mb = jnp.zeros((0,))
+    return fn(fa, ma, la, fb, mb, lb)
+
+
+def _trunc_count(s: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Kept rank under the TT-SVD tail rule (traced, static shapes)."""
+    tail = jnp.cumsum(jnp.flip(s) ** 2)
+    drop = jnp.sum(tail <= delta**2)
+    return jnp.maximum(s.shape[0] - drop, 1)
+
+
+@lru_cache(maxsize=8)
+def _tt_round_sweep_fn(relative: bool):
+    """Fused right-orthogonalization + forward truncation sweep.
+
+    Static shapes throughout: instead of shrinking bonds on device,
+    truncated directions are zeroed (same represented tensor as hard
+    truncation); the kept ranks are returned for host-side compaction.
+    """
+
+    def sweep(first, mids, last, eps):
+        d = mids.shape[0] + 2
+
+        # ---- backward sweep: right-orthogonalize cores d-1 .. 1 ----------
+        ql, rl = jnp.linalg.qr(last.T)
+        last_q = ql.T  # (r, n), orthonormal rows
+        carry = rl.T
+
+        def back_step(carry, core):
+            rr, n, rc = core.shape
+            cur = jnp.einsum("rnk,kc->rnc", core, carry)
+            q, rmat = jnp.linalg.qr(cur.reshape(rr, n * rc).T)
+            return rmat.T, q.T.reshape(rr, n, rc)
+
+        carry, mids_q = jax.lax.scan(back_step, carry, mids, reverse=True)
+        first_c = first @ carry  # (n, r)
+
+        # ---- forward sweep: masked truncated SVD -------------------------
+        norm = jnp.linalg.norm(first_c)
+        eps = jnp.asarray(eps, first.dtype)
+        budget = (eps * norm if relative else eps) / jnp.sqrt(
+            jnp.asarray(d - 1.0, first.dtype)
+        )
+
+        u, s, vt = jnp.linalg.svd(first_c, full_matrices=False)
+        k0 = _trunc_count(s, budget)
+        mask = (jnp.arange(s.shape[0]) < k0).astype(s.dtype)
+        first_out = u * mask[None, :]
+        carry_sv = (mask * s)[:, None] * vt
+
+        def fwd_step(carry_sv, core):
+            rr, n, rc = core.shape
+            cur = jnp.einsum("ak,knc->anc", carry_sv, core)
+            u, s, vt = jnp.linalg.svd(
+                cur.reshape(rr * n, rc), full_matrices=False
+            )
+            k = _trunc_count(s, budget)
+            m = (jnp.arange(s.shape[0]) < k).astype(s.dtype)
+            core_out = (u * m[None, :]).reshape(rr, n, -1)
+            return (m * s)[:, None] * vt, (core_out, k)
+
+        carry_sv, (mids_out, mid_ranks) = jax.lax.scan(
+            fwd_step, carry_sv, mids_q
+        )
+        last_out = carry_sv @ last_q
+        return first_out, mids_out, last_out, k0, mid_ranks
+
+    return jax.jit(sweep)
+
+
+def tt_round_fixed(
+    tn: TensorNetwork, eps: float, relative: bool = True
+) -> Tuple[TensorNetwork, List[int]]:
+    """Round a uniform TT with the fused static-shape sweep.
+
+    Returns the rounded network (bonds compacted to the discovered ranks
+    on host) and the kept rank per bond.
+    """
+    first, mids, last = stack_tt_cores(tn)
+    if mids is None:
+        raise ValueError("tt_round_fixed needs d >= 3")
+    fn = _tt_round_sweep_fn(relative)
+    f, m, l, k0, mid_ranks = fn(first, mids, last, eps)
+
+    ranks = [int(k0)] + [int(x) for x in np.asarray(mid_ranks)]
+    nodes = list(tn.network.nodes)
+    out = tn.__deepcopy__({})
+    out.node_tensor(nodes[0]).update_val_size(f[:, : ranks[0]])
+    for i, node in enumerate(nodes[1:-1]):
+        out.node_tensor(node).update_val_size(
+            m[i][: ranks[i], :, : ranks[i + 1]]
+        )
+    out.node_tensor(nodes[-1]).update_val_size(l[: ranks[-1], :])
+    return out, ranks

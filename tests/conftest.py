@@ -1,0 +1,19 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Numerical parity tests need float64 (1e-13 tolerances) which the TPU
+backend does not provide, and sharding tests need multiple devices, so the
+suite runs on the host platform with 8 virtual devices — the standard way
+to test JAX sharding without a pod.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
