@@ -1,0 +1,120 @@
+"""Maxvol pivot selection: dominant-submatrix row search.
+
+Given a tall matrix A (n x r), find r rows I such that the submatrix A[I]
+is (quasi-)dominant, and return the interpolation coefficients
+B = A @ A[I]^{-1} (so A == B @ A[I] up to the maxvol tolerance).
+
+Two implementations with identical semantics:
+
+* :func:`maxvol` — host NumPy; LU-pivot initialization plus rank-1 swap
+  updates.  Robust default for the small fiber matrices cross
+  approximation produces.
+* :func:`maxvol_device` — jit-compiled JAX (``lax.while_loop`` over
+  argmax + rank-1 updates); keeps large fiber matrices on device.
+
+Replaces the reference's foreign dependency ``tntorch.py_maxvol``
+(``pytens/cross/cross.py:80-94``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DEVICE_SIZE_THRESHOLD = 64 * 1024  # entries; below this, host wins
+
+
+def _lu_row_pivots(a: np.ndarray) -> np.ndarray:
+    """Rows chosen by partially-pivoted Gaussian elimination: a cheap,
+    well-conditioned starting set for the maxvol iteration."""
+    a = np.array(a, dtype=np.float64)
+    n, r = a.shape
+    piv = np.arange(n)
+    for k in range(r):
+        i = k + int(np.argmax(np.abs(a[k:, k])))
+        if i != k:
+            a[[k, i]] = a[[i, k]]
+            piv[[k, i]] = piv[[i, k]]
+        if a[k, k] != 0.0:
+            a[k + 1 :, k] /= a[k, k]
+            a[k + 1 :, k + 1 :] -= np.outer(a[k + 1 :, k], a[k, k + 1 :])
+    return piv[:r]
+
+
+def maxvol(
+    a, tol: float = 1.05, max_iters: int = 200
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host maxvol.  Returns (row indices I, coefficients B = A A[I]^-1)."""
+    a = np.asarray(a, dtype=np.float64)
+    n, r = a.shape
+    if n <= r:
+        return np.arange(n), np.eye(n)
+
+    rows = _lu_row_pivots(a)
+    b = np.linalg.solve(a[rows].T, a.T).T  # A @ inv(A[rows])
+    for _ in range(max_iters):
+        flat = int(np.argmax(np.abs(b)))
+        i, j = divmod(flat, r)
+        if abs(b[i, j]) <= tol:
+            break
+        # replace pivot row j by row i; rank-1 update of B
+        bj = b[:, j].copy()
+        bi = b[i, :].copy()
+        bi[j] -= 1.0
+        b -= np.outer(bj, bi) / b[i, j]
+        rows[j] = i
+    return rows, b
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def _maxvol_kernel(a: jnp.ndarray, tol: float, max_iters: int):
+    n, r = a.shape
+    lu, piv = jax.scipy.linalg.lu_factor(a)
+    perm = jax.lax.linalg.lu_pivots_to_permutation(piv, n)
+    rows = perm[:r]
+    b = jnp.linalg.solve(a[rows].T, a.T).T
+
+    def cond(state):
+        b, _, it = state
+        return jnp.logical_and(
+            it < max_iters, jnp.max(jnp.abs(b)) > tol
+        )
+
+    def body(state):
+        b, rows, it = state
+        flat = jnp.argmax(jnp.abs(b))
+        i = flat // r
+        j = flat % r
+        bj = b[:, j]
+        bi = b[i, :] - jax.nn.one_hot(j, r, dtype=b.dtype)
+        b = b - jnp.outer(bj, bi) / b[i, j]
+        rows = rows.at[j].set(i.astype(rows.dtype))
+        return b, rows, it + 1
+
+    b, rows, _ = jax.lax.while_loop(cond, body, (b, rows, 0))
+    return rows, b
+
+
+def maxvol_device(
+    a, tol: float = 1.05, max_iters: int = 200
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device maxvol: the same algorithm as :func:`maxvol`, compiled to a
+    single XLA while-loop so big fiber matrices never leave HBM."""
+    a = jnp.asarray(a)
+    n, r = a.shape
+    if n <= r:
+        return jnp.arange(n), jnp.eye(n, dtype=a.dtype)
+    return _maxvol_kernel(a, tol, max_iters)
+
+
+def maxvol_auto(a, tol: float = 1.05, max_iters: int = 200):
+    """Pick host or device maxvol by problem size."""
+    a_np = np.asarray(a)
+    if a_np.size >= _DEVICE_SIZE_THRESHOLD:
+        rows, b = maxvol_device(a_np, tol, max_iters)
+        return np.asarray(rows), np.asarray(b)
+    return maxvol(a_np, tol, max_iters)
