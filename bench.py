@@ -1,0 +1,278 @@
+"""Benchmark: TT inner product + TT rounding, d=50 n=32 r=100, vs NumPy.
+
+Compares the framework's fused TPU kernels against a faithful NumPy
+re-creation of the reference algorithms (``pytens``):
+
+* inner product — the reference contracts the 2d-node joined network with
+  a fresh opt_einsum "auto" path search per call (pytens/algs.py:469-485);
+* rounding — right-orth QR sweep + forward truncated-SVD sweep
+  (pytens/algs.py:1654-1903).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "x", "vs_baseline": ...,
+   "extra": {breakdown}}
+where value is the geometric mean of the two speedups.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# device work is float32; keep the TPU program free of s64/f64 ops
+os.environ.setdefault("TNT_ENABLE_X64", "0")
+
+
+D, N, R = 50, 32, 100
+DTYPE = "float32"  # device dtype; the NumPy reference runs float64
+
+
+def _time(fn, reps: int, warmup: int = 1) -> float:
+    for _ in range(warmup):
+        fn()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def make_cores(seed: int, dtype):
+    rng = np.random.default_rng(seed)
+    # keep <a, a> = prod_k ||core_k||-ish terms O(1) so f32 cannot overflow
+    scale = 1.0 / np.sqrt(R * N)
+    first = (rng.standard_normal((N, R)) * scale).astype(dtype)
+    mids = (rng.standard_normal((D - 2, R, N, R)) * scale).astype(dtype)
+    last = (rng.standard_normal((R, N)) * scale).astype(dtype)
+    return first, mids, last
+
+
+# ---------------- NumPy baselines (reference algorithms) -----------------
+
+
+def numpy_inner_reference_style(a_cores, b_cores) -> float:
+    """The reference's inner(): one big einsum over all 2d cores with a
+    fresh opt_einsum 'auto' path per call."""
+    import opt_einsum as oe
+
+    operands = []
+    subscripts = []
+    sym = oe.get_symbol
+    # index ids: modes 0..d-1 shared; bonds a-side d..2d-3, b-side 2d-2..
+    d = D
+    a_first, a_mids, a_last = a_cores
+    b_first, b_mids, b_last = b_cores
+
+    def bond_a(k):
+        return d + k
+
+    def bond_b(k):
+        return 2 * d - 1 + k
+
+    operands.append(a_first)
+    subscripts.append(sym(0) + sym(bond_a(0)))
+    for k in range(d - 2):
+        operands.append(a_mids[k])
+        subscripts.append(sym(bond_a(k)) + sym(k + 1) + sym(bond_a(k + 1)))
+    operands.append(a_last)
+    subscripts.append(sym(bond_a(d - 2)) + sym(d - 1))
+
+    operands.append(b_first)
+    subscripts.append(sym(0) + sym(bond_b(0)))
+    for k in range(d - 2):
+        operands.append(b_mids[k])
+        subscripts.append(sym(bond_b(k)) + sym(k + 1) + sym(bond_b(k + 1)))
+    operands.append(b_last)
+    subscripts.append(sym(bond_b(d - 2)) + sym(d - 1))
+
+    expr = ",".join(subscripts) + "->"
+    return float(oe.contract(expr, *operands, optimize="auto"))
+
+
+def numpy_tt_round(cores, eps: float):
+    """The reference's tt_svd_round: backward QR sweep, forward truncated
+    SVD sweep with the remaining-budget rule."""
+    first, mids, last = cores
+    mids = [m.copy() for m in mids]
+    first = first.copy()
+    last = last.copy()
+    d = D
+
+    # backward right-orthogonalization
+    q, rr = np.linalg.qr(last.T)
+    last = q.T
+    carry = rr.T
+    for k in range(d - 3, -1, -1):
+        cur = np.einsum("rnk,kc->rnc", mids[k], carry)
+        r0, nn, r1 = cur.shape
+        q, rr = np.linalg.qr(cur.reshape(r0, nn * r1).T)
+        mids[k] = q.T.reshape(r0, nn, r1)
+        carry = rr.T
+    first = first @ carry
+
+    # forward truncation sweep
+    def trunc(mat, delta):
+        u, s, vt = np.linalg.svd(mat, full_matrices=False)
+        tail = np.cumsum(s[::-1] ** 2)
+        k = int(np.searchsorted(tail, delta**2, side="right"))
+        rank = max(len(s) - k, 1)
+        used = tail[k - 1] if k > 0 else 0.0
+        rem = np.sqrt(max(delta**2 - used, 0.0))
+        return u[:, :rank], (s[:rank, None] * vt[:rank]), rem
+
+    norm = np.linalg.norm(first)
+    delta = eps / np.sqrt(d - 1) * norm
+    u, sv, delta = trunc(first, delta)
+    first = u
+    carry = sv
+    for k in range(d - 2):
+        cur = np.einsum("ak,knc->anc", carry, mids[k])
+        r0, nn, r1 = cur.shape
+        u, sv, delta = trunc(cur.reshape(r0 * nn, r1), delta)
+        mids[k] = u.reshape(r0, nn, -1)
+        carry = sv
+    last = carry @ last
+    return first, mids, last
+
+
+# ---------------------------- device paths ----------------------------
+
+
+def main():
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from tensor_networks_tpu.ops.fast import (
+        _tt_round_sweep_fn,
+        tt_inner_fn,
+    )
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev}", file=sys.stderr)
+
+    a_np = make_cores(0, np.float64)
+    b_np = make_cores(1, np.float64)
+
+    # ---- NumPy baselines (reference algorithm, float64 CPU) ----
+    t_np_inner = _time(
+        lambda: numpy_inner_reference_style(a_np, b_np), reps=3
+    )
+    print(f"[bench] numpy inner: {t_np_inner*1e3:.1f} ms", file=sys.stderr)
+
+    t_np_round = _time(lambda: numpy_tt_round(a_np, 1e-10), reps=3)
+    print(f"[bench] numpy round: {t_np_round*1e3:.1f} ms", file=sys.stderr)
+
+    # ---- device timing protocol ----
+    # This environment reaches the chip through a relay with ~25 ms
+    # per-dispatch latency, so single-call wall times measure the relay,
+    # not the kernel.  Instead each kernel is iterated K times inside ONE
+    # XLA program (lax.scan with a data dependency per iteration) and the
+    # per-iteration cost is the slope between two K values.
+    dtype = jnp.float32 if DTYPE == "float32" else jnp.float64
+    a_dev = tuple(jax.device_put(jnp.asarray(x, dtype)) for x in a_np)
+    b_dev = tuple(jax.device_put(jnp.asarray(x, dtype)) for x in b_np)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def inner_repeat(fa, ma, la, fb, mb, lb, k):
+        inner = tt_inner_fn(True)
+
+        def body(acc, _i):
+            # data-dependent perturbation: the next iteration's input
+            # depends on the previous result, so XLA can neither hoist the
+            # zipper out of the loop nor factor the scalar through it
+            scale = 1.0 + acc * jnp.asarray(1e-24, dtype)
+            return inner(fa * scale, ma, la, fb, mb, lb), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.asarray(1.0, dtype), jnp.arange(k, dtype=dtype)
+        )
+        return acc
+
+    def fetch(out):
+        # under the relay, block_until_ready returns before execution
+        # completes; a host fetch of the scalar is the only real barrier
+        return float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+
+    def timed_repeat(run, k1, k2):
+        for k in (k1, k2):
+            fetch(run(k))  # compile both
+        t1 = _time(lambda: fetch(run(k1)), reps=4)
+        t2 = _time(lambda: fetch(run(k2)), reps=4)
+        return max((t2 - t1) / (k2 - k1), 1e-9)
+
+    # time <a,a> repeats: O(1)-normalized values, identical cost to <a,b>
+    t_inner = timed_repeat(
+        lambda k: inner_repeat(*a_dev, *a_dev, k=k), 8, 104
+    )
+    print(f"[bench] tpu inner: {t_inner*1e6:.0f} us/call", file=sys.stderr)
+
+    # sanity: <a, a> is a positive-accumulating sum (no cancellation), so
+    # it checks kernel correctness at true f32 resolution
+    inner_fn = tt_inner_fn(True)
+    ref_val = numpy_inner_reference_style(a_np, a_np)
+    got_val = float(inner_fn(*a_dev, *a_dev))
+    rel = abs(got_val - ref_val) / max(abs(ref_val), 1e-30)
+    print(
+        f"[bench] <a,a> rel diff vs numpy f64: {rel:.2e}", file=sys.stderr
+    )
+
+    # ---- device: fused rounding sweep ----
+    @partial(jax.jit, static_argnames=("k",))
+    def round_repeat(first, mids, last, k):
+        sweep = _tt_round_sweep_fn(True)
+
+        def body(acc, i):
+            scale = 1.0 + i * jnp.asarray(1e-6, dtype)
+            f, m, l, k0, _ = sweep(first * scale, mids, last, 1e-6)
+            return acc + jnp.sum(f) + k0.astype(dtype), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.asarray(0.0, dtype), jnp.arange(k, dtype=dtype)
+        )
+        return acc
+
+    t_round = timed_repeat(
+        lambda k: round_repeat(a_dev[0], a_dev[1], a_dev[2], k=k), 1, 9
+    )
+    print(f"[bench] tpu round: {t_round*1e3:.2f} ms/call", file=sys.stderr)
+
+    # FLOP estimate for the rounding sweep (QR + SVD + carry GEMMs)
+    qr_flops = 2.0 * (N * R) * R * R  # per-core Householder QR
+    svd_flops = 8.0 * (N * R) * R * R  # iterative SVD estimate
+    gemm_flops = 2.0 * R * R * N * R * 2  # carry absorb fwd+bwd
+    round_flops = D * (qr_flops + svd_flops + gemm_flops)
+    gflops = round_flops / t_round / 1e9
+
+    inner_speedup = t_np_inner / t_inner
+    round_speedup = t_np_round / t_round
+    geomean = float(np.sqrt(inner_speedup * round_speedup))
+
+    result = {
+        "metric": "tt_d50_n32_r100_speedup_vs_numpy_geomean",
+        "value": round(geomean, 2),
+        "unit": "x",
+        "vs_baseline": round(geomean, 2),
+        "extra": {
+            "inner_speedup_x": round(inner_speedup, 2),
+            "round_speedup_x": round(round_speedup, 2),
+            "tpu_inner_us": round(t_inner * 1e6, 1),
+            "numpy_inner_ms": round(t_np_inner * 1e3, 2),
+            "tpu_round_ms": round(t_round * 1e3, 2),
+            "numpy_round_ms": round(t_np_round * 1e3, 2),
+            "round_gflops_est": round(gflops, 1),
+            "inner_self_rel_diff_f32": float(f"{rel:.2e}"),
+            "device": str(dev),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

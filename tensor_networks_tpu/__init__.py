@@ -15,9 +15,14 @@ On TPU, pass float32/bfloat16 arrays for full-speed execution — x64 mode
 only *allows* wide types, it does not force them.
 """
 
+import os as _os
+
 import jax as _jax
 
-_jax.config.update("jax_enable_x64", True)
+# x64 is on by default (the library's accuracy contract needs it on CPU);
+# set TNT_ENABLE_X64=0 for pure-f32/bf16 TPU runs.
+if _os.environ.get("TNT_ENABLE_X64", "1") != "0":
+    _jax.config.update("jax_enable_x64", True)
 
 from tensor_networks_tpu.types import (  # noqa: E402
     Index,

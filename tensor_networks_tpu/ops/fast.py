@@ -47,16 +47,23 @@ def stack_tt_cores(
 
 
 @lru_cache(maxsize=64)
-def tt_inner_fn(has_mids: bool):
+def tt_inner_fn(has_mids: bool, precision: str = "highest"):
     """The jitted TT inner-product zipper.
 
     W_0 = A_0^T B_0;  W_k = sum_n A_k(n)^T W_{k-1} B_k(n);
     result = <W_{d-2}, A_last B_last^T>.
     Two MXU matmuls per scan step carrying an (r_a x r_b) state.
+
+    ``precision`` defaults to full f32 MXU passes — the library's accuracy
+    contract matters more than the last 2x of MXU throughput (the zipper
+    is usually HBM-bound anyway); pass "default" for raw bf16 speed.
     """
 
+    def mm(x, y):
+        return jnp.matmul(x, y, precision=precision)
+
     def inner(first_a, mids_a, last_a, first_b, mids_b, last_b):
-        w = first_a.T @ first_b  # (r_a, r_b)
+        w = mm(first_a.T, first_b)  # (r_a, r_b)
 
         if has_mids:
 
@@ -65,13 +72,13 @@ def tt_inner_fn(has_mids: bool):
                 ra, n, ra2 = a.shape
                 rb, _, rb2 = b.shape
                 # t[(b1 n), a2] = sum_a1 w[a1, b1] a[a1, n, a2]
-                t = (w.T @ a.reshape(ra, n * ra2)).reshape(rb * n, ra2)
+                t = mm(w.T, a.reshape(ra, n * ra2)).reshape(rb * n, ra2)
                 # w2[a2, b2] = sum_{b1, n} t[(b1 n), a2] b[(b1 n), b2]
-                return t.T @ b.reshape(rb * n, rb2), None
+                return mm(t.T, b.reshape(rb * n, rb2)), None
 
             w, _ = jax.lax.scan(step, w, (mids_a, mids_b))
 
-        return jnp.sum(w * (last_a @ last_b.T))
+        return jnp.sum(w * mm(last_a, last_b.T))
 
     return jax.jit(inner)
 
@@ -95,10 +102,14 @@ def tt_inner_fast(a: TensorNetwork, b: TensorNetwork) -> jnp.ndarray:
 
 
 def _trunc_count(s: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
-    """Kept rank under the TT-SVD tail rule (traced, static shapes)."""
+    """Kept rank under the TT-SVD tail rule (traced, static shapes).
+
+    Integer work stays int32: the TPU backend has no s64 path and the
+    counts fit trivially.
+    """
     tail = jnp.cumsum(jnp.flip(s) ** 2)
-    drop = jnp.sum(tail <= delta**2)
-    return jnp.maximum(s.shape[0] - drop, 1)
+    drop = jnp.sum((tail <= delta**2).astype(jnp.int32))
+    return jnp.maximum(jnp.int32(s.shape[0]) - drop, jnp.int32(1))
 
 
 @lru_cache(maxsize=8)
@@ -112,10 +123,16 @@ def _tt_round_sweep_fn(relative: bool):
 
     def sweep(first, mids, last, eps):
         d = mids.shape[0] + 2
+        r = last.shape[0]
 
         # ---- backward sweep: right-orthogonalize cores d-1 .. 1 ----------
+        # rank-deficient bonds (n < r) are zero-padded so every scan step
+        # carries a full (r, r) state; the zero directions are inert.
         ql, rl = jnp.linalg.qr(last.T)
-        last_q = ql.T  # (r, n), orthonormal rows
+        if ql.shape[1] < r:
+            ql = jnp.pad(ql, ((0, 0), (0, r - ql.shape[1])))
+            rl = jnp.pad(rl, ((0, r - rl.shape[0]), (0, 0)))
+        last_q = ql.T  # (r, n), orthonormal (or zero) rows
         carry = rl.T
 
         def back_step(carry, core):
@@ -135,8 +152,15 @@ def _tt_round_sweep_fn(relative: bool):
         )
 
         u, s, vt = jnp.linalg.svd(first_c, full_matrices=False)
+        if s.shape[0] < r:
+            pad = r - s.shape[0]
+            u = jnp.pad(u, ((0, 0), (0, pad)))
+            s = jnp.pad(s, (0, pad))
+            vt = jnp.pad(vt, ((0, pad), (0, 0)))
         k0 = _trunc_count(s, budget)
-        mask = (jnp.arange(s.shape[0]) < k0).astype(s.dtype)
+        mask = (
+            jnp.arange(s.shape[0], dtype=jnp.int32) < k0
+        ).astype(s.dtype)
         first_out = u * mask[None, :]
         carry_sv = (mask * s)[:, None] * vt
 
@@ -147,7 +171,9 @@ def _tt_round_sweep_fn(relative: bool):
                 cur.reshape(rr * n, rc), full_matrices=False
             )
             k = _trunc_count(s, budget)
-            m = (jnp.arange(s.shape[0]) < k).astype(s.dtype)
+            m = (
+                jnp.arange(s.shape[0], dtype=jnp.int32) < k
+            ).astype(s.dtype)
             core_out = (u * m[None, :]).reshape(rr, n, -1)
             return (m * s)[:, None] * vt, (core_out, k)
 

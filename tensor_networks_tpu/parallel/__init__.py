@@ -1,0 +1,34 @@
+"""Multi-chip execution: mesh construction, sharded TT kernels, training.
+
+The reference is single-process NumPy; this subsystem is the TPU-native
+scale-out story: ``jax.sharding`` meshes with XLA collectives over ICI.
+No hand-written communication layer — shardings are annotated and XLA
+lowers the collectives (psum for sharded contractions, all-gathers for
+bond factors).
+"""
+
+from tensor_networks_tpu.parallel.mesh import (
+    make_mesh,
+    default_mesh,
+)
+from tensor_networks_tpu.parallel.sharded import (
+    tt_inner_mode_sharded,
+    shard_tt_params,
+    tt_evaluate_batched,
+)
+from tensor_networks_tpu.parallel.training import (
+    TTParams,
+    make_train_step,
+    init_tt_params,
+)
+
+__all__ = [
+    "make_mesh",
+    "default_mesh",
+    "tt_inner_mode_sharded",
+    "shard_tt_params",
+    "tt_evaluate_batched",
+    "TTParams",
+    "make_train_step",
+    "init_tt_params",
+]

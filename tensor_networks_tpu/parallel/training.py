@@ -1,0 +1,89 @@
+"""A sharded TT-regression training step (tensor completion by SGD).
+
+The framework's "training" workload: fit the cores of a tensor train to
+observed entries of a target tensor.  The step is a single jitted XLA
+program over a ("data", "model") mesh:
+
+* DP  — the sample batch is sharded over ``data``,
+* TP  — the mode dimension of every core is sharded over ``model``,
+* gradients flow through the sharded gathers/GEMMs; XLA inserts the
+  psum/all-gather collectives implied by the shardings.
+
+This is the path exercised by ``__graft_entry__.dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tensor_networks_tpu.parallel.sharded import (
+    TTCores,
+    tt_evaluate_batched,
+)
+
+TTParams = TTCores
+
+
+def init_tt_params(
+    d: int, n: int, r: int, dtype=jnp.float32, seed: int = 0
+) -> TTParams:
+    """Gaussian TT cores scaled for O(1) entry variance."""
+    rng = np.random.default_rng(seed)
+    scale = 1.0 / np.sqrt(r)
+    return TTParams(
+        first=jnp.asarray(rng.standard_normal((n, r)) * scale, dtype),
+        mids=jnp.asarray(
+            rng.standard_normal((d - 2, r, n, r)) * scale, dtype
+        ),
+        last=jnp.asarray(rng.standard_normal((r, n)) * scale, dtype),
+    )
+
+
+def make_train_step(mesh: Mesh):
+    """Build the jitted, mesh-sharded SGD step.
+
+    Returns ``step(params, idx, y, lr) -> (params, loss)`` plus the
+    placement helpers for params and batches.
+    """
+    param_shardings = TTParams(
+        first=NamedSharding(mesh, P("model", None)),
+        mids=NamedSharding(mesh, P(None, None, "model", None)),
+        last=NamedSharding(mesh, P(None, "model")),
+    )
+    idx_sharding = NamedSharding(mesh, P("data", None))
+    y_sharding = NamedSharding(mesh, P("data"))
+
+    def loss_fn(params: TTParams, idx, y):
+        preds = tt_evaluate_batched(
+            params.first, params.mids, params.last, idx
+        )
+        return jnp.mean((preds - y) ** 2)
+
+    @jax.jit
+    def step(
+        params: TTParams, idx, y, lr
+    ) -> Tuple[TTParams, jnp.ndarray]:
+        loss, grads = jax.value_and_grad(loss_fn)(params, idx, y)
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return new_params, loss
+
+    def place_params(params: TTParams) -> TTParams:
+        return TTParams(
+            *(
+                jax.device_put(p, s)
+                for p, s in zip(params, param_shardings)
+            )
+        )
+
+    def place_batch(idx, y):
+        return (
+            jax.device_put(jnp.asarray(idx), idx_sharding),
+            jax.device_put(jnp.asarray(y), y_sharding),
+        )
+
+    return step, place_params, place_batch
