@@ -179,16 +179,29 @@ def main():
     a_dev = tuple(jax.device_put(jnp.asarray(x, dtype)) for x in a_np)
     b_dev = tuple(jax.device_put(jnp.asarray(x, dtype)) for x in b_np)
 
-    @partial(jax.jit, static_argnames=("k",))
-    def inner_repeat(fa, ma, la, fb, mb, lb, k):
-        inner = tt_inner_fn(True)
+    from tensor_networks_tpu.kernels.pallas_ops import (
+        pad_bond,
+        tt_inner_pallas,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    a_mids_padded = jax.device_put(pad_bond(a_dev[1]))
+
+    @partial(jax.jit, static_argnames=("k", "which"))
+    def inner_repeat(fa, ma, la, fb, mb, lb, k, which):
+        def call(f):
+            if which == "pallas":
+                return tt_inner_pallas(
+                    f, ma, la, fb, mb, lb, prepadded=True
+                )
+            return tt_inner_fn(True)(f, ma, la, fb, mb, lb)
 
         def body(acc, _i):
             # data-dependent perturbation: the next iteration's input
             # depends on the previous result, so XLA can neither hoist the
             # zipper out of the loop nor factor the scalar through it
             scale = 1.0 + acc * jnp.asarray(1e-24, dtype)
-            return inner(fa * scale, ma, la, fb, mb, lb), None
+            return call(fa * scale).astype(dtype), None
 
         acc, _ = jax.lax.scan(
             body, jnp.asarray(1.0, dtype), jnp.arange(k, dtype=dtype)
@@ -208,10 +221,34 @@ def main():
         return max((t2 - t1) / (k2 - k1), 1e-9)
 
     # time <a,a> repeats: O(1)-normalized values, identical cost to <a,b>
-    t_inner = timed_repeat(
-        lambda k: inner_repeat(*a_dev, *a_dev, k=k), 8, 104
+    t_inner_scan = timed_repeat(
+        lambda k: inner_repeat(*a_dev, *a_dev, k=k, which="scan"), 8, 104
     )
-    print(f"[bench] tpu inner: {t_inner*1e6:.0f} us/call", file=sys.stderr)
+    print(
+        f"[bench] tpu inner (scan): {t_inner_scan*1e6:.0f} us/call",
+        file=sys.stderr,
+    )
+    t_inner = t_inner_scan
+    if on_tpu:
+        t_inner_pl = timed_repeat(
+            lambda k: inner_repeat(
+                a_dev[0],
+                a_mids_padded,
+                a_dev[2],
+                a_dev[0],
+                a_mids_padded,
+                a_dev[2],
+                k=k,
+                which="pallas",
+            ),
+            8,
+            104,
+        )
+        print(
+            f"[bench] tpu inner (pallas): {t_inner_pl*1e6:.0f} us/call",
+            file=sys.stderr,
+        )
+        t_inner = min(t_inner, t_inner_pl)
 
     # sanity: <a, a> is a positive-accumulating sum (no cancellation), so
     # it checks kernel correctness at true f32 resolution
@@ -222,6 +259,13 @@ def main():
     print(
         f"[bench] <a,a> rel diff vs numpy f64: {rel:.2e}", file=sys.stderr
     )
+    if on_tpu:
+        got_pl = float(tt_inner_pallas(*a_dev, *a_dev))
+        rel_pl = abs(got_pl - ref_val) / max(abs(ref_val), 1e-30)
+        print(
+            f"[bench] pallas <a,a> rel diff vs numpy f64: {rel_pl:.2e}",
+            file=sys.stderr,
+        )
 
     # ---- device: fused rounding sweep ----
     @partial(jax.jit, static_argnames=("k",))
@@ -261,6 +305,7 @@ def main():
         "vs_baseline": round(geomean, 2),
         "extra": {
             "inner_speedup_x": round(inner_speedup, 2),
+            "tpu_inner_scan_us": round(t_inner_scan * 1e6, 1),
             "round_speedup_x": round(round_speedup, 2),
             "tpu_inner_us": round(t_inner * 1e6, 1),
             "numpy_inner_ms": round(t_np_inner * 1e3, 2),

@@ -56,13 +56,16 @@ class CompiledContraction:
         self.expression = expr
 
         n_ops = len(operand_ids)
-        optimize = "optimal" if n_ops <= _OPTIMAL_MAX_OPERANDS else "greedy"
+        self.path = None
         if n_ops >= 2:
+            self.path = self._native_path(operand_ids, out_ids, shapes)
+        if n_ops >= 2 and self.path is None:
+            optimize = (
+                "optimal" if n_ops <= _OPTIMAL_MAX_OPERANDS else "greedy"
+            )
             self.path, _ = oe.contract_path(
                 expr, *shapes, shapes=True, optimize=optimize
             )
-        else:
-            self.path = None
 
         def run(*arrays):
             if self.path is not None:
@@ -70,6 +73,27 @@ class CompiledContraction:
             return jnp.einsum(expr, *arrays)
 
         self._fn = jax.jit(run)
+
+    @staticmethod
+    def _native_path(operand_ids, out_ids, shapes):
+        """Exact minimum-flop path from the C++ subset DP, when in range."""
+        from tensor_networks_tpu.native import (
+            MAX_NATIVE_OPERANDS,
+            optimal_path,
+        )
+
+        n_ops = len(operand_ids)
+        if not (2 < n_ops <= MAX_NATIVE_OPERANDS):
+            return None
+        dim_of_id: dict = {}
+        for ids, shape in zip(operand_ids, shapes):
+            for i, sz in zip(ids, shape):
+                dim_of_id[i] = float(sz)
+        n_ids = max(dim_of_id) + 1 if dim_of_id else 0
+        if n_ids >= 64 or len(dim_of_id) != n_ids:
+            return None
+        dims = [dim_of_id[i] for i in range(n_ids)]
+        return optimal_path(operand_ids, out_ids, dims)
 
     def __call__(self, *arrays):
         return self._fn(*arrays)
