@@ -24,12 +24,21 @@ from tensor_networks_tpu import (
 )
 
 
+def _normalized_qtt(indices, chi):
+    """Random QTT with every core scaled so norms stay O(1) in f32 over
+    30 products."""
+    net = TensorNetwork.rand_tt(indices, [chi] * (len(indices) - 1),
+                                dtype=np.float32)
+    for node in net.network.nodes:
+        t = net.node_tensor(node)
+        t.value = t.value / np.sqrt(np.prod(t.value.shape[:-1]) + 1.0)
+    return net
+
+
 def main(d: int = 30, chi: int = 16):
     indices = [Index(f"q{i}", 2) for i in range(d)]
-    a = TensorNetwork.rand_tt(indices, [chi] * (d - 1), dtype=np.float32)
-    a.scale(1e-2)  # keep products in f32 range
-    b = TensorNetwork.rand_tt(indices, [chi] * (d - 1), dtype=np.float32)
-    b.scale(1e-2)
+    a = _normalized_qtt(indices, chi)
+    b = _normalized_qtt(indices, chi)
 
     t0 = time.perf_counter()
     val = float(tt_inner_fast(a, b))
