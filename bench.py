@@ -287,6 +287,33 @@ def main():
     )
     print(f"[bench] tpu round: {t_round*1e3:.2f} ms/call", file=sys.stderr)
 
+    # all-GEMM Gram/CholQR sweep (loose-tolerance fast mode)
+    from tensor_networks_tpu.ops.fast import _tt_round_gram_sweep_fn
+
+    @partial(jax.jit, static_argnames=("k",))
+    def round_gram_repeat(first, mids, last, k):
+        sweep = _tt_round_gram_sweep_fn(True)
+
+        def body(acc, i):
+            scale = 1.0 + acc * jnp.asarray(1e-24, dtype)
+            f, m, l, k0, _ = sweep(first * scale, mids, last, 1e-3)
+            return (jnp.sum(f) + k0.astype(dtype)).astype(dtype), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.asarray(0.0, dtype), jnp.arange(k, dtype=dtype)
+        )
+        return acc
+
+    t_round_gram = timed_repeat(
+        lambda k: round_gram_repeat(a_dev[0], a_dev[1], a_dev[2], k=k),
+        1,
+        9,
+    )
+    print(
+        f"[bench] tpu round (gram): {t_round_gram*1e3:.2f} ms/call",
+        file=sys.stderr,
+    )
+
     # FLOP estimate for the rounding sweep (QR + SVD + carry GEMMs)
     qr_flops = 2.0 * (N * R) * R * R  # per-core Householder QR
     svd_flops = 8.0 * (N * R) * R * R  # iterative SVD estimate
@@ -310,6 +337,7 @@ def main():
             "tpu_inner_us": round(t_inner * 1e6, 1),
             "numpy_inner_ms": round(t_np_inner * 1e3, 2),
             "tpu_round_ms": round(t_round * 1e3, 2),
+            "tpu_round_gram_ms": round(t_round_gram * 1e3, 2),
             "numpy_round_ms": round(t_np_round * 1e3, 2),
             "round_gflops_est": round(gflops, 1),
             "inner_self_rel_diff_f32": float(f"{rel:.2e}"),

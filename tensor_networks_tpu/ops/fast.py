@@ -113,6 +113,98 @@ def _trunc_count(s: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
 
 
 @lru_cache(maxsize=8)
+def _tt_round_gram_sweep_fn(relative: bool):
+    """Gram/CholQR rounding sweep: the all-GEMM fast mode.
+
+    Same structure as :func:`_tt_round_sweep_fn` but orthogonalization
+    uses Cholesky-QR (one Gram GEMM + triangular solve per core) and
+    truncation uses the eigendecomposition of the r x r Gram matrix
+    instead of a tall SVD — an order of magnitude fewer FLOPs per bond,
+    all of them MXU-friendly.  Numerics: squares the condition number
+    (the IPDPS'22 Gram-SVD trade-off), so singular values below
+    sqrt(dtype eps) of the norm are unresolvable — only use for
+    tolerances eps >> sqrt(finfo(dtype).eps) (f32: eps >= ~1e-3,
+    f64: eps >= ~1e-7); otherwise use the SVD sweep.
+    """
+
+    def sweep(first, mids, last, eps):
+        d = mids.shape[0] + 2
+        r = last.shape[0]
+        eps_floor = jnp.asarray(1e-30, first.dtype)
+
+        def chol_right_orth(cur):
+            # rows of cur (r, m) -> L^{-1} cur with orthonormal rows
+            g = jnp.matmul(
+                cur, cur.T, precision="highest"
+            )
+            jitter = (jnp.trace(g) / g.shape[0] + eps_floor) * (
+                10.0 * jnp.finfo(g.dtype).eps
+            )
+            l = jnp.linalg.cholesky(g + jitter * jnp.eye(g.shape[0], dtype=g.dtype))
+            q = jax.scipy.linalg.solve_triangular(l, cur, lower=True)
+            return l, q
+
+        # ---- backward CholQR sweep -----------------------------------
+        l, last_q = chol_right_orth(last)
+        carry = l
+
+        def back_step(carry, core):
+            rr, n, rc = core.shape
+            cur = jnp.einsum("rnk,kc->rnc", core, carry)
+            l, q = chol_right_orth(cur.reshape(rr, n * rc))
+            return l, q.reshape(rr, n, rc)
+
+        carry, mids_q = jax.lax.scan(back_step, carry, mids, reverse=True)
+        first_c = first @ carry
+
+        # ---- forward Gram-eigh truncation sweep -----------------------
+        norm = jnp.linalg.norm(first_c)
+        eps = jnp.asarray(eps, first.dtype)
+        budget = (eps * norm if relative else eps) / jnp.sqrt(
+            jnp.asarray(d - 1.0, first.dtype)
+        )
+
+        def gram_trunc(cur):
+            # cur (m, r): orthonormal-basis truncation via eigh(cur^T cur)
+            g = jnp.matmul(cur.T, cur, precision="highest")
+            w, v = jnp.linalg.eigh(g)  # ascending
+            w = jnp.flip(w, 0)
+            v = jnp.flip(v, 1)
+            s = jnp.sqrt(jnp.maximum(w, 0.0))
+            k = _trunc_count(s, budget)
+            m = (
+                jnp.arange(s.shape[0], dtype=jnp.int32) < k
+            ).astype(s.dtype)
+            inv_s = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+            u = jnp.matmul(
+                cur, v * (m * inv_s)[None, :], precision="highest"
+            )
+            carry_next = (m * s)[:, None] * v.T
+            return u, carry_next, k
+
+        u0, carry_sv, k0 = gram_trunc(first_c)
+        if u0.shape[1] < r:  # first bond can be thinner than r
+            pad = r - u0.shape[1]
+            u0 = jnp.pad(u0, ((0, 0), (0, pad)))
+            carry_sv = jnp.pad(carry_sv, ((0, pad), (0, 0)))
+        first_out = u0
+
+        def fwd_step(carry_sv, core):
+            rr, n, rc = core.shape
+            cur = jnp.einsum("ak,knc->anc", carry_sv, core)
+            u, nxt, k = gram_trunc(cur.reshape(rr * n, rc))
+            return nxt, (u.reshape(rr, n, -1), k)
+
+        carry_sv, (mids_out, mid_ranks) = jax.lax.scan(
+            fwd_step, carry_sv, mids_q
+        )
+        last_out = carry_sv @ last_q
+        return first_out, mids_out, last_out, k0, mid_ranks
+
+    return jax.jit(sweep)
+
+
+@lru_cache(maxsize=8)
 def _tt_round_sweep_fn(relative: bool):
     """Fused right-orthogonalization + forward truncation sweep.
 
@@ -187,17 +279,26 @@ def _tt_round_sweep_fn(relative: bool):
 
 
 def tt_round_fixed(
-    tn: TensorNetwork, eps: float, relative: bool = True
+    tn: TensorNetwork,
+    eps: float,
+    relative: bool = True,
+    method: str = "svd",
 ) -> Tuple[TensorNetwork, List[int]]:
     """Round a uniform TT with the fused static-shape sweep.
 
-    Returns the rounded network (bonds compacted to the discovered ranks
-    on host) and the kept rank per bond.
+    ``method="svd"`` is the accurate default; ``method="gram"`` runs the
+    all-GEMM CholQR/Gram-eigh sweep (~10x fewer FLOPs per bond, squared
+    condition number).  Returns the rounded network (bonds compacted to
+    the discovered ranks on host) and the kept rank per bond.
     """
     first, mids, last = stack_tt_cores(tn)
     if mids is None:
         raise ValueError("tt_round_fixed needs d >= 3")
-    fn = _tt_round_sweep_fn(relative)
+    fn = (
+        _tt_round_gram_sweep_fn(relative)
+        if method == "gram"
+        else _tt_round_sweep_fn(relative)
+    )
     f, m, l, k0, mid_ranks = fn(first, mids, last, eps)
 
     ranks = [int(k0)] + [int(x) for x in np.asarray(mid_ranks)]

@@ -205,18 +205,63 @@ class ConstraintSearch:
         compute_uv: bool = False,
     ) -> None:
         """Precompute binned singular values for every candidate split (or
-        only the given actions when replaying)."""
+        only the given actions when replaying).
+
+        When only singular values are needed and no spill cache exists,
+        the 2^(d-1)-1 bipartition SVDs are grouped by matricized shape and
+        each group runs as ONE vmapped device SVD.
+        """
         free_indices = target_tensor.indices
         x_norm = float(np.linalg.norm(np.asarray(target_tensor.value)))
         self.delta = self.config.engine.eps * x_norm
         if acs is not None:
             for ac in acs:
                 self.preprocess_comb(target_tensor, ac.indices)
-        else:
-            for comb in SearchState.all_index_combs(free_indices):
-                self.preprocess_comb(
-                    target_tensor, comb, compute_uv=compute_uv
-                )
+            return
+
+        cache_probe = f"{self.config.output.output_dir}/0.npz"
+        if (
+            not compute_uv
+            and (
+                self.config.preprocess.force_recompute
+                or not os.path.exists(cache_probe)
+            )
+        ):
+            self._preprocess_batched(target_tensor)
+            return
+
+        for comb in SearchState.all_index_combs(free_indices):
+            self.preprocess_comb(target_tensor, comb, compute_uv=compute_uv)
+
+    def _preprocess_batched(self, target_tensor: Tensor) -> None:
+        """Shape-grouped, vmapped singular-value computation on device."""
+        import jax
+        import jax.numpy as jnp
+
+        free_indices = target_tensor.indices
+        value = jnp.asarray(target_tensor.value)
+
+        groups: Dict[Tuple[int, int], List[Sequence[Index]]] = {}
+        mats: Dict[Tuple[int, int], List[jnp.ndarray]] = {}
+        for comb in SearchState.all_index_combs(free_indices):
+            rights = [i for i in free_indices if i not in comb]
+            positions = [
+                free_indices.index(i) for i in list(comb) + rights
+            ]
+            left = int(np.prod([x.size for x in comb]))
+            mat = jnp.transpose(value, positions).reshape(left, -1)
+            groups.setdefault(mat.shape, []).append(comb)
+            mats.setdefault(mat.shape, []).append(mat)
+
+        for shape, combs in groups.items():
+            stack = jnp.stack(mats[shape])
+            svals = jax.vmap(
+                lambda a: jnp.linalg.svd(a, compute_uv=False)
+            )(stack)
+            svals = np.asarray(svals)
+            for comb, s in zip(combs, svals):
+                sums, sizes = self.abstract(s)
+                self.split_actions[OSplit(comb)] = (sums, sizes)
 
     def get_cost(
         self, st: SearchState, upper: float
