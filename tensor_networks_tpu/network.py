@@ -1021,6 +1021,41 @@ class TensorNetwork:
                         elem["size"] = int(elem["size"])
         return metadata, arrays
 
+    def save_npz(self, path: str) -> None:
+        """Checkpoint to ``path.npz`` (arrays) + ``path.json`` (topology)."""
+        import json
+
+        metadata, arrays = self.to_separated_dict()
+        np.savez(
+            path + ".npz",
+            **{f"node_{i}": arr for i, arr in enumerate(arrays.values())},
+        )
+        metadata["_node_order"] = [str(k) for k in arrays.keys()]
+        metadata["_node_keys"] = [
+            ("int", k) if isinstance(k, int) else ("str", k)
+            for k in arrays.keys()
+        ]
+        with open(path + ".json", "w", encoding="utf-8") as f:
+            json.dump(metadata, f)
+
+    @classmethod
+    def load_npz(cls, path: str) -> "TensorNetwork":
+        """Restore a network checkpointed by :meth:`save_npz`."""
+        import json
+
+        with open(path + ".json", "r", encoding="utf-8") as f:
+            metadata = json.load(f)
+        data = np.load(path + ".npz")
+        keys = [
+            int(k) if kind == "int" else k
+            for kind, k in metadata.pop("_node_keys")
+        ]
+        metadata.pop("_node_order", None)
+        arrays = {
+            k: data[f"node_{i}"] for i, k in enumerate(keys)
+        }
+        return cls.from_separated_dict(metadata, arrays)
+
     @classmethod
     def from_separated_dict(
         cls, metadata: dict, arrays: Dict[Any, np.ndarray]

@@ -17,3 +17,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# numerics sanitizer (the race-detector analogue for this framework):
+# TNT_DEBUG_NANS=1 makes every kernel fail loudly on NaN production
+if os.environ.get("TNT_DEBUG_NANS") == "1":
+    jax.config.update("jax_debug_nans", True)
