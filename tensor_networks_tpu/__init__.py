@@ -59,6 +59,10 @@ from tensor_networks_tpu.ops import (  # noqa: E402
     tt_sum_randomized_round,
     tt_rand_precond_svd_round,
     gmres,
+    packed,
+    PackedTT,
+    PackedTTOp,
+    gmres_packed,
     tt_inner_fast,
     tt_inner_fn,
     stack_tt_cores,
@@ -99,6 +103,10 @@ __all__ = [
     "tt_sum_randomized_round",
     "tt_rand_precond_svd_round",
     "gmres",
+    "packed",
+    "PackedTT",
+    "PackedTTOp",
+    "gmres_packed",
     "tt_inner_fast",
     "tt_inner_fn",
     "stack_tt_cores",

@@ -22,6 +22,12 @@ from tensor_networks_tpu.ops.rounding import (
     tt_rand_precond_svd_round,
 )
 from tensor_networks_tpu.ops.solvers import gmres
+from tensor_networks_tpu.ops import packed
+from tensor_networks_tpu.ops.packed import (
+    PackedTT,
+    PackedTTOp,
+    gmres_packed,
+)
 from tensor_networks_tpu.ops.fast import (
     tt_inner_fast,
     tt_inner_fn,
@@ -48,6 +54,10 @@ __all__ = [
     "tt_sum_randomized_round",
     "tt_rand_precond_svd_round",
     "gmres",
+    "packed",
+    "PackedTT",
+    "PackedTTOp",
+    "gmres_packed",
     "tt_inner_fast",
     "tt_inner_fn",
     "stack_tt_cores",
