@@ -1,11 +1,15 @@
 """Rank-adaptive cross approximation over arbitrary dimension trees.
 
-Subsumes TT-cross, HT-cross, and Tucker-cross: the ansatz is whatever tree
-the starting network has.  Each sweep selects row/column pivots per tree
-edge (maxvol or DEIM), evaluates the target function on the induced fiber
-matrices, and updates cores with the interpolation coefficients; ranks are
-kicked and re-clamped between sweeps until the iterate (or a validation
-set) converges.  Parity reference: ``pytens/cross/cross.py``.
+One engine subsumes TT-cross, HT-cross, and Tucker-cross: the ansatz is
+whatever tree the starting network has.  A sweep walks the dimension tree
+twice (root->leaves refining down-pivots, leaves->root refining up-pivots
+and writing interpolation cores); between sweeps every bond rank is
+kicked and re-clamped until the iterate — or a validation set — stops
+changing.
+
+Pivot selection is pluggable (maxvol / DEIM); fiber matrices come from
+batched target-function evaluation, which for network-valued targets is
+the jitted gather+contract path.
 """
 
 from __future__ import annotations
@@ -13,7 +17,7 @@ from __future__ import annotations
 import copy
 import logging
 from enum import Enum, auto
-from typing import Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 import pydantic
@@ -27,21 +31,22 @@ logger = logging.getLogger(__name__)
 
 
 class CrossAlgo(Enum):
-    """Pivot-selection algorithm."""
+    """Which pivot-selection rule drives the sweeps."""
 
     MAXVOL = auto()
     DEIM = auto()
 
 
 class ConvergenceCheck(Enum):
-    """Convergence criterion between sweeps."""
+    """What decides that the sweeps have converged."""
 
-    NORM = auto()  # relative change of the iterate's norm
-    VALID_ERROR = auto()  # relative error on a validation set
+    NORM = auto()
+    VALID_ERROR = auto()
 
 
 class CrossConfig(pydantic.BaseModel):
-    """Configuration for a cross-approximation run."""
+    """Knobs for a cross-approximation run (schema-compatible with the
+    reference's config)."""
 
     cross_algo: CrossAlgo = pydantic.Field(
         default=CrossAlgo.MAXVOL,
@@ -70,8 +75,8 @@ class CrossConfig(pydantic.BaseModel):
 
 
 class CrossResult(pydantic.BaseModel):
-    """Output of a cross run: network, pivot tree, and the rank/error
-    trajectory."""
+    """What a cross run hands back: the fitted network, the pivot tree,
+    and the (rank, error) trajectory across sweeps."""
 
     model_config = pydantic.ConfigDict(arbitrary_types_allowed=True)
 
@@ -80,55 +85,66 @@ class CrossResult(pydantic.BaseModel):
     ranks_and_errors: Sequence[Tuple[int, float]]
 
 
-def _deim(u: np.ndarray) -> np.ndarray:
-    """Discrete Empirical Interpolation: greedy residual-argmax rows."""
+# --------------------------- pivot selection ---------------------------
+
+
+def _pivots_maxvol(fiber: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Orthogonalize the fiber matrix, then take maxvol rows.
+
+    Returns (row indices, interpolation coefficients B with
+    fiber ~= B @ fiber[rows])."""
+    basis = np.linalg.qr(np.asarray(fiber))[0]
+    return maxvol_auto(basis)
+
+
+def _pivots_deim(fiber: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Discrete Empirical Interpolation rows of the left singular basis."""
+    u = np.linalg.svd(np.asarray(fiber), full_matrices=False)[0]
     r = u.shape[1]
-    indices = np.empty(r, dtype=int)
-    indices[0] = np.argmax(np.abs(u[:, 0]))
+    rows = np.empty(r, dtype=int)
+    rows[0] = np.argmax(np.abs(u[:, 0]))
     for j in range(1, r):
-        uselect = u[indices[:j], :j]
-        target = u[indices[:j], j]
+        lead = u[rows[:j], :j]
+        rhs = u[rows[:j], j]
         try:
-            alpha, *_ = np.linalg.lstsq(uselect, target, rcond=None)
+            alpha = np.linalg.lstsq(lead, rhs, rcond=None)[0]
         except np.linalg.LinAlgError:
-            alpha = np.linalg.pinv(uselect) @ target
-        rvec = u[:, j] - (u[:, :j] @ alpha)
-        indices[j] = np.argmax(np.abs(rvec))
-    return indices
+            alpha = np.linalg.pinv(lead) @ rhs
+        residual = u[:, j] - u[:, :j] @ alpha
+        rows[j] = np.argmax(np.abs(residual))
+    coeffs = u @ np.linalg.pinv(u[rows])
+    return rows, coeffs
 
 
-def _select_indices_maxvol(v: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Orthogonalize then run maxvol; returns (rows, coefficients)."""
-    q = np.linalg.qr(np.asarray(v))[0]
-    return maxvol_auto(q)
-
-
-def _select_indices_deim(v: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """DEIM row selection; returns (coefficients, rows)."""
-    u, _, _ = np.linalg.svd(np.asarray(v), full_matrices=False)
-    i = _deim(u)
-    g = u @ np.linalg.pinv(u[i])
-    return g, i
+_PIVOT_RULES: Dict[CrossAlgo, Callable] = {
+    CrossAlgo.MAXVOL: _pivots_maxvol,
+    CrossAlgo.DEIM: _pivots_deim,
+}
 
 
 def _cartesian_product_arrays(*arrays: np.ndarray) -> np.ndarray:
-    """Cartesian product of row sets: (n_i, d_i) inputs give
+    """Row-wise cartesian product: (n_i, d_i) inputs ->
     (prod n_i, sum d_i)."""
-    if len(arrays) == 0:
+    if not arrays:
         return np.array([[]])
-    ns = [arr.shape[0] for arr in arrays]
-    ds = [arr.shape[1] for arr in arrays]
-    total = int(np.prod(ns))
-    parts = []
-    for i, arr in enumerate(arrays):
-        shape = [1] * len(arrays) + [ds[i]]
-        shape[i] = ns[i]
-        parts.append(np.broadcast_to(arr.reshape(shape), ns + [ds[i]]))
-    return np.concatenate(parts, axis=-1).reshape(total, sum(ds))
+    counts = [a.shape[0] for a in arrays]
+    widths = [a.shape[1] for a in arrays]
+    total = int(np.prod(counts))
+    pieces = []
+    for pos, arr in enumerate(arrays):
+        view = [1] * len(arrays) + [widths[pos]]
+        view[pos] = counts[pos]
+        pieces.append(
+            np.broadcast_to(arr.reshape(view), counts + [widths[pos]])
+        )
+    return np.concatenate(pieces, axis=-1).reshape(total, sum(widths))
+
+
+# ----------------------------- the engine ------------------------------
 
 
 class CrossApproximation:
-    """The cross-approximation sweep engine."""
+    """Dimension-tree cross-approximation sweeps."""
 
     def __init__(
         self, tensor_func: TensorFunc, config: CrossConfig = CrossConfig()
@@ -136,139 +152,139 @@ class CrossApproximation:
         self._config = config
         self._tensor_func = tensor_func
 
-    def _construct_matrix(self, rows, cols) -> np.ndarray:
-        """Evaluate the target at the cartesian product of kept row/column
-        multi-indices, shaped as a (cols x rows) fiber matrix."""
+    # -- fiber evaluation --------------------------------------------------
+
+    def _fiber_matrix(self, rows, cols) -> np.ndarray:
+        """Target values on the cartesian product of kept pivots, shaped
+        (n_cols x n_rows)."""
         row_idx, row_vals = rows
         col_idx, col_vals = cols
-        args = _cartesian_product_arrays(col_vals, row_vals).astype(
+        pts = _cartesian_product_arrays(col_vals, row_vals).astype(
             int, copy=False
         )
-        indices = list(col_idx) + list(row_idx)
-        perm = [indices.index(ind) for ind in self._tensor_func.indices]
-        args = args[:, perm]
-        return np.asarray(self._tensor_func(args)).reshape(
-            len(col_vals), len(row_vals)
-        )
+        ordering = list(col_idx) + list(row_idx)
+        take = [ordering.index(ind) for ind in self._tensor_func.indices]
+        values = self._tensor_func(pts[:, take])
+        return np.asarray(values).reshape(len(col_vals), len(row_vals))
 
-    def _select_indices(self, v: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        if self._config.cross_algo == CrossAlgo.MAXVOL:
-            ind, b = _select_indices_maxvol(v)
-        elif self._config.cross_algo == CrossAlgo.DEIM:
-            b, ind = _select_indices_deim(v)
-        else:
-            raise ValueError(f"unsupported algo {self._config.cross_algo}")
-        return ind, b
+    def _pick(self, fiber: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        rule = _PIVOT_RULES.get(self._config.cross_algo)
+        if rule is None:
+            raise ValueError(
+                f"unsupported algo {self._config.cross_algo}"
+            )
+        if self._config.cross_algo == CrossAlgo.DEIM:
+            rows, coeffs = rule(fiber)
+            return rows, coeffs
+        return rule(fiber)
 
-    def _root_to_leaves(self, node: DimTreeNode) -> None:
-        """Refine a node's down-pivots using its parent/sibling pivots."""
-        if not node.up_info.nodes:
-            return
-        down_ranges = []
-        p = node.up_info.nodes[0]
+    # -- the two half-sweeps -------------------------------------------------
+
+    def _refine_down(self, node: DimTreeNode) -> None:
+        """Root->leaves: re-select this node's down pivots against the
+        parent's and siblings' current pivot sets."""
+        parent = node.up_info.nodes[0]
+        ranges = []
         for ind in node.down_info.indices:
-            if ind in p.free_indices:
-                down_ranges.append(np.arange(ind.size)[:, None])
-        if p.up_info.nodes:
-            down_ranges.append(p.down_info.vals)
-        for c in p.down_info.nodes:
-            if c.node != node.node:
-                down_ranges.append(c.up_info.vals)
+            if ind in parent.free_indices:
+                ranges.append(np.arange(ind.size)[:, None])
+        if parent.up_info.nodes:
+            ranges.append(parent.down_info.vals)
+        for sibling in parent.down_info.nodes:
+            if sibling.node != node.node:
+                ranges.append(sibling.up_info.vals)
 
-        down_vals = _cartesian_product_arrays(*down_ranges)
-        v = self._construct_matrix(
+        candidates = _cartesian_product_arrays(*ranges)
+        fiber = self._fiber_matrix(
             (node.up_info.indices, node.up_info.vals),
-            (node.down_info.indices, down_vals),
+            (node.down_info.indices, candidates),
         )
-        ind, _ = self._select_indices(v)
-        node.down_info.vals = down_vals[ind, :]
-        node.down_info.rank = len(ind)
+        rows, _ = self._pick(fiber)
+        node.down_info.vals = candidates[rows, :]
+        node.down_info.rank = len(rows)
 
-    def _leaves_to_root(self, node: DimTreeNode, net) -> None:
-        """Refine a node's up-pivots and write its interpolation core."""
-        up_ranges, up_sizes = [], []
+    def _refine_up(self, node: DimTreeNode, net) -> None:
+        """Leaves->root: re-select up pivots and install the node's
+        interpolation core."""
+        ranges, sizes = [], []
         for ind in node.up_info.indices:
             if ind in node.free_indices:
-                up_sizes.append(ind.size)
-                up_ranges.append(np.arange(ind.size)[:, None])
-        for c in sorted(node.down_info.nodes):
-            up_sizes.append(len(c.up_info.vals))
-            up_ranges.append(c.up_info.vals)
+                sizes.append(ind.size)
+                ranges.append(np.arange(ind.size)[:, None])
+        for child in sorted(node.down_info.nodes):
+            sizes.append(len(child.up_info.vals))
+            ranges.append(child.up_info.vals)
 
-        up_vals = _cartesian_product_arrays(*up_ranges)
-        v = self._construct_matrix(
+        candidates = _cartesian_product_arrays(*ranges)
+        fiber = self._fiber_matrix(
             (node.down_info.indices, node.down_info.vals),
-            (node.up_info.indices, up_vals),
+            (node.up_info.indices, candidates),
         )
-        ind, b = self._select_indices(v)
-        node.up_info.vals = up_vals[ind, :]
-        node.up_info.rank = len(ind)
-        net.node_tensor(node.node).update_val_size(
-            b.reshape(*up_sizes, -1).transpose(np.argsort(node.perm))
+        rows, coeffs = self._pick(fiber)
+        node.up_info.vals = candidates[rows, :]
+        node.up_info.rank = len(rows)
+        core = coeffs.reshape(*sizes, -1).transpose(np.argsort(node.perm))
+        net.node_tensor(node.node).update_val_size(core)
+
+    def _sweep(self, net, tree_nodes: Sequence[DimTreeNode]) -> None:
+        for node in tree_nodes:
+            if node.up_info.nodes:
+                self._refine_down(node)
+        for node in reversed(tree_nodes[1:]):
+            self._refine_up(node, net)
+
+    def _root_core(
+        self, tree: DimTreeNode, f_sizes: Sequence[int], f_vals: np.ndarray
+    ) -> np.ndarray:
+        children = sorted(tree.down_info.nodes)
+        c_indices = [i for c in children for i in c.up_info.indices]
+        c_vals = [c.up_info.vals for c in children]
+        fiber = self._fiber_matrix(
+            (tree.free_indices, f_vals),
+            (c_indices, _cartesian_product_arrays(*c_vals)),
+        )
+        c_sizes = [len(v) for v in c_vals]
+        return fiber.T.reshape(*f_sizes, *c_sizes).transpose(
+            np.argsort(tree.perm)
         )
 
-    def _incr_ranks(
-        self, tree: DimTreeNode, known: Optional[np.ndarray] = None
+    # -- rank schedule ----------------------------------------------------------
+
+    def _grow_ranks(
+        self, tree: DimTreeNode, known: Optional[np.ndarray]
     ) -> None:
-        """Kick all ranks, clamp to neighbor products, add fresh pivots."""
-        tree.increment_ranks(self._config.kickrank, self._config.max_rank)
-        new_ranks = tree.ranks()
-        old_ranks = None
-        while new_ranks != old_ranks:
+        """Kick every rank, clamp to neighbor products (to fixpoint), and
+        seed fresh pivot rows."""
+        kick = self._config.kickrank
+        tree.increment_ranks(kick, self._config.max_rank)
+        prev = None
+        while tree.ranks() != prev:
+            prev = tree.ranks()
             tree.bound_ranks()
-            old_ranks = new_ranks
-            new_ranks = tree.ranks()
 
         if known is None:
-            up_vals = np.concatenate(
+            fresh = np.concatenate(
                 [
-                    np.random.randint(
-                        0, ind.size, [self._config.kickrank, 1]
-                    )
+                    np.random.randint(0, ind.size, [kick, 1])
                     for ind in tree.indices
                 ],
                 axis=-1,
             )
         else:
-            up_vals = known[
-                np.random.randint(0, len(known), [self._config.kickrank])
-            ]
-        tree.add_values(up_vals)
+            fresh = known[np.random.randint(0, len(known), [kick])]
+        tree.add_values(fresh)
 
-    def _create_validation_set(self) -> np.ndarray:
+    def _sample_validation(self) -> np.ndarray:
+        size = self._config.validation_size
         return np.stack(
             [
-                np.random.randint(
-                    0, ind.size, size=self._config.validation_size
-                )
+                np.random.randint(0, ind.size, size=size)
                 for ind in self._tensor_func.indices
             ],
             axis=-1,
         )
 
-    def _iterate_tree_nodes(
-        self, net, tree_nodes: Sequence[DimTreeNode]
-    ) -> None:
-        for n in tree_nodes:
-            if n.up_info.nodes:
-                self._root_to_leaves(n)
-        for n in reversed(tree_nodes[1:]):
-            self._leaves_to_root(n, net)
-
-    def _get_root_value(
-        self, tree: DimTreeNode, f_sizes: Sequence[int], f_vals: np.ndarray
-    ) -> np.ndarray:
-        ordered = sorted(tree.down_info.nodes)
-        c_indices = [ind for c in ordered for ind in c.up_info.indices]
-        c_vals = [c.up_info.vals for c in ordered]
-        up_vals = _cartesian_product_arrays(*c_vals)
-        c_sizes = [len(v) for v in c_vals]
-        root_matrix = self._construct_matrix(
-            (tree.free_indices, f_vals), (c_indices, up_vals)
-        )
-        return root_matrix.T.reshape(*f_sizes, *c_sizes).transpose(
-            np.argsort(tree.perm)
-        )
+    # -- driver ---------------------------------------------------------------------
 
     def cross(
         self,
@@ -279,25 +295,30 @@ class CrossApproximation:
         initialization: Optional[np.ndarray] = None,
         known: Optional[np.ndarray] = None,
     ) -> CrossResult:
-        """Run cross approximation over the given network structure."""
+        """Fit ``net``'s structure to the target function.
+
+        ``initialization`` seeds the starting pivots; ``known`` restricts
+        fresh pivots to rows of a known-support set.
+        """
         if root is None:
             root = list(net.network.nodes)[0]
-
         tree = net.dimension_tree(root)
+
         if initialization is None:
             tree.increment_ranks(1, self._config.max_rank)
-            first = [np.random.randint(0, ind.size) for ind in tree.indices]
-            tree.add_values(np.asarray([first]))
+            seed = [np.random.randint(0, i.size) for i in tree.indices]
+            tree.add_values(np.asarray([seed]))
         else:
             tree.increment_ranks(
                 len(initialization), self._config.max_rank
             )
             tree.add_values(initialization)
 
+        check = self._config.convergence
         real = None
-        if self._config.convergence == ConvergenceCheck.VALID_ERROR:
+        if check == ConvergenceCheck.VALID_ERROR:
             if validation is None:
-                validation = self._create_validation_set()
+                validation = self._sample_validation()
             real = np.asarray(self._tensor_func(validation))
 
         f_sizes = [ind.size for ind in tree.free_indices]
@@ -306,41 +327,40 @@ class CrossApproximation:
         )
 
         tree_nodes = tree.preorder()
-        ranks_and_errs = {}
-        trial = 0
+        trajectory: Dict[int, float] = {}
+        sweep_no = 0
         while True:
-            old_net = copy.deepcopy(net)
-            self._iterate_tree_nodes(net, tree_nodes)
+            previous = copy.deepcopy(net)
+            self._sweep(net, tree_nodes)
+            net.node_tensor(tree.node).update_val_size(
+                self._root_core(tree, f_sizes, f_vals)
+            )
 
-            root_val = self._get_root_value(tree, f_sizes, f_vals)
-            net.node_tensor(tree.node).update_val_size(root_val)
-
-            if self._config.convergence == ConvergenceCheck.NORM:
-                diff_net = net - old_net
-                err = diff_net.norm() / net.norm()
-            elif self._config.convergence == ConvergenceCheck.VALID_ERROR:
+            if check == ConvergenceCheck.NORM:
+                err = (net - previous).norm() / net.norm()
+            elif check == ConvergenceCheck.VALID_ERROR:
                 estimate = np.asarray(
                     net.evaluate(self._tensor_func.indices, validation)
                 ).reshape(-1)
                 err = float(
-                    np.linalg.norm(real - estimate) / np.linalg.norm(real)
+                    np.linalg.norm(real - estimate)
+                    / np.linalg.norm(real)
                 )
             else:
                 raise RuntimeError("unknown termination criteria")
 
-            ranks_and_errs[len(tree.up_info.vals)] = float(err)
-            logger.debug("sweep %s: error %s", trial, err)
+            trajectory[len(tree.up_info.vals)] = float(err)
+            logger.debug("sweep %s: error %s", sweep_no, err)
+            max_iters = self._config.max_iters
             if err <= eps or (
-                self._config.max_iters is not None
-                and trial >= self._config.max_iters
+                max_iters is not None and sweep_no >= max_iters
             ):
                 break
-
-            trial += 1
-            self._incr_ranks(tree, known=known)
+            sweep_no += 1
+            self._grow_ranks(tree, known)
 
         return CrossResult(
             net=net,
             dim_tree=tree,
-            ranks_and_errors=sorted(ranks_and_errs.items()),
+            ranks_and_errors=sorted(trajectory.items()),
         )

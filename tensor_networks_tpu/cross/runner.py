@@ -1,24 +1,60 @@
-"""One-call cross-approximation runners for the standard ansatz families.
+"""One-call cross-approximation entry points per ansatz family.
 
-Parity reference: ``pytens/cross/runner.py``.
+Each runner builds a rank-1 starting structure of its family and drives
+:class:`CrossApproximation` to the requested accuracy.  The families are
+table-driven; add a new ansatz by registering a builder.
 """
 
 from __future__ import annotations
 
-from abc import abstractmethod
-from typing import Optional
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 
 from tensor_networks_tpu.cross.cross import CrossApproximation, CrossConfig
 from tensor_networks_tpu.cross.funcs import TensorFunc
 from tensor_networks_tpu.network import TensorNetwork
+from tensor_networks_tpu.types import NodeName
+
+AnsatzBuilder = Callable[[TensorFunc], Tuple[TensorNetwork, NodeName]]
+
+
+def _build_tt(f: TensorFunc) -> Tuple[TensorNetwork, NodeName]:
+    net = TensorNetwork.rand_tt(f.indices[:], [1] * (len(f.indices) - 1))
+    return net, list(net.network.nodes)[0]
+
+
+def _build_ht(f: TensorFunc) -> Tuple[TensorNetwork, NodeName]:
+    net = TensorNetwork.rand_ht(f.indices, 1)
+    return net, list(net.network.nodes)[0]
+
+
+def _build_tucker(f: TensorFunc) -> Tuple[TensorNetwork, NodeName]:
+    return TensorNetwork.rand_tucker(f.indices), "root"
+
+
+_ANSATZ_BUILDERS: Dict[str, AnsatzBuilder] = {
+    "tt": _build_tt,
+    "ht": _build_ht,
+    "tucker": _build_tucker,
+}
 
 
 class CrossRunner:
-    """Base class: fit a network of a given family to a tensor function."""
+    """Fit a tensor network of a chosen family to a tensor function.
 
-    @abstractmethod
+    Subclasses pin ``ansatz``; alternatively construct directly with
+    ``CrossRunner(ansatz="tt")``.
+    """
+
+    ansatz: str = "tt"
+
+    def __init__(self, ansatz: Optional[str] = None):
+        if ansatz is not None:
+            self.ansatz = ansatz
+        if self.ansatz not in _ANSATZ_BUILDERS:
+            raise ValueError(f"unknown ansatz {self.ansatz!r}")
+
     def run(
         self,
         f: TensorFunc,
@@ -26,54 +62,27 @@ class CrossRunner:
         kickrank: int = 2,
         validation: Optional[np.ndarray] = None,
     ) -> TensorNetwork:
-        """Run cross approximation to relative accuracy ``eps``."""
-        raise NotImplementedError
+        """Run cross approximation to relative accuracy ``eps`` and
+        return the fitted network."""
+        net, root = _ANSATZ_BUILDERS[self.ansatz](f)
+        engine = CrossApproximation(f, CrossConfig(kickrank=kickrank))
+        engine.cross(net, root, validation, eps=eps)
+        return net
 
 
 class TTCrossRunner(CrossRunner):
-    """TT-cross: rank-1 initialized tensor train."""
+    """TT-cross."""
 
-    def run(
-        self,
-        f: TensorFunc,
-        eps: float,
-        kickrank: int = 2,
-        validation: Optional[np.ndarray] = None,
-    ) -> TensorNetwork:
-        indices = f.indices[:]
-        net = TensorNetwork.rand_tt(indices, [1] * (len(indices) - 1))
-        engine = CrossApproximation(f, CrossConfig(kickrank=kickrank))
-        engine.cross(net, list(net.network.nodes)[0], validation, eps=eps)
-        return net
+    ansatz = "tt"
 
 
 class HTCrossRunner(CrossRunner):
-    """HT-cross: rank-1 initialized hierarchical Tucker tree."""
+    """Hierarchical-Tucker cross."""
 
-    def run(
-        self,
-        f: TensorFunc,
-        eps: float,
-        kickrank: int = 2,
-        validation: Optional[np.ndarray] = None,
-    ) -> TensorNetwork:
-        net = TensorNetwork.rand_ht(f.indices, 1)
-        engine = CrossApproximation(f, CrossConfig(kickrank=kickrank))
-        engine.cross(net, list(net.network.nodes)[0], validation, eps=eps)
-        return net
+    ansatz = "ht"
 
 
 class TuckerCrossRunner(CrossRunner):
-    """Tucker-cross: rank-1 initialized Tucker decomposition."""
+    """Tucker cross."""
 
-    def run(
-        self,
-        f: TensorFunc,
-        eps: float,
-        kickrank: int = 2,
-        validation: Optional[np.ndarray] = None,
-    ) -> TensorNetwork:
-        tucker = TensorNetwork.rand_tucker(f.indices)
-        engine = CrossApproximation(f, CrossConfig(kickrank=kickrank))
-        engine.cross(tucker, "root", validation, eps=eps)
-        return tucker
+    ansatz = "tucker"

@@ -1,14 +1,14 @@
 """Search-space actions and states.
 
-The search MDP: states are tensor networks with a remaining error budget;
-actions split a node by an index bipartition (input-directed ``ISplit`` by
-tensor axis positions, output-directed ``OSplit`` by free-index subsets)
-or merge adjacent nodes.  ``truncate`` enumerates rank choices within the
-delta budget — on device this is just masked slices of one SVD.
+The search MDP: a state is a tensor network plus its remaining error
+budget; actions split one node by an index bipartition — ``ISplit`` by
+tensor axis positions, ``OSplit`` by a set of free indices resolved to the
+LCA node — or merge two adjacent nodes.  Rank enumeration after a split is
+just masked slicing of one SVD, so exploring many rank variants costs no
+extra device work.
 
-Behavioral parity (action ordering, validity rules, truncation
-enumeration) with ``pytens/search/state.py`` is pinned by count-exact
-tests.
+Action ordering, validity rules, and truncation enumeration are pinned by
+count-exact tests (dfs=8 / bfs=7 / partition=7 on the 3x4x5 fixture).
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ from tensor_networks_tpu.types import Index, NodeName, SVDConfig
 
 
 class Action:
-    """Base action."""
+    """Base action: ordered and hashed by string form."""
 
     def __lt__(self, other) -> bool:
         return str(self) < str(other)
@@ -34,12 +34,16 @@ class Action:
         return hash(str(self))
 
     def is_valid(self, _past: Sequence["Action"]) -> bool:
-        """Whether this action is allowed given the action history."""
+        """Whether the action is allowed given the action history."""
         return True
 
 
+def _positions_of(all_indices: List[Index], subset: Sequence[Index]) -> List[int]:
+    return [all_indices.index(i) for i in subset]
+
+
 class OSplit(Action):
-    """Output-directed split: separate a subset of free indices."""
+    """Output-directed split: separate a set of free indices from the rest."""
 
     def __init__(
         self,
@@ -57,11 +61,9 @@ class OSplit(Action):
     def __eq__(self, other: object) -> bool:
         if not isinstance(other, OSplit):
             return False
-        if len(self.indices) != len(other.indices):
-            return False
-        return all(
-            i.name == j.name for i, j in zip(self.indices, other.indices)
-        )
+        names_self = [i.name for i in self.indices]
+        names_other = [i.name for i in other.indices]
+        return names_self == names_other
 
     def __hash__(self) -> int:
         return hash(str(self))
@@ -72,71 +74,71 @@ class OSplit(Action):
         return sorted(self.indices) < sorted(other.indices)
 
     def is_valid(self, past_actions: Sequence[Action]) -> bool:
-        """No repeats, and no overlap with an earlier multi-index split."""
+        """No repeated splits; no overlap with an earlier grouped split."""
         if self in past_actions:
             return False
+        mine = set(self.indices)
         for ac in past_actions:
-            if not isinstance(ac, OSplit):
-                continue
-            if len(ac.indices) > 1 and any(
-                i in ac.indices for i in self.indices
+            if (
+                isinstance(ac, OSplit)
+                and len(ac.indices) > 1
+                and mine.intersection(ac.indices)
             ):
                 return False
         return True
 
-    def to_isplit(self, net: TensorNetwork) -> "ISplit":
-        """Resolve to an input-directed split at the LCA node: the unique
-        node from which every incident subtree is pure (contains only
-        desired or only undesired free indices)."""
+    def _branch_purity(
+        self, net: TensorNetwork, start: NodeName
+    ) -> Optional[list]:
+        """If every branch hanging off ``start`` is pure (all-desired or
+        all-undesired free indices), return [(gateway index, free indices
+        behind it)] per branch; otherwise None."""
         desired = set(self.indices)
+        free_indices = net.free_indices()
 
-        def subtree_pure(visited, node) -> Tuple[bool, list]:
-            """Returns (ok, [(edge-or-free-index, free indices behind it)])
-            for each branch at ``node``."""
-            visited.add(node)
-            results = []
-            for m in net.network.neighbors(node):
-                if m in visited:
+        def walk(seen, node):
+            seen.add(node)
+            branches = []
+            for nbr in net.network.neighbors(node):
+                if nbr in seen:
                     continue
-                ok, finds = subtree_pure(visited, m)
-                if not ok:
-                    return False, []
-                inds: List[Index] = []
-                for _, sub in finds:
-                    inds.extend(sub)
-                want = desired.intersection(inds)
-                dont = set(inds).difference(desired)
-                if want and dont:
-                    return False, []
-                results.append(
-                    (net.get_contraction_index(m, node)[0], inds)
-                )
-            free_indices = net.free_indices()
-            for i in net.node_tensor(node).indices:
-                if i in free_indices:
-                    results.append((i, [i]))
-            return True, results
+                sub = walk(seen, nbr)
+                if sub is None:
+                    return None
+                behind: List[Index] = []
+                for _, inds in sub:
+                    behind.extend(inds)
+                wanted = desired.intersection(behind)
+                unwanted = set(behind).difference(desired)
+                if wanted and unwanted:
+                    return None
+                gateway = net.get_contraction_index(nbr, node)[0]
+                branches.append((gateway, behind))
+            for ind in net.node_tensor(node).indices:
+                if ind in free_indices:
+                    branches.append((ind, [ind]))
+            return branches
 
-        lca_node = None
-        lca_indices: List[Index] = []
-        for n in net.network.nodes:
-            ok, results = subtree_pure(set(), n)
-            if ok:
-                lca_node = n
-                for i in self.indices:
-                    for edge, inds in results:
-                        if i in inds:
-                            lca_indices.append(edge)
-                            break
-                break
-        if lca_node is None:
-            raise ValueError(
-                f"Cannot find the lca for indices {self.indices}"
+        return walk(set(), start)
+
+    def to_isplit(self, net: TensorNetwork) -> "ISplit":
+        """Resolve to a positional split at the LCA: the node from which
+        every incident branch is pure w.r.t. the desired index set."""
+        for candidate in net.network.nodes:
+            branches = self._branch_purity(net, candidate)
+            if branches is None:
+                continue
+            gateways: List[Index] = []
+            for want in self.indices:
+                for gateway, behind in branches:
+                    if want in behind:
+                        gateways.append(gateway)
+                        break
+            node_indices = net.node_tensor(candidate).indices
+            return ISplit(
+                candidate, _positions_of(node_indices, gateways)
             )
-
-        node_indices = net.node_tensor(lca_node).indices
-        left = [node_indices.index(i) for i in lca_indices]
-        return ISplit(lca_node, left)
+        raise ValueError(f"Cannot find the lca for indices {self.indices}")
 
     def execute(self, net: TensorNetwork, svd=None):
         """Execute by lowering to the equivalent ISplit."""
@@ -162,10 +164,9 @@ class ISplit(Action):
         return f"ISplit({self.node}, {self.left_indices})"
 
     def __eq__(self, other) -> bool:
-        if not isinstance(other, ISplit):
-            return False
         return (
-            self.node == other.node
+            isinstance(other, ISplit)
+            and self.node == other.node
             and self.left_indices == other.left_indices
         )
 
@@ -175,73 +176,66 @@ class ISplit(Action):
     def execute(
         self, net: TensorNetwork, svd=None
     ) -> Tuple[Tuple[NodeName, NodeName, NodeName], int]:
-        """Split the node; optionally inject a precomputed (u, s, v)."""
+        """Split the node (environment-orthonormalized SVD), or install a
+        precomputed (u, s, v) after a symbolic split."""
         node_indices = net.node_tensor(self.node).indices
-        l_positions = self.left_indices
-        r_positions = [
-            i for i in range(len(node_indices)) if i not in l_positions
-        ]
-        left_szs = [node_indices[i].size for i in l_positions]
-        right_szs = [node_indices[i].size for i in r_positions]
-        max_sz = min(
-            int(np.prod(left_szs)), int(np.prod(right_szs))
-        )
+        n_axes = len(node_indices)
+        left = self.left_indices
+        right = [i for i in range(n_axes) if i not in left]
+        l_sizes = [node_indices[i].size for i in left]
+        r_sizes = [node_indices[i].size for i in right]
+        cap = min(int(np.prod(l_sizes)), int(np.prod(r_sizes)))
 
         if svd is None:
-            (u, s, v), _ = net.svd(
-                self.node, l_positions, SVDConfig(with_orthonormal=True)
+            names, _ = net.svd(
+                self.node, left, SVDConfig(with_orthonormal=True)
             )
         else:
-            (u, s, v), _ = net.svd(
-                self.node, l_positions, SVDConfig(compute_data=False)
+            names, _ = net.svd(
+                self.node, left, SVDConfig(compute_data=False)
             )
+            u, s, v = names
             net.node_tensor(u).update_val_size(
-                np.asarray(svd[0]).reshape(*left_szs, -1)
+                np.asarray(svd[0]).reshape(*l_sizes, -1)
             )
             net.node_tensor(s).update_val_size(np.diag(np.asarray(svd[1])))
             net.node_tensor(v).update_val_size(
-                np.asarray(svd[2]).reshape(-1, *right_szs)
+                np.asarray(svd[2]).reshape(-1, *r_sizes)
             )
-        return (u, s, v), max_sz
+        return names, cap
 
-    def to_osplit(self, st: "SearchState", idx: int) -> OSplit:
-        """Recover the output-directed form: cut the created bond and take
-        the component with fewer free indices."""
-        connect_nodes = []
+    def to_osplit(self, st: "SearchState", idx: int) -> "OSplit":
+        """Recover the output-directed form: cut the bond this split
+        created and keep the component with fewer free indices."""
+        link_name = st.links[idx]
+        endpoints = []
         for n in st.network.network.nodes:
-            for ind in st.network.node_tensor(n).indices:
-                if ind.name == st.links[idx]:
-                    connect_nodes.append(n)
-                    break
-        if len(connect_nodes) != 2:
+            if any(
+                ind.name == link_name
+                for ind in st.network.node_tensor(n).indices
+            ):
+                endpoints.append(n)
+        if len(endpoints) != 2:
             raise ValueError(
-                f"Unusual edge label found in nodes: {connect_nodes}"
+                f"Unusual edge label found in nodes: {endpoints}"
             )
 
         all_free = st.network.free_indices()
-        curr_indices = None
-        for start in connect_nodes:
-            other = (
-                connect_nodes[1]
-                if start == connect_nodes[0]
-                else connect_nodes[0]
-            )
+        best = None
+        for keep, drop in (endpoints, endpoints[::-1]):
             component = st.network.network.reachable_from(
-                start, blocked={other}
+                keep, blocked={drop}
             )
-            tn = TensorNetwork()
-            tn.network = st.network.network.subgraph(component)
-            indices = [i for i in tn.free_indices() if i in all_free]
+            sub = TensorNetwork()
+            sub.network = st.network.network.subgraph(component)
+            frees = [i for i in sub.free_indices() if i in all_free]
             if (
-                curr_indices is None
-                or len(indices) < len(curr_indices)
-                or (
-                    len(indices) == len(curr_indices)
-                    and indices < curr_indices
-                )
+                best is None
+                or len(frees) < len(best)
+                or (len(frees) == len(best) and frees < best)
             ):
-                curr_indices = indices
-        return OSplit(curr_indices)
+                best = frees
+        return OSplit(best)
 
 
 class Merge(Action):
@@ -259,8 +253,18 @@ class Merge(Action):
         return network
 
 
+def _half_deduped_combinations(items: Sequence, total_axes: int):
+    """All sub-bipartitions (the smaller side), dropping mirror halves
+    when the set splits evenly."""
+    for k in range(1, total_axes // 2 + 1):
+        combos = list(itertools.combinations(items, k))
+        if total_axes % 2 == 0 and k == total_axes // 2:
+            combos = combos[: len(combos) // 2]
+        yield from combos
+
+
 class SearchState:
-    """A network plus its remaining error budget and action history."""
+    """A network + remaining error budget + the actions that built it."""
 
     def __init__(
         self,
@@ -277,21 +281,19 @@ class SearchState:
         self.is_noop = False
         self.links: List = []
 
+    # -- action enumeration ---------------------------------------------------
+
     def get_legal_actions(self, index_actions: bool = False) -> List[Action]:
-        """All legal split actions in this state."""
+        """All legal splits: positional per node, or free-index directed."""
         if index_actions:
             return self.get_legal_index_actions()
-
         actions: List[Action] = []
         for n in self.network.network.nodes:
             n_axes = len(self.network.node_tensor(n).indices)
-            positions = range(n_axes)
-            for sz in range(1, n_axes // 2 + 1):
-                combs = list(itertools.combinations(positions, sz))
-                if n_axes % 2 == 0 and sz == n_axes // 2:
-                    combs = combs[: len(combs) // 2]
-                for comb in combs:
-                    actions.append(ISplit(n, comb))
+            for combo in _half_deduped_combinations(
+                range(n_axes), n_axes
+            ):
+                actions.append(ISplit(n, combo))
         return actions
 
     @staticmethod
@@ -299,26 +301,31 @@ class SearchState:
         free_indices: Sequence[Index],
     ) -> Generator[Sequence[Index], None, None]:
         """All free-index bipartitions (smaller side, halves deduped)."""
-        free_indices = sorted(free_indices)
-        for k in range(1, len(free_indices) // 2 + 1):
-            combs = list(itertools.combinations(free_indices, k))
-            if len(free_indices) % 2 == 0 and k == len(free_indices) // 2:
-                combs = combs[: len(combs) // 2]
-            yield from combs
+        ordered = sorted(free_indices)
+        yield from _half_deduped_combinations(ordered, len(ordered))
 
     def get_legal_index_actions(self) -> List[Action]:
-        """Legal output-directed splits: canonically ordered after the last
-        action and non-conflicting with history."""
+        """Output-directed splits, canonically ordered after the last
+        action and non-conflicting with the history."""
         actions: List[Action] = []
-        free_indices = self.network.free_indices()
-        for comb in SearchState.all_index_combs(free_indices):
+        history = self.past_actions
+        for comb in SearchState.all_index_combs(
+            self.network.free_indices()
+        ):
             ac = OSplit(comb)
-            if not self.past_actions or (
-                self.past_actions[-1] < ac
-                and ac.is_valid(self.past_actions)
+            if not history or (
+                history[-1] < ac and ac.is_valid(history)
             ):
                 actions.append(ac)
         return actions
+
+    # -- truncation enumeration ---------------------------------------------------
+
+    def _spawn(self, net: TensorNetwork, delta: float) -> "SearchState":
+        st = SearchState(
+            net, delta, max_ops=self.max_ops, threshold=self.threshold
+        )
+        return st
 
     def truncate(
         self,
@@ -327,149 +334,120 @@ class SearchState:
         config: SearchConfig,
         target_size: Optional[int] = None,
     ) -> Generator["SearchState", None, None]:
-        """Enumerate one successor state per candidate truncation rank of
-        the just-created bond, each inheriting the unspent budget.
+        """One successor per candidate rank of the freshly split bond.
 
-        The candidates are slices of a single SVD, so enumerating them
-        costs no extra device work.
+        Candidates are tail blocks of the singular spectrum whose squared
+        sum fits the budget; each successor inherits whatever budget its
+        truncation does not spend.
         """
-        [u, s, v], max_sz = usv
+        (u, s, v), cap = usv
         u_val = new_net.value(u)
         v_val = new_net.value(v)
-        s_val = np.diag(np.asarray(new_net.value(s)))
+        spectrum = np.diag(np.asarray(new_net.value(s)))
 
-        tail = list(s_val * s_val)
-        tail.reverse()
-        truncpost = []
-        for elem in np.cumsum(tail):
-            if elem <= self.curr_delta**2:
-                truncpost.append(elem)
-            else:
+        # squared tail sums that fit the remaining budget
+        tail_sums: List[float] = []
+        budget_sq = self.curr_delta**2
+        for acc in np.cumsum(spectrum[::-1] ** 2):
+            if acc > budget_sq:
                 break
+            tail_sums.append(acc)
 
-        if len(truncpost) == 0:
-            if config.heuristics.prune_full_rank and max_sz == len(s_val):
+        if not tail_sums:
+            # no truncation possible: keep the split at full rank
+            if config.heuristics.prune_full_rank and cap == len(spectrum):
                 return
-            tmp_net = copy.deepcopy(new_net)
-            tmp_net.merge(v, s)
-            new_state = SearchState(
-                tmp_net,
-                self.curr_delta,
-                max_ops=self.max_ops,
-                threshold=self.threshold,
-            )
-            new_state.links.append(
-                tmp_net.get_contraction_index(u, v)[0].name
-            )
-            yield new_state
+            kept = copy.deepcopy(new_net)
+            kept.merge(v, s)
+            st = self._spawn(kept, self.curr_delta)
+            st.links.append(kept.get_contraction_index(u, v)[0].name)
+            yield st
             return
 
-        split_errors = config.rank_search.error_split_stepsize
+        width = config.rank_search.error_split_stepsize
         if target_size is not None:
-            target_trunc = max(
-                len(s_val) - target_size + split_errors // 2, 0
-            )
-            truncpost = truncpost[:target_trunc]
+            keep_until = max(len(spectrum) - target_size + width // 2, 0)
+            tail_sums = tail_sums[:keep_until]
+        n_variants = 1 if width == 0 else min(width, len(tail_sums))
 
-        split_num = 1 if split_errors == 0 else min(
-            split_errors, len(truncpost)
-        )
+        spent = tail_sums[-1] if tail_sums else 0
+        for variant, _ in enumerate(tail_sums[-n_variants:]):
+            rank = max(
+                len(spectrum) - len(tail_sums) + n_variants - variant - 1,
+                1,
+            )
+            candidate = copy.deepcopy(new_net)
+            candidate.node_tensor(u).update_val_size(u_val[..., :rank])
+            candidate.node_tensor(s).update_val_size(
+                np.diag(spectrum[:rank])
+            )
+            candidate.node_tensor(v).update_val_size(v_val[:rank, ...])
+            candidate.merge(v, s)
 
-        for idx, _elem in enumerate(truncpost[-split_num:]):
-            truncation_rank = max(
-                len(s_val) - len(truncpost) + split_num - idx - 1, 1
+            st = self._spawn(
+                candidate, float(np.sqrt(budget_sq - spent))
             )
-            used_delta = truncpost[-1] if truncpost else 0
-
-            tmp_net = copy.deepcopy(new_net)
-            tmp_net.node_tensor(u).update_val_size(
-                u_val[..., :truncation_rank]
+            st.links.append(
+                candidate.get_contraction_index(u, v)[0].name
             )
-            tmp_net.node_tensor(s).update_val_size(
-                np.diag(s_val[:truncation_rank])
-            )
-            tmp_net.node_tensor(v).update_val_size(
-                v_val[:truncation_rank, ...]
-            )
-            tmp_net.merge(v, s)
-
-            remaining = float(np.sqrt(self.curr_delta**2 - used_delta))
-            new_state = SearchState(
-                tmp_net,
-                remaining,
-                max_ops=self.max_ops,
-                threshold=self.threshold,
-            )
-            new_state.links.append(
-                tmp_net.get_contraction_index(u, v)[0].name
-            )
-            yield new_state
+            yield st
 
     def take_action(
         self, action: Action, config: SearchConfig, svd=None
     ) -> Generator["SearchState", None, None]:
         """Successor states after applying ``action``."""
-        if isinstance(action, (ISplit, OSplit)):
-            new_net = copy.deepcopy(self.network)
-            if not action.is_valid(self.past_actions):
-                return
-            if action.delta is not None:
-                self.curr_delta = action.delta
-            try:
-                exec_result = action.execute(new_net, svd)
-            except (np.linalg.LinAlgError, ValueError):
-                return
-            for new_state in self.truncate(
-                new_net,
-                exec_result,
-                config=config,
-                target_size=action.target_size,
-            ):
-                new_state.past_actions = self.past_actions + [action]
-                yield new_state
+        if isinstance(action, Merge):
+            merged = copy.deepcopy(self.network)
+            action.execute(merged)
+            st = self._spawn(merged, self.curr_delta)
+            st.past_actions = self.past_actions + [action]
+            yield st
+            return
 
-        elif isinstance(action, Merge):
-            new_net = copy.deepcopy(self.network)
-            action.execute(new_net)
-            new_state = SearchState(
-                new_net,
-                self.curr_delta,
-                max_ops=self.max_ops,
-                threshold=self.threshold,
-            )
-            new_state.past_actions = self.past_actions + [action]
-            yield new_state
-        else:
+        if not isinstance(action, (ISplit, OSplit)):
             raise TypeError("Unrecognized action type")
 
+        working = copy.deepcopy(self.network)
+        if not action.is_valid(self.past_actions):
+            return
+        if action.delta is not None:
+            self.curr_delta = action.delta
+        try:
+            usv = action.execute(working, svd)
+        except (np.linalg.LinAlgError, ValueError):
+            return
+        for st in self.truncate(
+            working, usv, config=config, target_size=action.target_size
+        ):
+            st.past_actions = self.past_actions + [action]
+            yield st
+
+    # -- misc ----------------------------------------------------------------------
+
     def optimize(self) -> None:
-        """Re-truncate the current structure within the remaining budget
-        (orthonormalize at the node holding the first free index, then a
-        rounding sweep)."""
-        free_indices = self.network.free_indices()
-        root = None
-        for n in self.network.network.nodes:
-            if free_indices[0] in self.network.node_tensor(n).indices:
-                root = n
-                break
-        assert root is not None
+        """Re-truncate the current structure within the remaining budget:
+        orthonormalize at the node owning the first free index, then run
+        a rounding sweep."""
+        anchor = self.network.free_indices()[0]
+        root = self.network.node_by_free_index(anchor.name)
         root = self.network.orthonormalize(root)
         _, self.curr_delta = self.network.round(root, self.curr_delta)
 
     def is_terminal(self) -> bool:
-        """Terminal when flagged or the node budget is exhausted."""
+        """Flagged no-op, or node budget exhausted."""
         return (
             self.is_noop
             or len(self.network.network.nodes) >= self.max_ops
         )
 
     def get_result(self, total_cost: float) -> float:
-        """1.0 when the state compresses below the threshold fraction."""
+        """1.0 when compressed below the threshold fraction of the dense
+        cost."""
         if self.is_noop:
             return 0
         return float(self.network.cost() <= self.threshold * total_cost)
 
     def __lt__(self, other: "SearchState") -> bool:
-        return (self.curr_delta**2 / self.network.cost()) < (
-            other.curr_delta**2 / other.network.cost()
-        )
+        mine = self.curr_delta**2 / self.network.cost()
+        theirs = other.curr_delta**2 / other.network.cost()
+        return mine < theirs
