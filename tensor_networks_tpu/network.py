@@ -32,6 +32,7 @@ from typing import (
     Union,
 )
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,6 +52,7 @@ from tensor_networks_tpu.types import (
 logger = logging.getLogger(__name__)
 
 _EVAL_CHUNK = 65536
+_EVAL_FNS: Dict[tuple, Any] = {}
 
 
 def _next_pow2(n: int) -> int:
@@ -739,9 +741,17 @@ class TensorNetwork:
     def _evaluate_chunk(
         self, indices: Sequence[Index], chunk: np.ndarray
     ) -> jnp.ndarray:
+        """One fully-jitted gather + contraction over a padded batch.
+
+        The whole chunk evaluation (per-node transposes, batched gathers,
+        and the final einsum) compiles to a single executable cached by
+        (structure, shapes, batch size) — eager per-node gathers are far
+        too slow, especially on multi-device backends.
+        """
         batch_ind = Index("_batch", chunk.shape[0])
         operand_indices: List[List[Index]] = []
-        operand_values: List[jnp.ndarray] = []
+        plans = []  # (perm or None, gathered columns)
+        values = []
         indices = list(indices)
         for node in self.network.nodes:
             tensor = self.node_tensor(node)
@@ -755,21 +765,45 @@ class TensorNetwork:
                 else:
                     rest_axes.append(ii)
             if gathered_axes:
-                perm = gathered_axes + rest_axes
-                val = jnp.transpose(tensor.value, perm)
-                idx_arrays = tuple(
-                    jnp.asarray(chunk[:, c]) for c in gathered_cols
+                plans.append(
+                    (tuple(gathered_axes + rest_axes), tuple(gathered_cols))
                 )
-                val = val[idx_arrays]
                 operand_indices.append(
                     [batch_ind] + [tensor.indices[i] for i in rest_axes]
                 )
             else:
-                val = tensor.value
+                plans.append((None, ()))
                 operand_indices.append(list(tensor.indices))
-            operand_values.append(val)
+            values.append(tensor.value)
 
-        return contract_values(operand_indices, operand_values, [batch_ind])
+        key = (
+            tuple(plans),
+            tuple(tuple(v.shape) for v in values),
+            tuple(
+                tuple((i.name, i.size) for i in ids)
+                for ids in operand_indices
+            ),
+            chunk.shape,
+        )
+        fn = _EVAL_FNS.get(key)
+        if fn is None:
+
+            def run(vals, cols):
+                operands = []
+                for v, (perm, gcols) in zip(vals, plans):
+                    if perm is None:
+                        operands.append(v)
+                    else:
+                        vt = jnp.transpose(v, perm)
+                        idx = tuple(cols[:, c] for c in gcols)
+                        operands.append(vt[idx])
+                return contract_values(
+                    operand_indices, operands, [batch_ind]
+                )
+
+            fn = jax.jit(run)
+            _EVAL_FNS[key] = fn
+        return fn(values, jnp.asarray(chunk))
 
     # -- constructors ------------------------------------------------------------------------------
 
