@@ -84,9 +84,12 @@ def tt_inner_fn(has_mids: bool, precision: str = "highest"):
 
 
 def tt_inner_fast(a: TensorNetwork, b: TensorNetwork) -> jnp.ndarray:
-    """Inner product of two uniform TTs through the fused zipper scan.
+    """Inner product of two uniform TTs through the fused zipper.
 
-    Falls back to the generic graph contraction for non-uniform trains.
+    On TPU with f32/bf16 cores the Pallas HBM-roof kernel is used
+    (including its on-the-fly bond padding, still cheaper than the scan);
+    elsewhere the ``lax.scan`` zipper.  Falls back to the generic graph
+    contraction for non-uniform trains.
     """
     try:
         fa, ma, la = stack_tt_cores(a)
@@ -95,6 +98,18 @@ def tt_inner_fast(a: TensorNetwork, b: TensorNetwork) -> jnp.ndarray:
         return a.inner(b)
     if (ma is None) != (mb is None):
         return a.inner(b)
+
+    if ma is not None and jax.default_backend() == "tpu" and (
+        ma.dtype in (jnp.float32, jnp.bfloat16)
+        and mb.dtype == ma.dtype
+    ):
+        from tensor_networks_tpu.kernels.pallas_ops import tt_inner_pallas
+
+        try:
+            return tt_inner_pallas(fa, ma, la, fb, mb, lb)
+        except Exception:  # pragma: no cover - pallas regression safety
+            pass
+
     fn = tt_inner_fn(ma is not None)
     if ma is None:
         ma = mb = jnp.zeros((0,))

@@ -21,6 +21,10 @@ from tensor_networks_tpu.parallel.training import (
     make_train_step,
     init_tt_params,
 )
+from tensor_networks_tpu.parallel.sweeps import (
+    tt_right_orth_sharded,
+    place_train_sharded,
+)
 
 __all__ = [
     "make_mesh",
@@ -31,4 +35,6 @@ __all__ = [
     "TTParams",
     "make_train_step",
     "init_tt_params",
+    "tt_right_orth_sharded",
+    "place_train_sharded",
 ]

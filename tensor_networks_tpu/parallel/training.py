@@ -44,11 +44,12 @@ def init_tt_params(
     )
 
 
-def make_train_step(mesh: Mesh):
-    """Build the jitted, mesh-sharded SGD step.
+def make_train_step(mesh: Mesh, optimizer: str = "sgd"):
+    """Build the jitted, mesh-sharded training step.
 
-    Returns ``step(params, idx, y, lr) -> (params, loss)`` plus the
-    placement helpers for params and batches.
+    ``optimizer`` is "sgd" (stateless; ``step(params, idx, y, lr)``) or
+    "adam" (use :func:`make_adam_train_step` for the stateful API).
+    Returns ``step`` plus placement helpers for params and batches.
     """
     param_shardings = TTParams(
         first=NamedSharding(mesh, P("model", None)),
@@ -87,3 +88,33 @@ def make_train_step(mesh: Mesh):
         )
 
     return step, place_params, place_batch
+
+
+def make_adam_train_step(mesh: Mesh, lr: float = 1e-2):
+    """Adam variant of the sharded training step (optax).
+
+    Returns ``(step, init_state, place_params, place_batch)`` with
+    ``step(params, opt_state, idx, y) -> (params, opt_state, loss)``.
+    """
+    import optax
+
+    sgd_step, place_params, place_batch = make_train_step(mesh)
+    tx = optax.adam(lr)
+
+    def loss_fn(params: TTParams, idx, y):
+        preds = tt_evaluate_batched(
+            params.first, params.mids, params.last, idx
+        )
+        return jnp.mean((preds - y) ** 2)
+
+    @jax.jit
+    def step(params, opt_state, idx, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, idx, y)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def init_state(params):
+        return tx.init(params)
+
+    return step, init_state, place_params, place_batch

@@ -96,3 +96,27 @@ def test_dp_tp_mesh_train_step():
 def test_default_mesh():
     mesh = default_mesh()
     assert mesh.devices.size == jax.device_count()
+
+
+def test_adam_train_step_descends(mesh8):
+    from tensor_networks_tpu.parallel.training import make_adam_train_step
+
+    d, n, r = 6, 8, 4
+    params = init_tt_params(d, n, r, dtype=jnp.float64, seed=9)
+    step, init_state, place_params, place_batch = make_adam_train_step(
+        mesh8, lr=2e-2
+    )
+    params = place_params(params)
+    opt_state = init_state(params)
+
+    target = _uniform_tt(d, n, 2, 10)
+    idx = np.random.randint(0, n, size=(256, d))
+    y = np.asarray(target.evaluate(target.free_indices(), idx))
+    y = y / np.sqrt(np.mean(y**2))
+    idx_dev, y_dev = place_batch(idx, y)
+
+    losses = []
+    for _ in range(20):
+        params, opt_state, loss = step(params, opt_state, idx_dev, y_dev)
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0]
