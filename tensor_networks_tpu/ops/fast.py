@@ -274,14 +274,15 @@ def _tt_round_sweep_fn(relative: bool):
         def fwd_step(carry_sv, core):
             rr, n, rc = core.shape
             cur = jnp.einsum("ak,knc->anc", carry_sv, core)
-            u, s, vt = jnp.linalg.svd(
-                cur.reshape(rr * n, rc), full_matrices=False
-            )
+            # tall SVD via QR + small SVD: same factors, far cheaper than
+            # the iterative SVD of the (r*n, r) unfolding
+            q, rmat = jnp.linalg.qr(cur.reshape(rr * n, rc))
+            u_s, s, vt = jnp.linalg.svd(rmat, full_matrices=False)
             k = _trunc_count(s, budget)
             m = (
                 jnp.arange(s.shape[0], dtype=jnp.int32) < k
             ).astype(s.dtype)
-            core_out = (u * m[None, :]).reshape(rr, n, -1)
+            core_out = (q @ (u_s * m[None, :])).reshape(rr, n, -1)
             return (m * s)[:, None] * vt, (core_out, k)
 
         carry_sv, (mids_out, mid_ranks) = jax.lax.scan(
