@@ -201,12 +201,15 @@ class PartitionSearch:
             float(np.prod([i.size for i in free_indices])) / best.cost()
         )
         self.stats["cr_start"] = net.cost() / best.cost()
+        # match free-index order before comparing (splits reorder them;
+        # the reference computes this without the permutation and crashes)
+        best_tensor = best.contract()
+        perm = [best_tensor.indices.index(ind) for ind in free_indices]
+        best_tensor = best_tensor.permute(perm)
+        target = np.asarray(net.contract().value)
         self.stats["reconstruction_error"] = float(
-            np.linalg.norm(
-                np.asarray(best.contract().value)
-                - np.asarray(net.contract().value)
-            )
-            / np.linalg.norm(np.asarray(net.contract().value))
+            np.linalg.norm(np.asarray(best_tensor.value) - target)
+            / np.linalg.norm(target)
         )
         return self.stats
 
