@@ -230,25 +230,28 @@ def main():
     )
     t_inner = t_inner_scan
     if on_tpu:
-        t_inner_pl = timed_repeat(
-            lambda k: inner_repeat(
-                a_dev[0],
-                a_mids_padded,
-                a_dev[2],
-                a_dev[0],
-                a_mids_padded,
-                a_dev[2],
-                k=k,
-                which="pallas",
-            ),
-            8,
-            104,
-        )
-        print(
-            f"[bench] tpu inner (pallas): {t_inner_pl*1e6:.0f} us/call",
-            file=sys.stderr,
-        )
-        t_inner = min(t_inner, t_inner_pl)
+        try:
+            t_inner_pl = timed_repeat(
+                lambda k: inner_repeat(
+                    a_dev[0],
+                    a_mids_padded,
+                    a_dev[2],
+                    a_dev[0],
+                    a_mids_padded,
+                    a_dev[2],
+                    k=k,
+                    which="pallas",
+                ),
+                8,
+                104,
+            )
+            print(
+                f"[bench] tpu inner (pallas): {t_inner_pl*1e6:.0f} us/call",
+                file=sys.stderr,
+            )
+            t_inner = min(t_inner, t_inner_pl)
+        except Exception as exc:  # always emit the JSON line
+            print(f"[bench] pallas path failed: {exc}", file=sys.stderr)
 
     # sanity: <a, a> is a positive-accumulating sum (no cancellation), so
     # it checks kernel correctness at true f32 resolution
@@ -260,12 +263,15 @@ def main():
         f"[bench] <a,a> rel diff vs numpy f64: {rel:.2e}", file=sys.stderr
     )
     if on_tpu:
-        got_pl = float(tt_inner_pallas(*a_dev, *a_dev))
-        rel_pl = abs(got_pl - ref_val) / max(abs(ref_val), 1e-30)
-        print(
-            f"[bench] pallas <a,a> rel diff vs numpy f64: {rel_pl:.2e}",
-            file=sys.stderr,
-        )
+        try:
+            got_pl = float(tt_inner_pallas(*a_dev, *a_dev))
+            rel_pl = abs(got_pl - ref_val) / max(abs(ref_val), 1e-30)
+            print(
+                f"[bench] pallas <a,a> rel diff vs numpy f64: {rel_pl:.2e}",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            print(f"[bench] pallas sanity failed: {exc}", file=sys.stderr)
 
     # ---- device: fused rounding sweep ----
     @partial(jax.jit, static_argnames=("k",))
@@ -304,15 +310,19 @@ def main():
         )
         return acc
 
-    t_round_gram = timed_repeat(
-        lambda k: round_gram_repeat(a_dev[0], a_dev[1], a_dev[2], k=k),
-        1,
-        9,
-    )
-    print(
-        f"[bench] tpu round (gram): {t_round_gram*1e3:.2f} ms/call",
-        file=sys.stderr,
-    )
+    try:
+        t_round_gram = timed_repeat(
+            lambda k: round_gram_repeat(a_dev[0], a_dev[1], a_dev[2], k=k),
+            1,
+            9,
+        )
+        print(
+            f"[bench] tpu round (gram): {t_round_gram*1e3:.2f} ms/call",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"[bench] gram path failed: {exc}", file=sys.stderr)
+        t_round_gram = float("nan")
 
     # FLOP estimate for the rounding sweep (QR + SVD + carry GEMMs)
     qr_flops = 2.0 * (N * R) * R * R  # per-core Householder QR
