@@ -129,6 +129,24 @@ def add(*terms: PackedTT) -> PackedTT:
 
 
 @jax.jit
+def hadamard(a: PackedTT, b: PackedTT) -> PackedTT:
+    """Exact elementwise product: bond ranks multiply (per-core Kronecker
+    factors), one fused scan over the train."""
+    n = a.mode
+    first = jnp.einsum("na,nb->nab", a.first, b.first).reshape(n, -1)
+
+    def step(_, cores):
+        ca, cb = cores
+        out = jnp.einsum("anb,cnd->acnbd", ca, cb)
+        s = out.shape
+        return None, out.reshape(s[0] * s[1], s[2], s[3] * s[4])
+
+    _, mids = jax.lax.scan(step, None, (a.mids, b.mids))
+    last = jnp.einsum("an,bn->abn", a.last, b.last).reshape(-1, n)
+    return PackedTT(first, mids, last)
+
+
+@jax.jit
 def ttop_apply_packed(op: PackedTTOp, x: PackedTT) -> PackedTT:
     """Apply a uniform TT-operator; bond ranks multiply (R * r)."""
     # first: (no, ni, R) x (ni, r) -> (no, r*R)

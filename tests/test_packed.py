@@ -75,6 +75,15 @@ def test_packed_ttop_apply():
     assert np.allclose(got, ref, atol=1e-12)
 
 
+def test_packed_hadamard():
+    a, b = _tt(5, 4, 2, 11), _tt(5, 4, 3, 12)
+    h = pk.hadamard(pk.pack(a), pk.pack(b))
+    assert h.rank == 6
+    dense = np.asarray(a.contract().value) * np.asarray(b.contract().value)
+    got = np.asarray(pk.unpack(h).contract().value)
+    assert np.allclose(got, dense, atol=1e-12)
+
+
 def test_rand_round_recovers_low_rank():
     tt = _tt(6, 4, 3, 6)
     doubled = pk.add(pk.pack(tt), pk.pack(tt))  # rank 6, true rank 3
