@@ -1,0 +1,148 @@
+"""End-to-end smoke of the whole library surface on the TPU backend.
+
+Everything in f32 (set TNT_ENABLE_X64=0 before import): graph
+contraction, TT algebra + all rounding families, GMRES, cross
+approximation, structure search, packed kernels.  Accuracy thresholds are
+f32-grade.  Exit code 0 = the full framework runs on device.
+"""
+
+import os
+
+os.environ.setdefault("TNT_ENABLE_X64", "0")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from tensor_networks_tpu import (
+        Index,
+        Tensor,
+        TensorNetwork,
+        gmres,
+        tt_gramsvd_round,
+        tt_randomized_round,
+        tt_svd_round,
+        ttop_apply,
+        ttop_rank1,
+    )
+
+    dev = jax.devices()[0]
+    print(f"[smoke] backend={jax.default_backend()} device={dev}",
+          file=sys.stderr)
+    np.random.seed(0)
+
+    def f32(tn):
+        for node in tn.network.nodes:
+            t = tn.node_tensor(node)
+            t.value = t.value.astype("float32")
+        return tn
+
+    x, y, z = Index("x", 8), Index("y", 8), Index("z", 8)
+    a = f32(TensorNetwork.rand_tt([x, y, z], [3, 3]))
+    b = f32(TensorNetwork.rand_tt([x, y, z], [2, 2]))
+
+    # graph engine
+    dense = np.asarray(a.contract().value)
+    assert dense.shape == (8, 8, 8)
+    inner = float(a.inner(b))
+    ref = float(np.sum(dense * np.asarray(b.contract().value)))
+    assert np.isclose(inner, ref, rtol=1e-4), (inner, ref)
+    print("[smoke] contract/inner ok", file=sys.stderr)
+
+    # rounding families
+    s = a + a
+    target = 2 * dense
+    for name, rounder in [
+        ("svd", lambda t: tt_svd_round(t, 1e-4)),
+        ("gram", lambda t: tt_gramsvd_round(t, 1e-4)),
+        ("rand", lambda t: tt_randomized_round(t, [3, 3])),
+    ]:
+        rounded = rounder(a + a)
+        got = np.asarray(rounded.contract().value)
+        rel = np.linalg.norm(got - target) / np.linalg.norm(target)
+        assert rel < 1e-3, (name, rel)
+        print(f"[smoke] round[{name}] ok (rel {rel:.1e})", file=sys.stderr)
+
+    # evaluate
+    pts = np.random.randint(0, 8, size=(257, 3))
+    vals = np.asarray(a.evaluate(a.free_indices(), pts))
+    assert np.allclose(
+        vals, dense[pts[:, 0], pts[:, 1], pts[:, 2]], atol=1e-3
+    )
+    print("[smoke] evaluate ok", file=sys.stderr)
+
+    # GMRES with a well-conditioned operator
+    mat = np.eye(8) + 0.1 * np.random.randn(8, 8)
+    op = ttop_rank1(
+        [x, y, z],
+        [Index("xp", 8), Index("yp", 8), Index("zp", 8)],
+        [mat.astype(np.float32), np.eye(8, dtype=np.float32),
+         np.eye(8, dtype=np.float32)],
+        "A",
+    )
+    f32(op)
+    _, resid = gmres(
+        lambda t: ttop_apply(op, t), a, b, eps=1e-4, round_eps=1e-5,
+        maxiter=12,
+    )
+    assert resid < 1e-2 * a.norm(), resid
+    print(f"[smoke] gmres ok (resid {resid:.1e})", file=sys.stderr)
+
+    # structure search on a small dense target
+    from tensor_networks_tpu.search import SearchConfig, SearchEngine
+
+    data = np.random.randn(3, 4, 5).astype(np.float32)
+    net = TensorNetwork()
+    net.add_node(
+        "G", Tensor(data, [Index("i", 3), Index("j", 4), Index("k", 5)])
+    )
+    config = SearchConfig()
+    config.engine.eps = 0.5
+    stats = SearchEngine(config=config).partition_search(net)
+    assert stats["count"] == 7
+    print(
+        f"[smoke] search ok (cr_core {stats['cr_core']:.2f})",
+        file=sys.stderr,
+    )
+
+    # cross approximation of a separable function
+    from tensor_networks_tpu.cross import (
+        CachedFunc,
+        CrossApproximation,
+        CrossConfig,
+    )
+
+    class ExpSum(CachedFunc):
+        def _run(self, args):
+            return np.exp(np.sum(args, axis=1))
+
+    indices = [
+        Index("i", 8, tuple(np.linspace(0, 1, 8))),
+        Index("j", 8, tuple(np.linspace(0, 1, 8))),
+        Index("k", 8, tuple(np.linspace(0, 1, 8))),
+    ]
+    func = ExpSum(indices)
+    cross_net = f32(TensorNetwork.rand_tt(func.indices, [1, 1]))
+    res = CrossApproximation(func, CrossConfig(kickrank=1)).cross(
+        cross_net, eps=1e-3
+    )
+    grid = np.stack(
+        np.meshgrid(*[range(8)] * 3), axis=-1
+    ).reshape(-1, 3)
+    real = np.asarray(func(grid))
+    approx = np.asarray(res.net.evaluate(func.indices, grid))
+    rel = np.linalg.norm(real - approx) / np.linalg.norm(real)
+    assert rel < 1e-3, rel
+    print(f"[smoke] cross ok (rel {rel:.1e})", file=sys.stderr)
+
+    print("[smoke] ALL OK", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,15 @@ import jax as _jax
 if _os.environ.get("TNT_ENABLE_X64", "1") != "0":
     _jax.config.update("jax_enable_x64", True)
 
+# On TPU, f32 matmuls default to single-pass bf16 (~1e-3 relative error),
+# which violates the library's accuracy contract for graph contractions
+# and rounding.  Default everything to full f32; explicit fast paths
+# opt into lower precision themselves.  Override: TNT_MATMUL_PRECISION
+# in {"default", "high", "highest", ""} ("" leaves JAX's default).
+_prec = _os.environ.get("TNT_MATMUL_PRECISION", "highest")
+if _prec:
+    _jax.config.update("jax_default_matmul_precision", _prec)
+
 from tensor_networks_tpu.types import (  # noqa: E402
     Index,
     IndexName,

@@ -17,8 +17,6 @@ chip) with only (P-1) r x r hops of ICI traffic.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
