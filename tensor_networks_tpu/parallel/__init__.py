@@ -23,6 +23,7 @@ from tensor_networks_tpu.parallel.training import (
 )
 from tensor_networks_tpu.parallel.sweeps import (
     tt_right_orth_sharded,
+    tt_gram_round_sharded,
     place_train_sharded,
 )
 
@@ -36,5 +37,6 @@ __all__ = [
     "make_train_step",
     "init_tt_params",
     "tt_right_orth_sharded",
+    "tt_gram_round_sharded",
     "place_train_sharded",
 ]

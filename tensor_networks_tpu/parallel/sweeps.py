@@ -111,3 +111,187 @@ def place_train_sharded(mesh: Mesh, mids: jnp.ndarray, last: jnp.ndarray):
     )
     last = jax.device_put(last, NamedSharding(mesh, P(None, None)))
     return mids, last
+
+
+# ---------------------- distributed Gram rounding ----------------------
+
+
+def _trunc_count(s: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    tail = jnp.cumsum(jnp.flip(s) ** 2)
+    drop = jnp.sum((tail <= delta**2).astype(jnp.int32))
+    return jnp.maximum(jnp.int32(s.shape[0]) - drop, jnp.int32(1)).astype(
+        jnp.int32
+    )
+
+
+def _gram_truncate(gl, gr, budget):
+    """Masked static-shape Gram-SVD bond truncation (IPDPS'22 step).
+
+    Returns (curr (r, r) to fold into the left core, nxt (r, r) to fold
+    into the right core, kept rank)."""
+    eigl, vl = jnp.linalg.eigh(gl)
+    eigr, vr = jnp.linalg.eigh(gr)
+    l12 = jnp.sqrt(jnp.abs(eigl))
+    r12 = jnp.sqrt(jnp.abs(eigr))
+    l12 = jnp.where(l12 <= jnp.max(l12) * 1e-8, 0.0, l12)
+    r12 = jnp.where(r12 <= jnp.max(r12) * 1e-8, 0.0, r12)
+    lm12 = jnp.where(l12 == 0.0, 0.0, 1.0 / jnp.where(l12 == 0.0, 1.0, l12))
+    rm12 = jnp.where(r12 == 0.0, 0.0, 1.0 / jnp.where(r12 == 0.0, 1.0, r12))
+    cross = (l12[:, None] * vl.T) @ (vr * r12[None, :])
+    u, s, vt = jnp.linalg.svd(cross, full_matrices=False)
+    k = _trunc_count(s, budget)
+    m = (jnp.arange(s.shape[0], dtype=jnp.int32) < k).astype(s.dtype)
+    curr = vl @ (lm12[:, None] * (u * m[None, :]))
+    nxt = ((m * s)[:, None] * vt * rm12[None, :]) @ vr.T
+    return curr, nxt, k
+
+
+def tt_gram_round_sharded(
+    mesh: Mesh,
+    first: jnp.ndarray,
+    mids: jnp.ndarray,
+    last: jnp.ndarray,
+    eps: float,
+):
+    """Distributed TT rounding (Gram-SVD, IPDPS'22) with the train sharded
+    along the mesh's ``model`` axis.
+
+    No orthogonalization sweep at all: a backward Gram-accumulation scan
+    (pure GEMMs) and a forward eigh-based truncation scan, each staged
+    across devices with an (r x r) ``ppermute`` carry per hop.  Truncated
+    directions are zero-masked (static shapes); kept ranks are returned
+    per bond.  Resolution floor: singular values below sqrt(dtype eps) of
+    the norm (the Gram trade-off).
+    """
+    n_stages = mesh.shape["model"]
+    r = last.shape[0]
+    d_total = mids.shape[0] + 2
+
+    def body(first_rep, mids_local, last_rep):
+        my = jax.lax.axis_index("model")
+
+        # ---- stage A (right-to-left): local gram chains ----------------
+        g_last = jnp.matmul(last_rep, last_rep.T, precision="highest")
+
+        def gram_step(g, core):
+            s = core.shape
+            tmp = (core.reshape(-1, s[-1]) @ g).reshape(-1, s[-2] * s[-1])
+            g_new = tmp @ core.reshape(-1, s[-2] * s[-1]).T
+            return g_new, g_new
+
+        carry = jax.lax.pcast(g_last, ("model",), to="varying")
+        gr_local = jnp.zeros(
+            (mids_local.shape[0], r, r), dtype=first_rep.dtype
+        )
+        for stage in range(n_stages - 1, -1, -1):
+            def active(args):
+                # the forward step at local core j needs the gram of all
+                # cores strictly to its right: the backward scan's output
+                # at j+1, with the stage-entry carry for the block's end
+                c, blk = args
+                c_out, grams = jax.lax.scan(
+                    gram_step, c, blk, reverse=True
+                )
+                gr_for_fwd = jnp.concatenate(
+                    [grams[1:], c[None]], axis=0
+                )
+                return c_out, gr_for_fwd
+
+            def passive(args):
+                c, blk = args
+                # derive zeros from blk so the varying-axes type matches
+                return c, blk[:, :, 0, :] * 0.0
+
+            new_carry, grams = jax.lax.cond(
+                my == stage, active, passive, (carry, mids_local)
+            )
+            gr_local = jnp.where(my == stage, grams, gr_local)
+            if stage > 0:
+                perm = [(s, (s - 1) % n_stages) for s in range(n_stages)]
+                carry = jax.lax.ppermute(new_carry, "model", perm)
+            else:
+                carry = new_carry
+
+        # gram entering bond 0 (of everything right of the first core)
+        g_bond0 = jax.lax.psum(
+            jnp.where(my == 0, carry, jnp.zeros_like(carry)), "model"
+        )
+        norm_sq = jnp.sum((first_rep @ g_bond0) * first_rep)
+        norm = jnp.sqrt(jnp.abs(norm_sq))
+        budget = (
+            jnp.asarray(eps, first_rep.dtype)
+            * norm
+            / jnp.sqrt(jnp.asarray(d_total - 1.0, first_rep.dtype))
+        )
+
+        # ---- stage B (left-to-right): truncation sweep ------------------
+        gl0 = jnp.matmul(first_rep.T, first_rep, precision="highest")
+        curr0, nxt0, k0 = _gram_truncate(gl0, g_bond0, budget)
+        first_out = first_rep @ curr0
+
+        def fwd_step(carry_nxt, inputs):
+            core, gr = inputs
+            rr, n, rc = core.shape
+            cur = jnp.einsum("ak,knc->anc", carry_nxt, core)
+            mat = cur.reshape(-1, rc)
+            gl = jnp.matmul(mat.T, mat, precision="highest")
+            curr, nxt, k = _gram_truncate(gl, gr, budget)
+            core_out = (mat @ curr).reshape(rr, n, rc)
+            return nxt, (core_out, k)
+
+        carry_fwd = jax.lax.pcast(nxt0, ("model",), to="varying")
+        mids_out = jnp.zeros_like(mids_local)
+        ranks_local = jnp.zeros(
+            (mids_local.shape[0],), dtype=jnp.int32
+        )
+        for stage in range(n_stages):
+            def active_f(args):
+                c, blk, grs = args
+                c_out, (cores, ks) = jax.lax.scan(
+                    fwd_step, c, (blk, grs)
+                )
+                return c_out, cores, ks
+
+            def passive_f(args):
+                c, blk, _ = args
+                ks = (blk[:, 0, 0, 0] * 0).astype(jnp.int32)
+                return c, blk * 0.0, ks
+
+            new_carry, cores, ks = jax.lax.cond(
+                my == stage,
+                active_f,
+                passive_f,
+                (carry_fwd, mids_local, gr_local),
+            )
+            mids_out = jnp.where(my == stage, cores, mids_out)
+            ranks_local = jnp.where(my == stage, ks, ranks_local)
+            if stage < n_stages - 1:
+                perm = [(s, (s + 1) % n_stages) for s in range(n_stages)]
+                carry_fwd = jax.lax.ppermute(new_carry, "model", perm)
+            else:
+                carry_fwd = new_carry
+
+        nxt_last = jax.lax.psum(
+            jnp.where(
+                my == n_stages - 1,
+                carry_fwd,
+                jnp.zeros_like(carry_fwd),
+            ),
+            "model",
+        )
+        last_out = nxt_last @ last_rep
+        return first_out, mids_out, last_out, k0, ranks_local
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, None), P("model", None, None, None), P(None, None)),
+        out_specs=(
+            P(None, None),
+            P("model", None, None, None),
+            P(None, None),
+            P(),
+            P("model"),
+        ),
+    )
+    return jax.jit(fn)(first, mids, last)

@@ -57,3 +57,45 @@ def test_sharded_right_orth_matches_reference(mesh8):
     out.node_tensor(nodes[-1]).update_val_size(last_q)
     dense2 = np.asarray(out.contract().value)
     assert np.allclose(dense, dense2, atol=1e-9)
+
+
+def _rebuild(indices, first, mids, last, d, r):
+    out = TensorNetwork.rand_tt(indices, [r] * (d - 1))
+    nodes = list(out.network.nodes)
+    out.node_tensor(nodes[0]).update_val_size(jnp.asarray(first))
+    for i, node in enumerate(nodes[1:-1]):
+        out.node_tensor(node).update_val_size(mids[i])
+    out.node_tensor(nodes[-1]).update_val_size(jnp.asarray(last))
+    return out
+
+
+def test_distributed_gram_rounding(mesh8):
+    """Distributed Gram-SVD rounding == the single-device result."""
+    from tensor_networks_tpu import tt_gramsvd_round
+    from tensor_networks_tpu.parallel.sweeps import tt_gram_round_sharded
+
+    d, n, r = 10, 4, 6
+    np.random.seed(3)
+    indices = [Index(f"x{i}", n) for i in range(d)]
+    base = TensorNetwork.rand_tt(indices, [3] * (d - 1))
+    tt = base + base  # rank 6, true rank 3
+    dense = np.asarray(tt.contract().value)
+
+    first, mids, last = stack_tt_cores(tt)
+    mids_sh, last_sh = place_train_sharded(
+        mesh8, jnp.asarray(np.asarray(mids)), jnp.asarray(np.asarray(last))
+    )
+    f_out, m_out, l_out, k0, ranks = tt_gram_round_sharded(
+        mesh8, jnp.asarray(np.asarray(first)), mids_sh, last_sh, 1e-10
+    )
+
+    # masked result represents the same tensor
+    rebuilt = _rebuild(indices, f_out, m_out, l_out, d, r)
+    dense2 = np.asarray(rebuilt.contract().value)
+    assert np.allclose(dense, dense2, atol=1e-8)
+
+    # kept ranks match the single-device Gram rounding
+    ref = tt_gramsvd_round(base + base, 1e-10)
+    ref_ranks = ref.ranks()
+    got_ranks = [int(k0)] + [int(x) for x in np.asarray(ranks)]
+    assert got_ranks == ref_ranks, (got_ranks, ref_ranks)
