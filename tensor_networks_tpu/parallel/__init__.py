@@ -24,6 +24,7 @@ from tensor_networks_tpu.parallel.training import (
 from tensor_networks_tpu.parallel.sweeps import (
     tt_right_orth_sharded,
     tt_gram_round_sharded,
+    tt_inner_train_sharded,
     place_train_sharded,
 )
 
@@ -38,5 +39,6 @@ __all__ = [
     "init_tt_params",
     "tt_right_orth_sharded",
     "tt_gram_round_sharded",
+    "tt_inner_train_sharded",
     "place_train_sharded",
 ]

@@ -113,6 +113,82 @@ def place_train_sharded(mesh: Mesh, mids: jnp.ndarray, last: jnp.ndarray):
     return mids, last
 
 
+def tt_inner_train_sharded(
+    mesh: Mesh,
+    first_a: jnp.ndarray,
+    mids_a: jnp.ndarray,
+    last_a: jnp.ndarray,
+    first_b: jnp.ndarray,
+    mids_b: jnp.ndarray,
+    last_b: jnp.ndarray,
+):
+    """Inner product of two TTs whose middle cores are sharded along the
+    train (pipeline placement): each device zips its local block, the
+    (r_a x r_b) carry hops to the next device via ppermute."""
+    n_stages = mesh.shape["model"]
+
+    def body(fa, ma, la, fb, mb, lb):
+        my = jax.lax.axis_index("model")
+        w = jnp.matmul(fa.T, fb, precision="highest")
+        w = jax.lax.pcast(w, ("model",), to="varying")
+
+        def zip_step(w, cores):
+            ca, cb = cores
+            ra, n, ra2 = ca.shape
+            rb, _, rb2 = cb.shape
+            t = jnp.matmul(
+                w.T, ca.reshape(ra, n * ra2), precision="highest"
+            ).reshape(rb * n, ra2)
+            return (
+                jnp.matmul(t.T, cb.reshape(rb * n, rb2), precision="highest"),
+                None,
+            )
+
+        for stage in range(n_stages):
+            def active(args):
+                c, ba, bb = args
+                c_out, _ = jax.lax.scan(zip_step, c, (ba, bb))
+                return c_out
+
+            def passive(args):
+                c, _, _ = args
+                return c
+
+            new_w = jax.lax.cond(
+                my == stage, active, passive, (w, ma, mb)
+            )
+            if stage < n_stages - 1:
+                perm = [(s, (s + 1) % n_stages) for s in range(n_stages)]
+                w = jax.lax.ppermute(new_w, "model", perm)
+            else:
+                w = new_w
+
+        w_final = jax.lax.psum(
+            jnp.where(
+                my == n_stages - 1, w, jnp.zeros_like(w)
+            ),
+            "model",
+        )
+        return jnp.sum(
+            w_final * jnp.matmul(la, lb.T, precision="highest")
+        )
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),
+            P("model", None, None, None),
+            P(None, None),
+            P(None, None),
+            P("model", None, None, None),
+            P(None, None),
+        ),
+        out_specs=P(),
+    )
+    return jax.jit(fn)(first_a, mids_a, last_a, first_b, mids_b, last_b)
+
+
 # ---------------------- distributed Gram rounding ----------------------
 
 

@@ -69,6 +69,28 @@ def _rebuild(indices, first, mids, last, d, r):
     return out
 
 
+def test_train_sharded_inner(mesh8):
+    from tensor_networks_tpu.parallel.sweeps import tt_inner_train_sharded
+
+    d, n, r = 10, 4, 5
+    np.random.seed(4)
+    indices = [Index(f"x{i}", n) for i in range(d)]
+    a = TensorNetwork.rand_tt(indices, [r] * (d - 1))
+    b = TensorNetwork.rand_tt(indices, [r] * (d - 1))
+    expected = float(a.inner(b))
+
+    fa, ma, la = stack_tt_cores(a)
+    fb, mb, lb = stack_tt_cores(b)
+    ma_sh, la_j = place_train_sharded(mesh8, jnp.asarray(ma), jnp.asarray(la))
+    mb_sh, lb_j = place_train_sharded(mesh8, jnp.asarray(mb), jnp.asarray(lb))
+    got = float(
+        tt_inner_train_sharded(
+            mesh8, jnp.asarray(fa), ma_sh, la_j, jnp.asarray(fb), mb_sh, lb_j
+        )
+    )
+    assert np.isclose(got, expected, rtol=1e-10)
+
+
 def test_distributed_gram_rounding(mesh8):
     """Distributed Gram-SVD rounding == the single-device result."""
     from tensor_networks_tpu import tt_gramsvd_round
