@@ -785,6 +785,8 @@ class TensorNetwork:
             ),
             chunk.shape,
         )
+        if len(_EVAL_FNS) > 1024:  # bound executable-cache growth
+            _EVAL_FNS.clear()
         fn = _EVAL_FNS.get(key)
         if fn is None:
 

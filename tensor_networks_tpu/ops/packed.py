@@ -93,7 +93,19 @@ def unpack(p: PackedTT, index_names: Optional[List[str]] = None) -> TensorNetwor
 
 
 def inner(a: PackedTT, b: PackedTT) -> jnp.ndarray:
-    """<a, b> via the fused zipper."""
+    """<a, b> via the fused zipper (Pallas HBM-roof kernel on TPU)."""
+    if jax.default_backend() == "tpu" and a.mids.dtype in (
+        jnp.float32,
+        jnp.bfloat16,
+    ):
+        from tensor_networks_tpu.kernels.pallas_ops import tt_inner_pallas
+
+        try:
+            return tt_inner_pallas(
+                a.first, a.mids, a.last, b.first, b.mids, b.last
+            )
+        except Exception:  # pragma: no cover - pallas regression safety
+            pass
     return tt_inner_fn(True)(a.first, a.mids, a.last, b.first, b.mids, b.last)
 
 
