@@ -41,14 +41,21 @@ def tt_inner_timer(r: int, n: int, d: int, num: int = 5, fused: bool = True):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--plot", action="store_true")
-    parser.add_argument("--fused", action="store_true", default=True)
+    parser.add_argument(
+        "--graph",
+        action="store_true",
+        help="time the generic graph contraction instead of the fused zipper",
+    )
     args = parser.parse_args()
+    fused = not args.graph
 
     results = {}
 
     n, d = 20, 20
     ranks = np.array([10, 20, 40, 80, 160, 320])
-    times_r = np.array([tt_inner_timer(r, n, d) for r in ranks])
+    times_r = np.array(
+        [tt_inner_timer(r, n, d, fused=fused) for r in ranks]
+    )
     results["rank"] = (ranks, times_r)
     print("rank scaling (n=20, d=20):", file=sys.stderr)
     for r, t in zip(ranks, times_r):
@@ -56,7 +63,9 @@ def main():
 
     d, r = 20, 20
     ns = np.array([5, 10, 20, 40, 80, 160, 320, 640])
-    times_n = np.array([tt_inner_timer(r, nn, d) for nn in ns])
+    times_n = np.array(
+        [tt_inner_timer(r, nn, d, fused=fused) for nn in ns]
+    )
     results["mode"] = (ns, times_n)
     print("mode-size scaling (r=20, d=20):", file=sys.stderr)
     for nn, t in zip(ns, times_n):
@@ -64,7 +73,9 @@ def main():
 
     r, n = 5, 5
     ds = np.array([5, 10, 20, 40, 80, 160, 320, 640])
-    times_d = np.array([tt_inner_timer(r, n, dd) for dd in ds])
+    times_d = np.array(
+        [tt_inner_timer(r, n, dd, fused=fused) for dd in ds]
+    )
     results["dim"] = (ds, times_d)
     print("dimension scaling (r=5, n=5):", file=sys.stderr)
     for dd, t in zip(ds, times_d):

@@ -241,7 +241,7 @@ class TensorNetwork:
         u = self.network.union(other.network, rename)
 
         for side, prefix in ((self, rename[0]), (other, rename[1])):
-            free = side.free_indices()
+            free = set(side.free_indices())
             remap = {}
             for index in side.all_indices():
                 if index in free:
@@ -251,13 +251,17 @@ class TensorNetwork:
             for n in side.network.nodes:
                 u.nodes[f"{prefix}{n}"]["tensor"].rename_indices(remap)
 
+        # cross edges via an index -> owners map (linear, not O(n^2))
+        owners: Dict[Index, List[NodeName]] = {}
         for n1 in self.network.nodes:
-            for n2 in other.network.nodes:
-                d1 = u.nodes[f"{rename[0]}{n1}"]["tensor"].indices
-                d2 = u.nodes[f"{rename[1]}{n2}"]["tensor"].indices
-                total = list(d1) + list(d2)
-                if len(total) > len(set(total)):
-                    u.add_edge(f"{rename[0]}{n1}", f"{rename[1]}{n2}")
+            name = f"{rename[0]}{n1}"
+            for ind in u.nodes[name]["tensor"].indices:
+                owners.setdefault(ind, []).append(name)
+        for n2 in other.network.nodes:
+            name = f"{rename[1]}{n2}"
+            for ind in u.nodes[name]["tensor"].indices:
+                for left in owners.get(ind, ()):
+                    u.add_edge(left, name)
 
         tn = TensorNetwork()
         tn.network = u
@@ -609,7 +613,7 @@ class TensorNetwork:
                 break
         assert root is not None
 
-        all_free = self.free_indices()
+        all_free = set(self.free_indices())
         visited: Dict[NodeName, int] = {}
 
         def _post(name: NodeName) -> int:
@@ -651,7 +655,7 @@ class TensorNetwork:
     def dimension_tree(self, root: NodeName) -> DimTreeNode:
         """Build the rooted dimension tree (up/down index assignments) for
         this tree network."""
-        free_indices = self.free_indices()
+        free_indices = set(self.free_indices())
 
         def construct(visited: Set[NodeName], node: NodeName) -> DimTreeNode:
             visited.add(node)
@@ -752,16 +756,17 @@ class TensorNetwork:
         operand_indices: List[List[Index]] = []
         plans = []  # (perm or None, gathered columns)
         values = []
-        indices = list(indices)
+        col_of = {ind: c for c, ind in enumerate(indices)}
         for node in self.network.nodes:
             tensor = self.node_tensor(node)
             gathered_axes = []
             gathered_cols = []
             rest_axes = []
             for ii, ind in enumerate(tensor.indices):
-                if ind in indices:
+                col = col_of.get(ind)
+                if col is not None:
                     gathered_axes.append(ii)
-                    gathered_cols.append(indices.index(ind))
+                    gathered_cols.append(col)
                 else:
                     rest_axes.append(ii)
             if gathered_axes:

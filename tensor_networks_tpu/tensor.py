@@ -28,6 +28,15 @@ class Tensor:
     value: jnp.ndarray
     indices: List[Index]
 
+    def __deepcopy__(self, memo) -> "Tensor":
+        """Deep copies share the (immutable) value buffer.
+
+        Every operation in the framework rebinds ``value`` rather than
+        mutating it, so structural copies never need to copy array data —
+        this is what keeps search/GMRES cloning cheap.
+        """
+        return Tensor(self.value, list(self.indices))
+
     # -- serialization -----------------------------------------------------
 
     def to_dict(self) -> dict:
