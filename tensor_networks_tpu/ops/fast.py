@@ -99,9 +99,12 @@ def tt_inner_fast(a: TensorNetwork, b: TensorNetwork) -> jnp.ndarray:
     if (ma is None) != (mb is None):
         return a.inner(b)
 
+    # below ~half the 128 lane width the pallas bond padding wastes more
+    # bandwidth than the scan's carry staging costs
     if ma is not None and jax.default_backend() == "tpu" and (
         ma.dtype in (jnp.float32, jnp.bfloat16)
         and mb.dtype == ma.dtype
+        and min(ma.shape[1], ma.shape[3]) >= 64
     ):
         from tensor_networks_tpu.kernels.pallas_ops import tt_inner_pallas
 

@@ -94,9 +94,11 @@ def unpack(p: PackedTT, index_names: Optional[List[str]] = None) -> TensorNetwor
 
 def inner(a: PackedTT, b: PackedTT) -> jnp.ndarray:
     """<a, b> via the fused zipper (Pallas HBM-roof kernel on TPU)."""
-    if jax.default_backend() == "tpu" and a.mids.dtype in (
-        jnp.float32,
-        jnp.bfloat16,
+    if (
+        jax.default_backend() == "tpu"
+        and a.mids.dtype in (jnp.float32, jnp.bfloat16)
+        and a.mids.ndim == 4
+        and min(a.mids.shape[1], a.mids.shape[3]) >= 64
     ):
         from tensor_networks_tpu.kernels.pallas_ops import tt_inner_pallas
 
