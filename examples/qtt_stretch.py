@@ -11,6 +11,13 @@ computes norms/inner products, evaluates at random points, and rounds.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 import sys
 import time
 
@@ -69,9 +76,10 @@ def main(d: int = 30, chi: int = 16):
         file=sys.stderr,
     )
 
-    # round a + a back down
+    # round a + a back down (1e-4: above the f32 noise floor of the
+    # duplicated directions on TPU)
     s = a + a
-    s = tt_svd_round(s, 1e-5)
+    s = tt_svd_round(s, 1e-4)
     print(f"[qtt] rounded (a+a) ranks: max={max(s.ranks())}", file=sys.stderr)
     assert max(s.ranks()) <= chi
 
