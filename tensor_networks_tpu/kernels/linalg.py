@@ -97,9 +97,19 @@ def delta_svd(data, delta: float, with_normalizing: bool = False) -> TruncSVD:
     If ``with_normalizing`` is set the budget is first scaled by the
     Frobenius norm of ``data`` (relative truncation) and the scaled delta
     is reported back in the result.
+
+    Resilience: a diverged SVD (NaN singular values — JAX reports failure
+    through values, not exceptions) falls back to QR + SVD of the small
+    R factor, mirroring the reference's LinAlgError fallback
+    (``pytens/utils.py:62-68``).
     """
     u, s, vt = svd_full(data)
     s_host = np.asarray(s)
+    if not np.all(np.isfinite(s_host)):
+        q, r = qr_reduced(jnp.asarray(data))
+        u_small, s, vt = jnp.linalg.svd(r, full_matrices=False)
+        u = q @ u_small
+        s_host = np.asarray(s)
 
     if with_normalizing:
         norm = float(np.sqrt(np.sum(s_host**2)))
