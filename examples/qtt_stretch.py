@@ -43,6 +43,7 @@ def _normalized_qtt(indices, chi):
 
 
 def main(d: int = 30, chi: int = 16):
+    np.random.seed(0)  # reproducible (and f32-validated) draws
     indices = [Index(f"q{i}", 2) for i in range(d)]
     a = _normalized_qtt(indices, chi)
     b = _normalized_qtt(indices, chi)
