@@ -331,6 +331,43 @@ def main():
     round_flops = D * (qr_flops + svd_flops + gemm_flops)
     gflops = round_flops / t_round / 1e9
 
+    # ---- device: batched point evaluation throughput ----
+    from tensor_networks_tpu.parallel.sharded import tt_evaluate_batched
+
+    n_pts = 8192
+    idx = jnp.asarray(
+        np.random.default_rng(2).integers(0, N, size=(n_pts, D)),
+        jnp.int32,
+    )
+
+    @partial(jax.jit, static_argnames=("k",))
+    def eval_repeat(first, mids, last, idx, k):
+        def body(acc, _):
+            scale = 1.0 + acc * jnp.asarray(1e-24, dtype)
+            vals = tt_evaluate_batched(first * scale, mids, last, idx)
+            return jnp.sum(vals).astype(dtype), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.asarray(0.0, dtype), jnp.arange(k, dtype=dtype)
+        )
+        return acc
+
+    try:
+        t_eval = timed_repeat(
+            lambda k: eval_repeat(a_dev[0], a_dev[1], a_dev[2], idx, k=k),
+            2,
+            10,
+        )
+        eval_mpts = n_pts / t_eval / 1e6
+        print(
+            f"[bench] evaluate: {eval_mpts:.2f} Mpts/s "
+            f"({t_eval*1e3:.2f} ms / {n_pts} pts)",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"[bench] evaluate path failed: {exc}", file=sys.stderr)
+        eval_mpts = float("nan")
+
     inner_speedup = t_np_inner / t_inner
     round_speedup = t_np_round / t_round
     geomean = float(np.sqrt(inner_speedup * round_speedup))
@@ -350,6 +387,7 @@ def main():
             "tpu_round_gram_ms": round(t_round_gram * 1e3, 2),
             "numpy_round_ms": round(t_np_round * 1e3, 2),
             "round_gflops_est": round(gflops, 1),
+            "evaluate_mpts_per_s": round(eval_mpts, 2),
             "inner_self_rel_diff_f32": float(f"{rel:.2e}"),
             "device": str(dev),
         },

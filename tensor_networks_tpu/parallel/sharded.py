@@ -89,19 +89,36 @@ def tt_evaluate_batched(
 ) -> jnp.ndarray:
     """Evaluate a uniform TT at a batch of integer multi-indices.
 
-    ``idx`` is (B, d).  One gather + one batched (B, r) x (r, r) GEMM per
-    core, scanned along the train — the shardings of the inputs decide the
+    ``idx`` is (B, d), scanned along the train; input shardings decide the
     parallelism (batch over ``data``, modes/bonds over ``model``).
+
+    For modest mode sizes each step is one (B, r) x (r, n*r) MXU matmul
+    followed by a row-select — n-times more FLOPs than a per-sample
+    gather-matvec, but MXU-shaped and an order of magnitude faster in
+    practice.  Large-mode trains fall back to the gather form.
     """
     v = first[idx[:, 0], :]  # (B, r)
+    n_mode = first.shape[0]
+    matmul_form = n_mode <= 64
 
-    def step(v, inputs):
+    def step_matmul(v, inputs):
         core, cols = inputs  # core (r, n, r); cols (B,)
-        sel = core[:, cols, :]  # (r, B, r)
+        r, n, r2 = core.shape
+        u = jnp.matmul(v, core.reshape(r, n * r2))  # (B, n*r2) on MXU
+        u = u.reshape(v.shape[0], n, r2)
+        v_next = jnp.take_along_axis(
+            u, cols[:, None, None], axis=1
+        )[:, 0, :]
+        return v_next, None
+
+    def step_gather(v, inputs):
+        core, cols = inputs
+        sel = core[:, cols, :]  # (r, B, r2)
         return jnp.einsum("br,rbs->bs", v, sel), None
 
     if mids.shape[0] > 0:
         cols = idx[:, 1:-1].T  # (d-2, B)
+        step = step_matmul if matmul_form else step_gather
         v, _ = jax.lax.scan(step, v, (mids, cols))
 
     sel_last = last[:, idx[:, -1]]  # (r, B)

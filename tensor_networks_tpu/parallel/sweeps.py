@@ -106,6 +106,13 @@ def tt_right_orth_sharded(
 
 def place_train_sharded(mesh: Mesh, mids: jnp.ndarray, last: jnp.ndarray):
     """Shard the middle cores along the train over the model axis."""
+    n_stages = mesh.shape["model"]
+    if mids.shape[0] % n_stages != 0:
+        raise ValueError(
+            f"train sharding needs the middle-core count ({mids.shape[0]}) "
+            f"divisible by the model axis ({n_stages}); pad the train or "
+            "choose a different mesh"
+        )
     mids = jax.device_put(
         mids, NamedSharding(mesh, P("model", None, None, None))
     )
