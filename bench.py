@@ -140,6 +140,29 @@ def numpy_tt_round(cores, eps: float):
     return first, mids, last
 
 
+def numpy_evaluate_reference_style(cores, idx) -> np.ndarray:
+    """The reference's batched evaluation: per-node fancy-index gathers
+    plus one batch-shared einsum (pytens/algs.py:1103-1177)."""
+    import opt_einsum as oe
+
+    first, mids, last = cores
+    b = idx.shape[0]
+    sym = oe.get_symbol
+    operands = []
+    subscripts = []
+    batch = sym(0)
+    # first core: gather rows -> (B, r)
+    operands.append(first[idx[:, 0], :])
+    subscripts.append(batch + sym(1))
+    for k in range(mids.shape[0]):
+        operands.append(mids[k][:, idx[:, k + 1], :].transpose(1, 0, 2))
+        subscripts.append(batch + sym(k + 1) + sym(k + 2))
+    operands.append(last[:, idx[:, -1]].T)
+    subscripts.append(batch + sym(mids.shape[0] + 1))
+    expr = ",".join(subscripts) + "->" + batch
+    return oe.contract(expr, *operands, optimize="random-greedy")
+
+
 # ---------------------------- device paths ----------------------------
 
 
@@ -364,9 +387,20 @@ def main():
             f"({t_eval*1e3:.2f} ms / {n_pts} pts)",
             file=sys.stderr,
         )
+        idx_np = np.asarray(idx)
+        t_np_eval = _time(
+            lambda: numpy_evaluate_reference_style(a_np, idx_np), reps=2
+        )
+        eval_speedup = t_np_eval / t_eval
+        print(
+            f"[bench] numpy evaluate: {t_np_eval*1e3:.1f} ms "
+            f"({eval_speedup:.0f}x)",
+            file=sys.stderr,
+        )
     except Exception as exc:
         print(f"[bench] evaluate path failed: {exc}", file=sys.stderr)
         eval_mpts = float("nan")
+        eval_speedup = float("nan")
 
     inner_speedup = t_np_inner / t_inner
     round_speedup = t_np_round / t_round
@@ -388,6 +422,7 @@ def main():
             "numpy_round_ms": round(t_np_round * 1e3, 2),
             "round_gflops_est": round(gflops, 1),
             "evaluate_mpts_per_s": round(eval_mpts, 2),
+            "evaluate_speedup_x": round(eval_speedup, 1),
             "inner_self_rel_diff_f32": float(f"{rel:.2e}"),
             "device": str(dev),
         },
