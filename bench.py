@@ -387,11 +387,15 @@ def main():
             f"({t_eval*1e3:.2f} ms / {n_pts} pts)",
             file=sys.stderr,
         )
-        idx_np = np.asarray(idx)
+        # the reference-style evaluation is minutes-slow at full batch;
+        # time a 512-point slice and compare per-point
+        idx_np = np.asarray(idx)[:512]
         t_np_eval = _time(
-            lambda: numpy_evaluate_reference_style(a_np, idx_np), reps=2
+            lambda: numpy_evaluate_reference_style(a_np, idx_np),
+            reps=1,
+            warmup=0,
         )
-        eval_speedup = t_np_eval / t_eval
+        eval_speedup = (t_np_eval / 512) / (t_eval / n_pts)
         print(
             f"[bench] numpy evaluate: {t_np_eval*1e3:.1f} ms "
             f"({eval_speedup:.0f}x)",
