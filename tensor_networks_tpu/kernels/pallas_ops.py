@@ -46,11 +46,12 @@ def pad_bond(mids: jnp.ndarray) -> jnp.ndarray:
 
 
 def _make_zipper_kernel(precision: str):
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if precision == "highest"
-        else jax.lax.Precision.DEFAULT
-    )
+    # Mosaic supports only single-pass (DEFAULT) and 6-pass (HIGHEST)
+    # f32 matmuls; Precision.HIGH raises NotImplementedError in lowering
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
 
     def _zipper_kernel(a_ref, b_ref, w0_ref, out_ref, w_scratch):
         """One grid step: w <- sum_n A_i(n)^T w B_i(n).

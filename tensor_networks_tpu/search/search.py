@@ -50,7 +50,12 @@ class SearchEngine:
         runner = BFSSearch(self.config)
         stats = runner.run(net)
 
+        # a timeout can expire before any candidate is scored; the input
+        # network is then the (trivial) best
         best = runner.best_network
+        if best is None:
+            best = net
+            runner.best_network = net
         stats["best_network"] = best
         stats["cr_core"] = (
             np.prod([i.size for i in net.free_indices()]) / best.cost()
