@@ -1,22 +1,28 @@
-"""Tensor-network structure search: exhaustive enumeration and
-output-directed-split program synthesis with exact rank assignment."""
+"""Tensor-network structure search.
 
-from tensor_networks_tpu.search.configuration import (
-    HeuristicConfig,
-    RankSearchConfig,
-    ProgramSearchConfig,
-    SearchEngineConfig,
-    OutputConfig,
-    PreprocessConfig,
-    SearchConfig,
-)
-from tensor_networks_tpu.search.state import (
+Layers: the action vocabulary and MDP (:mod:`.actions`, :mod:`.mdp`),
+exhaustive drivers (:mod:`.drivers`), bipartition spectra and the exact
+rank solver (:mod:`.spectra`, :mod:`.constraint`), program synthesis with
+a killable watchdog (:mod:`.synthesis`), and the :class:`SearchEngine`
+facade (:mod:`.search`).
+"""
+
+from tensor_networks_tpu.search.actions import (
     Action,
-    OSplit,
     ISplit,
     Merge,
-    SearchState,
+    OSplit,
 )
+from tensor_networks_tpu.search.configuration import (
+    HeuristicConfig,
+    OutputConfig,
+    PreprocessConfig,
+    ProgramSearchConfig,
+    RankSearchConfig,
+    SearchConfig,
+    SearchEngineConfig,
+)
+from tensor_networks_tpu.search.mdp import SearchState
 from tensor_networks_tpu.search.search import SearchEngine
 
 __all__ = [

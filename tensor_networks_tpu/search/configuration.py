@@ -1,162 +1,155 @@
-"""Configuration schema for the structure-search process.
+"""Structure-search configuration.
 
-Field names and defaults are kept drop-in compatible with the reference
-(``pytens/search/configuration.py``) so existing JSON configs load
-unchanged.
+Plain dataclasses plus a small JSON loader.  The field names and default
+values form the on-disk config schema and are therefore frozen — a JSON
+file written for the reference engine (``pytens/search/configuration.py``)
+must load here unchanged — but the implementation is our own: no pydantic,
+just typed dataclasses with a recursive dict decoder and eager validation
+of the enum-like fields.
 """
 
 from __future__ import annotations
 
-from typing import Literal, Optional
-
-import pydantic
-
-
-class HeuristicConfig(pydantic.BaseModel):
-    """Pruning heuristics."""
-
-    prune_full_rank: bool = pydantic.Field(
-        default=False,
-        description="Prune away structures with full ranks after each split",
-    )
-    prune_duplicates: bool = pydantic.Field(
-        default=False,
-        description="Prune away seen topologies during search (ignore ranks)",
-    )
-    prune_by_ranks: bool = pydantic.Field(
-        default=True,
-        description=(
-            "Prune away seen structures during search. "
-            "Used together with prune_duplicates."
-        ),
-    )
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields
+from typing import Optional
 
 
-class RankSearchConfig(pydantic.BaseModel):
-    """Rank-search phase knobs."""
+@dataclass
+class HeuristicConfig:
+    """Switches for the search-space pruning rules."""
 
-    error_split_stepsize: int = pydantic.Field(
-        default=1,
-        description="The number of different ranks considered for each split",
-    )
-    fit_mode: Literal["topk", "all"] = pydantic.Field(
-        default="topk",
-        description=(
-            "The choice of rank search algorithm. "
-            "topk: choose the topk sketches by constraint solving; "
-            "all: try rank search for all and select the best"
-        ),
-    )
-    k: int = pydantic.Field(
-        default=1,
-        description=(
-            "The number of candidates selected from constraint solving "
-            "(used together with fit_mode == topk)"
-        ),
-    )
+    # drop children whose fresh bond could not be truncated at all
+    prune_full_rank: bool = False
+    # skip networks whose canonical topology hash was already visited
+    prune_duplicates: bool = False
+    # include bond sizes in the dedup hash (with prune_duplicates)
+    prune_by_ranks: bool = True
 
 
-class ProgramSearchConfig(pydantic.BaseModel):
-    """Program-synthesis knobs."""
+@dataclass
+class RankSearchConfig:
+    """How many rank variants each split explores, and how programs are
+    fitted to data."""
 
-    bin_size: float = pydantic.Field(
-        default=0.1,
-        description=(
-            "Singular values are grouped when their squared prefix sums "
-            "fall in the same bin_size * budget window"
-        ),
-    )
-    action_type: Literal["isplit", "osplit"] = pydantic.Field(
-        default="osplit",
-        description=(
-            "The choice of split actions: input-directed (isplit) or "
-            "output-directed (osplit)"
-        ),
-    )
-    replay_from: Optional[str] = pydantic.Field(
-        default=None,
-        description="Replay a series of splits from a pickle file",
-    )
+    # how many tail-block truncation candidates to branch on per split
+    error_split_stepsize: int = 1
+    # "topk": score programs with the exact rank solver, replay the best k
+    # "all":  replay every program with an even per-step error split
+    fit_mode: str = "topk"
+    # number of programs replayed under fit_mode == "topk"
+    k: int = 1
 
+    _FIT_MODES = ("topk", "all")
 
-class SearchEngineConfig(pydantic.BaseModel):
-    """Engine-level knobs."""
-
-    eps: float = pydantic.Field(
-        default=0.1,
-        description="The relative error bound for the tensor network repr",
-    )
-    max_ops: int = pydantic.Field(
-        default=5,
-        description="The maximum number of split operations",
-    )
-    timeout: Optional[float] = pydantic.Field(
-        default=None,
-        description="The maximum amount of time used for search",
-    )
-    verbose: bool = pydantic.Field(
-        default=False,
-        description="Enable verbose logging for intermediate search steps",
-    )
+    def __post_init__(self) -> None:
+        if self.fit_mode not in self._FIT_MODES:
+            raise ValueError(
+                f"fit_mode must be one of {self._FIT_MODES}, "
+                f"got {self.fit_mode!r}"
+            )
 
 
-class OutputConfig(pydantic.BaseModel):
-    """Output / temp storage."""
+@dataclass
+class ProgramSearchConfig:
+    """Symbolic program synthesis knobs."""
 
-    output_dir: str = pydantic.Field(
-        default="./output",
-        description="Directory for storing temp data, results, and logs",
-    )
-    remove_temp_after_run: bool = pydantic.Field(
-        default=True,
-        description="Remove temp data before termination",
-    )
+    # truncation candidates closer than bin_size * delta^2 in error mass
+    # collapse into one bin during preprocessing
+    bin_size: float = 0.1
+    # split vocabulary: node-axis bipartitions ("isplit") or free-index
+    # bipartitions resolved to their LCA node ("osplit")
+    action_type: str = "osplit"
+    # path of a pickled action list to re-execute instead of searching
+    replay_from: Optional[str] = None
+
+    _ACTION_TYPES = ("isplit", "osplit")
+
+    def __post_init__(self) -> None:
+        if self.action_type not in self._ACTION_TYPES:
+            raise ValueError(
+                f"action_type must be one of {self._ACTION_TYPES}, "
+                f"got {self.action_type!r}"
+            )
 
 
-class PreprocessConfig(pydantic.BaseModel):
-    """Preprocess-phase knobs."""
+@dataclass
+class SearchEngineConfig:
+    """Budgets shared by every strategy."""
 
-    force_recompute: bool = pydantic.Field(
-        default=False,
-        description="Recompute and ignore stored SVD results",
-    )
+    eps: float = 0.1  # relative Frobenius error bound
+    max_ops: int = 5  # longest action program considered
+    timeout: Optional[float] = None  # wall-clock budget in seconds
+    verbose: bool = False  # record the per-state trajectory
 
 
-class SearchConfig(pydantic.BaseModel):
-    """The full search configuration tree."""
+@dataclass
+class OutputConfig:
+    """Where preprocessing spills live and whether they are kept."""
 
-    engine: SearchEngineConfig = pydantic.Field(
-        default_factory=SearchEngineConfig,
-        description="Configurations for search engines",
+    output_dir: str = "./output"
+    remove_temp_after_run: bool = True
+
+
+@dataclass
+class PreprocessConfig:
+    """Preprocessing-cache behavior."""
+
+    force_recompute: bool = False  # ignore spilled SVD files
+
+
+@dataclass
+class SearchConfig:
+    """Root of the configuration tree."""
+
+    engine: SearchEngineConfig = field(default_factory=SearchEngineConfig)
+    heuristics: HeuristicConfig = field(default_factory=HeuristicConfig)
+    rank_search: RankSearchConfig = field(default_factory=RankSearchConfig)
+    synthesizer: ProgramSearchConfig = field(
+        default_factory=ProgramSearchConfig
     )
-    heuristics: HeuristicConfig = pydantic.Field(
-        default_factory=HeuristicConfig,
-        description="Configurations for heuristics used in search",
-    )
-    rank_search: RankSearchConfig = pydantic.Field(
-        default_factory=RankSearchConfig,
-        description="Configurations for rank search algorithms",
-    )
-    synthesizer: ProgramSearchConfig = pydantic.Field(
-        default_factory=ProgramSearchConfig,
-        description="Configurations for constraint solving",
-    )
-    output: OutputConfig = pydantic.Field(
-        default_factory=OutputConfig,
-        description="Configurations for search outputs",
-    )
-    preprocess: PreprocessConfig = pydantic.Field(
-        default_factory=PreprocessConfig,
-        description="Configurations for the preprocessing phase",
-    )
+    output: OutputConfig = field(default_factory=OutputConfig)
+    preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
 
     @staticmethod
     def load(json_str: str) -> "SearchConfig":
-        """Load a configuration from a JSON string."""
-        return SearchConfig.model_validate_json(json_str)
+        """Build a config from a JSON string; unknown keys are rejected."""
+        return _decode(SearchConfig, json.loads(json_str))
 
     @staticmethod
     def load_file(json_file: str) -> "SearchConfig":
-        """Load a configuration from a JSON file."""
+        """Build a config from a JSON file."""
         with open(json_file, "r", encoding="utf-8") as f:
-            return SearchConfig.model_validate_json(f.read())
+            return SearchConfig.load(f.read())
+
+
+def _decode(cls, data):
+    """Recursively instantiate a dataclass tree from nested dicts."""
+    if not dataclasses.is_dataclass(cls):
+        return data
+    if not isinstance(data, dict):
+        raise TypeError(f"expected an object for {cls.__name__}, got {data!r}")
+    known = {f.name: f for f in fields(cls)}
+    unknown = set(data) - set(known)
+    if unknown:
+        raise ValueError(
+            f"unknown {cls.__name__} fields: {sorted(unknown)}"
+        )
+    kwargs = {}
+    for name, value in data.items():
+        # resolve the nested dataclass for the section fields; leaf fields
+        # (str/float/bool/Optional[...]) pass through unchanged
+        sub_cls = _SECTION_TYPES.get(name) if cls is SearchConfig else None
+        kwargs[name] = _decode(sub_cls, value) if sub_cls else value
+    return cls(**kwargs)
+
+
+_SECTION_TYPES = {
+    "engine": SearchEngineConfig,
+    "heuristics": HeuristicConfig,
+    "rank_search": RankSearchConfig,
+    "synthesizer": ProgramSearchConfig,
+    "output": OutputConfig,
+    "preprocess": PreprocessConfig,
+}

@@ -35,6 +35,45 @@ def test_partition_timeout_still_returns_stats():
     config.engine.max_ops = 3
     config.engine.timeout = 0.0
     stats = SearchEngine(config=config).partition_search(_net((3, 4, 5)))
-    # cooperative deadline: stats are complete and a network is returned
+    # expired deadline: stats are complete and a network is returned
     assert stats["best_network"] is not None
     assert "reconstruction_error" in stats
+
+
+def test_watchdog_kills_hung_enumeration(monkeypatch):
+    """A hung enumeration/scoring child is terminated at the deadline —
+    the watchdog must not wait for cooperation (the hang happens before
+    any deadline check could run)."""
+    monkeypatch.setenv("TNT_FAULT_HANG_EXPLORE", "1")
+    config = SearchConfig()
+    config.engine.eps = 0.5
+    config.engine.timeout = 2.0
+    start = time.time()
+    stats = SearchEngine(config=config).partition_search(_net((3, 4, 5)))
+    elapsed = time.time() - start
+    assert elapsed < 30  # child startup + kill, nowhere near the hang
+    assert stats["count"] == 0  # nothing came back from the killed child
+    assert stats["best_network"] is not None
+    assert "reconstruction_error" in stats
+
+
+def test_watchdog_returns_full_results_when_fast():
+    """With a generous deadline the child completes and the watchdog run
+    is equivalent to the in-process one."""
+    np.random.seed(1)
+    data = np.random.randn(3, 4, 5)
+    net = TensorNetwork()
+    net.add_node(
+        "G",
+        Tensor(
+            data, [Index("i", 3), Index("j", 4), Index("k", 5)]
+        ),
+    )
+
+    config = SearchConfig()
+    config.engine.eps = 0.5
+    config.engine.timeout = 120.0
+    stats = SearchEngine(config=config).partition_search(net)
+    assert stats["count"] == 7  # same enumeration as the untimed search
+    assert stats["best_network"].cost() <= net.cost()
+    assert stats["reconstruction_error"] <= 0.5 * 1.01
