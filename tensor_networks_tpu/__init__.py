@@ -39,9 +39,8 @@ from tensor_networks_tpu.types import (  # noqa: E402
     IntOrStr,
     NodeName,
     SVDConfig,
-    DimTreeNode,
-    NodeInfo,
 )
+from tensor_networks_tpu.dimtree import DimTreeNode, NodeInfo  # noqa: E402
 from tensor_networks_tpu.kernels import TruncSVD, delta_svd  # noqa: E402
 from tensor_networks_tpu.tensor import Tensor  # noqa: E402
 from tensor_networks_tpu.network import (  # noqa: E402

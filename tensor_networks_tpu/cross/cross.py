@@ -25,7 +25,8 @@ import pydantic
 from tensor_networks_tpu import network as ptn
 from tensor_networks_tpu.cross.funcs import TensorFunc
 from tensor_networks_tpu.cross.maxvol import maxvol_auto
-from tensor_networks_tpu.types import DimTreeNode, NodeName
+from tensor_networks_tpu.dimtree import DimTreeNode
+from tensor_networks_tpu.types import NodeName
 
 logger = logging.getLogger(__name__)
 

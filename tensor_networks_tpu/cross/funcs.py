@@ -1,9 +1,14 @@
-"""Target-function abstraction for cross approximation.
+"""Target functions for cross approximation.
 
-A :class:`TensorFunc` maps integer multi-indices to argument values via
-each index's ``value_choices`` grid and evaluates a user function in
-batch.  :class:`CachedFunc` counts unique evaluations — the key efficiency
-metric of cross approximation.  Parity reference: ``pytens/cross/funcs.py``.
+A target is anything that turns a batch of integer multi-indices into a
+batch of scalar values.  :class:`TensorFunc` handles the index->argument
+mapping through each :class:`~tensor_networks_tpu.types.Index`'s
+``value_choices`` grid (precompiled into one lookup table at
+construction); :class:`CachedFunc` adds unique-evaluation accounting —
+the standard sample-efficiency metric of cross approximation.
+
+Capability parity: the function protocol of ``pytens/cross/funcs.py``
+(TensorFunc :12, CachedFunc :107, FuncData :136, FuncTensorNetwork :147).
 """
 
 from __future__ import annotations
@@ -17,57 +22,65 @@ from tensor_networks_tpu.types import Index
 
 
 class TensorFunc:
-    """Abstract tensor function over named indices.
+    """A function of ``d`` named indices, evaluated in batch.
 
-    Subclasses implement ``run(args)`` taking an (n, d) array of argument
-    values and returning an (n,) array of function values.
+    Subclasses implement :meth:`run`, mapping an (n, d) array of
+    *argument values* to (n,) function values.  Calling the object maps
+    integer multi-indices to arguments first.
     """
 
     def __init__(self, indices: List[Index]):
-        self.d = len(indices)
         self.indices = indices
+        self.d = len(indices)
         self.name = "_func_"
+        # one padded lookup table: grids[i, j] = j-th choice of index i;
+        # indices without an explicit grid default to the identity, so
+        # data-backed functions work without value_choices
+        sizes = [
+            len(i.value_choices) or int(i.size) for i in indices
+        ]
+        table = np.zeros((len(indices), max(sizes, default=1)))
+        for row, ind in enumerate(indices):
+            grid = np.asarray(ind.value_choices, dtype=float)
+            if grid.size == 0:
+                grid = np.arange(int(ind.size), dtype=float)
+            table[row, : grid.size] = grid
+        self._grid_table = table
 
     def index_to_args(self, indices: np.ndarray) -> np.ndarray:
-        """Map integer multi-indices to argument values via the per-index
-        ``value_choices`` grids."""
-        indices = np.asarray(indices).astype(int)
-        args = np.empty_like(indices, dtype=float)
-        for i, ind in enumerate(self.indices):
-            args[:, i] = np.asarray(ind.value_choices)[indices[:, i]]
-        return args
-
-    def size(self) -> int:
-        """Total number of tensor entries."""
-        res = 1
-        for ind in self.indices:
-            res *= ind.size
-        return res
+        """Integer multi-indices (n, d) -> argument values (n, d), one
+        vectorized gather from the precompiled grid table."""
+        pts = np.asarray(indices).astype(int)
+        return self._grid_table[
+            np.arange(self.d)[None, :], pts
+        ]
 
     @property
     def shape(self) -> List[int]:
         """Mode sizes of the represented tensor."""
-        result = [0] * len(self.indices)
-        for i, ind in enumerate(self.indices):
-            if isinstance(ind.size, int):
-                result[i] = ind.size
-            elif isinstance(ind.size, tuple):
-                result[i] = ind.size[-1]
-            else:
-                raise TypeError("Unsupported index size type")
-        return result
+        out = []
+        for ind in self.indices:
+            size = ind.size
+            out.append(
+                size[-1] if isinstance(size, tuple) else int(size)
+            )
+        return out
 
-    def cost(self) -> int:
-        """Proxy for the cost of storing the dense tensor."""
+    def size(self) -> int:
+        """Number of entries of the dense tensor."""
         return int(np.prod(self.shape))
 
+    def cost(self) -> int:
+        """Storage cost proxy (dense entry count)."""
+        return self.size()
+
     def free_indices(self) -> List[Index]:
-        """The indices defining this function's domain."""
+        """The domain indices."""
         return self.indices
 
     @abstractmethod
     def run(self, args: np.ndarray) -> np.ndarray:
-        """Evaluate at a batch of argument values: (n, d) -> (n,)."""
+        """Evaluate at argument values: (n, d) -> (n,)."""
         raise NotImplementedError
 
     def __call__(self, indices: np.ndarray) -> np.ndarray:
@@ -75,19 +88,21 @@ class TensorFunc:
 
 
 class CachedFunc(TensorFunc):
-    """Tensor function that records every evaluated argument row.
+    """A tensor function with unique-evaluation accounting.
 
-    ``num_calls()`` reports *unique* evaluations — the standard measure of
-    cross-approximation sample efficiency.
+    Deduplication uses a hash set of argument rows (O(1) per row), not a
+    growing array scan; ``calls`` retains the raw evaluation history for
+    API parity.
     """
 
     def __init__(self, indices: List[Index]):
         super().__init__(indices)
+        self._seen = set()
         self.calls = np.empty((0, self.d))
 
     def num_calls(self) -> int:
-        """Number of unique argument rows evaluated so far."""
-        return len(np.unique(self.calls, axis=0))
+        """Count of distinct argument rows evaluated so far."""
+        return len(self._seen)
 
     @abstractmethod
     def _run(self, args: np.ndarray) -> np.ndarray:
@@ -95,31 +110,36 @@ class CachedFunc(TensorFunc):
         raise NotImplementedError
 
     def run(self, args: np.ndarray) -> np.ndarray:
-        self.calls = np.concatenate([args, self.calls])
+        rows = np.ascontiguousarray(np.asarray(args, dtype=float))
+        self._seen.update(row.tobytes() for row in rows)
+        self.calls = np.concatenate([rows, self.calls])
         return self._run(args)
 
 
 class FuncData(CachedFunc):
-    """A dense array viewed as a tensor function (fancy-index lookups)."""
+    """A dense array exposed as a tensor function (index lookups)."""
 
     def __init__(self, indices: List[Index], data: np.ndarray):
         super().__init__(indices)
         self.data = data
 
     def _run(self, args: np.ndarray) -> np.ndarray:
-        return self.data[tuple(np.asarray(args).astype(int).T)]
+        lookup = tuple(np.asarray(args).astype(int).T)
+        return self.data[lookup]
 
 
 class FuncTensorNetwork(CachedFunc):
-    """An existing tensor network viewed as a tensor function; evaluation
-    lowers to the network's jitted batched-gather contraction."""
+    """An existing network exposed as a tensor function; evaluation is
+    the network's jitted batched-gather contraction."""
 
     def __init__(self, indices: List[Index], net):
         super().__init__(indices)
         self.net = net
 
     def _run(self, args: np.ndarray) -> np.ndarray:
-        return self.net.evaluate(self.indices, np.asarray(args).astype(int))
+        return self.net.evaluate(
+            self.indices, np.asarray(args).astype(int)
+        )
 
     def cost(self) -> int:
         """Evaluation cost of the underlying network."""

@@ -39,12 +39,11 @@ import numpy as np
 from tensor_networks_tpu.graph import Graph
 from tensor_networks_tpu.planner import contract_values
 from tensor_networks_tpu.tensor import Tensor
+from tensor_networks_tpu.dimtree import DimTreeNode, NodeInfo
 from tensor_networks_tpu.types import (
-    DimTreeNode,
     Index,
     IndexName,
     IntOrStr,
-    NodeInfo,
     NodeName,
     SVDConfig,
 )

@@ -6,16 +6,20 @@ from tensor_networks_tpu.ops.tt import (
     tt_right_orth,
     tt_sum,
     rand_tree,
+)
+from tensor_networks_tpu.ops.ttop import (
     ttop_rank1,
     ttop_rank2,
     ttop_sum,
     ttop_apply,
     ttop_sum_apply,
 )
-from tensor_networks_tpu.ops.rounding import (
-    tt_svd_round,
+from tensor_networks_tpu.ops.rounding import tt_svd_round
+from tensor_networks_tpu.ops.gram import (
     tt_gramsvd_round,
     tt_sum_gramsvd_round,
+)
+from tensor_networks_tpu.ops.randomized import (
     TTRandRound,
     tt_randomized_round,
     tt_sum_randomized_round,

@@ -1,13 +1,13 @@
-"""Tensor-train constructors, orthogonalization, sums, and TT-operators.
+"""Tensor-train constructors, orthogonalization, and exact sums.
 
 Parity reference: ``pytens/algs.py`` — tt_rank1 :1592, tt_separable :1621,
-tt_right_orth :1654, tt_sum :2535, ttop_rank1/rank2/sum :2383/:2428/:2479,
-ttop_apply :2662, ttop_sum_apply :2588, rand_tree :2796.
+tt_right_orth :1654, tt_sum :2535, rand_tree :2796.  TT-operators live in
+:mod:`tensor_networks_tpu.ops.ttop`.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -206,223 +206,4 @@ def tt_sum(tt_in: List[TensorNetwork]) -> TensorNetwork:
         tt_out.add_node(ii, Tensor(new_value, new_inds))
         if ii > 0:
             tt_out.add_edge(ii - 1, ii)
-    return tt_out
-
-
-# -- TT operators ----------------------------------------------------------------
-
-
-def ttop_rank1(
-    indices_in: List[Index],
-    indices_out: List[Index],
-    cores: List[np.ndarray],
-    rank_name_prefix: str,
-) -> TensorNetwork:
-    """Rank-1 TT-operator (matrix TT) from one matrix per dimension."""
-    assert len(indices_in) == len(indices_out)
-    dim = len(indices_in)
-    tt_op = TensorNetwork()
-
-    bonds = [Index(f"{rank_name_prefix}_r1", 1)]
-    tt_op.add_node(
-        0,
-        Tensor(
-            jnp.asarray(cores[0])[:, :, None],
-            [indices_out[0], indices_in[0], bonds[0]],
-        ),
-    )
-    for ii in range(1, dim):
-        bonds.append(Index(f"{rank_name_prefix}_r{ii + 1}", 1))
-        if ii < dim - 1:
-            tt_op.add_node(
-                ii,
-                Tensor(
-                    jnp.asarray(cores[ii])[None, :, :, None],
-                    [bonds[ii - 1], indices_out[ii], indices_in[ii], bonds[ii]],
-                ),
-            )
-        else:
-            tt_op.add_node(
-                ii,
-                Tensor(
-                    jnp.asarray(cores[ii])[None, :, :],
-                    [bonds[ii - 1], indices_out[ii], indices_in[ii]],
-                ),
-            )
-        tt_op.add_edge(ii - 1, ii)
-    return tt_op
-
-
-def ttop_rank2(
-    indices_in: List[Index],
-    indices_out: List[Index],
-    cores_r1: List[np.ndarray],
-    cores_r2: List[np.ndarray],
-    rank_name_prefix: str,
-) -> TensorNetwork:
-    """Sum of two rank-1 TT-operators as a rank-2 TT-operator."""
-    return ttop_sum(
-        indices_in, indices_out, [cores_r1, cores_r2], rank_name_prefix
-    )
-
-
-def ttop_sum(
-    indices_in: List[Index],
-    indices_out: List[Index],
-    cores: List[List[np.ndarray]],
-    rank_name_prefix: str,
-) -> TensorNetwork:
-    """Sum of k rank-1 TT-operators: rank-k operator with block-diagonal
-    middle cores."""
-    assert len(indices_in) == len(indices_out)
-    dim = len(indices_in)
-    num_sum = len(cores)
-    tt_op = TensorNetwork()
-
-    bonds = [Index(f"{rank_name_prefix}_r1", num_sum)]
-    first = np.zeros((indices_out[0].size, indices_in[0].size, num_sum))
-    for jj in range(num_sum):
-        first[:, :, jj] = cores[jj][0]
-    tt_op.add_node(
-        0,
-        Tensor(jnp.asarray(first), [indices_out[0], indices_in[0], bonds[0]]),
-    )
-    for ii in range(1, dim):
-        bonds.append(Index(f"{rank_name_prefix}_r{ii + 1}", num_sum))
-        if ii < dim - 1:
-            core = np.zeros(
-                (num_sum, indices_out[ii].size, indices_in[ii].size, num_sum)
-            )
-            for jj in range(num_sum):
-                core[jj, :, :, jj] = cores[jj][ii]
-            tt_op.add_node(
-                ii,
-                Tensor(
-                    jnp.asarray(core),
-                    [bonds[ii - 1], indices_out[ii], indices_in[ii], bonds[ii]],
-                ),
-            )
-        else:
-            core = np.zeros(
-                (num_sum, indices_out[ii].size, indices_in[ii].size)
-            )
-            for jj in range(num_sum):
-                core[jj, :, :] = cores[jj][ii]
-            tt_op.add_node(
-                ii,
-                Tensor(
-                    jnp.asarray(core),
-                    [bonds[ii - 1], indices_out[ii], indices_in[ii]],
-                ),
-            )
-        tt_op.add_edge(ii - 1, ii)
-    return tt_op
-
-
-@jax.jit
-def _ttop_first(op, v):
-    # op: (n_out, n_in, rop); v: (n_in, r) -> (n_out, r * rop)
-    out = jnp.einsum("ijk,jl->ilk", op, v)
-    return out.reshape(out.shape[0], -1)
-
-
-@jax.jit
-def _ttop_mid(op, v):
-    # op: (rop1, n_out, n_in, rop2); v: (r1, n_in, r2)
-    out = jnp.einsum("ijkl,mkp->mijpl", op, v)
-    s = out.shape
-    return out.reshape(s[0] * s[1], s[2], s[3] * s[4])
-
-
-@jax.jit
-def _ttop_last(op, v):
-    # op: (rop, n_out, n_in); v: (r, n_in)
-    out = jnp.einsum("ijk,mk->mij", op, v)
-    s = out.shape
-    return out.reshape(s[0] * s[1], -1)
-
-
-def ttop_apply(ttop: TensorNetwork, tt_in: TensorNetwork) -> TensorNetwork:
-    """Apply a TT-operator to a TT: per-core contraction with rank-product
-    reshape.  Each core shape hits a cached jitted kernel."""
-    import copy as _copy
-
-    tt = _copy.deepcopy(tt_in)
-    dim = tt.dim()
-    for ii, (node_op, node_tt) in enumerate(
-        zip(ttop.network.nodes, tt.network.nodes)
-    ):
-        op = ttop.value(node_op)
-        v = tt.value(node_tt)
-        if ii == 0:
-            new_core = _ttop_first(op, v)
-        elif ii < dim - 1:
-            new_core = _ttop_mid(op, v)
-        else:
-            new_core = _ttop_last(op, v)
-        tt.node_tensor(node_tt).update_val_size(new_core)
-    return tt
-
-
-def ttop_sum_apply(
-    tt_in: TensorNetwork,
-    indices_in: List[Index],
-    indices_out: List[Index],
-    cores: List[List[Callable]],
-    rank_name_prefix: str,
-) -> TensorNetwork:
-    """Apply a lazily-defined sum of rank-1 TT-operators (a callable per
-    core per summand) without materializing the operator."""
-    assert len(indices_in) == len(indices_out)
-    dim = len(indices_in)
-    num_sum = len(cores)
-    tt_out = TensorNetwork()
-
-    node_list = list(tt_in.network.nodes)
-    v = tt_in.value(node_list[0])
-    bonds = [Index(f"{rank_name_prefix}_r1", num_sum * v.shape[1])]
-    blocks = []
-    for jj in range(num_sum):
-        new_core = jnp.asarray(cores[jj][0](v))
-        blocks.append(new_core.reshape(indices_out[0].size, -1))
-    tt_out.add_node(
-        0,
-        Tensor(jnp.concatenate(blocks, axis=1), [indices_out[0], bonds[0]]),
-    )
-
-    for ii, node_tt in enumerate(node_list[1:], start=1):
-        v = tt_in.value(node_tt)
-        if ii < dim - 1:
-            bonds.append(
-                Index(f"{rank_name_prefix}_r{ii + 1}", v.shape[2] * num_sum)
-            )
-            core = jnp.zeros(
-                (num_sum * v.shape[0], indices_out[ii].size,
-                 num_sum * v.shape[2]),
-                dtype=v.dtype,
-            )
-            off1 = off2 = 0
-            for jj in range(num_sum):
-                blk = jnp.asarray(cores[jj][ii](v))
-                blk = blk.reshape(blk.shape[0], blk.shape[1], blk.shape[2])
-                core = core.at[
-                    off1 : off1 + blk.shape[0], :, off2 : off2 + blk.shape[2]
-                ].set(blk)
-                off1 += blk.shape[0]
-                off2 += blk.shape[2]
-            tt_out.add_node(
-                ii, Tensor(core, [bonds[ii - 1], indices_out[ii], bonds[ii]])
-            )
-        else:
-            rows = []
-            for jj in range(num_sum):
-                rows.append(jnp.asarray(cores[jj][ii](v)))
-            tt_out.add_node(
-                ii,
-                Tensor(
-                    jnp.concatenate(rows, axis=0),
-                    [bonds[ii - 1], indices_out[ii]],
-                ),
-            )
-        tt_out.add_edge(ii - 1, ii)
     return tt_out
