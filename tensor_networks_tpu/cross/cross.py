@@ -1,26 +1,40 @@
 """Rank-adaptive cross approximation over arbitrary dimension trees.
 
 One engine subsumes TT-cross, HT-cross, and Tucker-cross: the ansatz is
-whatever tree the starting network has.  A sweep walks the dimension tree
-twice (root->leaves refining down-pivots, leaves->root refining up-pivots
-and writing interpolation cores); between sweeps every bond rank is
-kicked and re-clamped until the iterate — or a validation set — stops
-changing.
+whatever tree the starting network has.  Each iteration sweeps the tree
+twice — root->leaves refining down-pivots, leaves->root refining
+up-pivots and writing interpolation cores — then kicks and re-clamps all
+bond ranks until the iterate (or a validation set) stops moving.
 
-Pivot selection is pluggable (maxvol / DEIM); fiber matrices come from
-batched target-function evaluation, which for network-valued targets is
-the jitted gather+contract path.
+The sweeps are *level-synchronous*: nodes at the same tree depth have no
+data dependencies within a half-sweep, so each level's fiber matrices
+are assembled into ONE batched target-function call.  For
+network-valued targets that is one jitted gather+contract dispatch per
+level instead of one per node; user functions see O(depth) calls per
+sweep instead of O(nodes).  (The evaluate path additionally pads batch
+sizes to power-of-two buckets, so changing pivot counts between sweeps
+reuses compiled executables.)
+
+Pivot selection is pluggable (maxvol / DEIM).  Capability parity:
+``pytens/cross/cross.py`` (engine :167-433).
 """
 
 from __future__ import annotations
 
 import copy
 import logging
+from dataclasses import dataclass, field
 from enum import Enum, auto
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import (
+    Callable,
+    Dict,
+    List,
+    Optional,
+    Sequence,
+    Tuple,
+)
 
 import numpy as np
-import pydantic
 
 from tensor_networks_tpu import network as ptn
 from tensor_networks_tpu.cross.funcs import TensorFunc
@@ -45,45 +59,29 @@ class ConvergenceCheck(Enum):
     VALID_ERROR = auto()
 
 
-class CrossConfig(pydantic.BaseModel):
-    """Knobs for a cross-approximation run (schema-compatible with the
-    reference's config)."""
+@dataclass
+class CrossConfig:
+    """Knobs for a cross-approximation run (schema kept compatible with
+    the reference's config)."""
 
-    cross_algo: CrossAlgo = pydantic.Field(
-        default=CrossAlgo.MAXVOL,
-        description="Configure the algorithm for index selection",
-    )
-    kickrank: int = pydantic.Field(
-        default=2,
-        description="Configure the rank increment between iterations",
-    )
-    max_rank: Optional[int] = pydantic.Field(
-        default=None,
-        description="Configure the maximum rank that is used in cross",
-    )
-    max_iters: Optional[int] = pydantic.Field(
-        default=None,
-        description="Limit the maximum number of sweeps over the entire tree",
-    )
-    validation_size: int = pydantic.Field(
-        default=1000,
-        description="Configure the number of validation points",
-    )
-    convergence: ConvergenceCheck = pydantic.Field(
-        default=ConvergenceCheck.NORM,
-        description="Configure how to check the algorithm convergence",
-    )
+    cross_algo: CrossAlgo = CrossAlgo.MAXVOL  # pivot-selection rule
+    kickrank: int = 2  # rank increment between sweeps
+    max_rank: Optional[int] = None  # hard rank cap
+    max_iters: Optional[int] = None  # sweep budget
+    validation_size: int = 1000  # points for VALID_ERROR checking
+    convergence: ConvergenceCheck = ConvergenceCheck.NORM
 
 
-class CrossResult(pydantic.BaseModel):
-    """What a cross run hands back: the fitted network, the pivot tree,
-    and the (rank, error) trajectory across sweeps."""
-
-    model_config = pydantic.ConfigDict(arbitrary_types_allowed=True)
+@dataclass
+class CrossResult:
+    """A fitted network, its pivot tree, and the (rank, error)
+    trajectory across sweeps."""
 
     net: "ptn.TensorNetwork"
     dim_tree: DimTreeNode
-    ranks_and_errors: Sequence[Tuple[int, float]]
+    ranks_and_errors: Sequence[Tuple[int, float]] = field(
+        default_factory=list
+    )
 
 
 # --------------------------- pivot selection ---------------------------
@@ -144,8 +142,14 @@ def _cartesian_product_arrays(*arrays: np.ndarray) -> np.ndarray:
 # ----------------------------- the engine ------------------------------
 
 
+#: one fiber-matrix request: (row indices+pivots, column indices+pivots)
+_FiberJob = Tuple[
+    Tuple[Sequence, np.ndarray], Tuple[Sequence, np.ndarray]
+]
+
+
 class CrossApproximation:
-    """Dimension-tree cross-approximation sweeps."""
+    """Level-synchronous dimension-tree cross approximation."""
 
     def __init__(
         self, tensor_func: TensorFunc, config: CrossConfig = CrossConfig()
@@ -153,109 +157,167 @@ class CrossApproximation:
         self._config = config
         self._tensor_func = tensor_func
 
-    # -- fiber evaluation --------------------------------------------------
+    # -- batched fiber evaluation ------------------------------------------
 
-    def _fiber_matrix(self, rows, cols) -> np.ndarray:
-        """Target values on the cartesian product of kept pivots, shaped
-        (n_cols x n_rows)."""
-        row_idx, row_vals = rows
-        col_idx, col_vals = cols
-        pts = _cartesian_product_arrays(col_vals, row_vals).astype(
-            int, copy=False
-        )
-        ordering = list(col_idx) + list(row_idx)
-        take = [ordering.index(ind) for ind in self._tensor_func.indices]
-        values = self._tensor_func(pts[:, take])
-        return np.asarray(values).reshape(len(col_vals), len(row_vals))
+    def _eval_fibers(self, jobs: List[_FiberJob]) -> List[np.ndarray]:
+        """Evaluate every requested fiber matrix with ONE target call.
+
+        Each job's points are the cartesian product of its column and row
+        pivot sets, permuted into the function's index order; the results
+        are split back and shaped (n_cols, n_rows).
+        """
+        func_order = self._tensor_func.indices
+        batches: List[np.ndarray] = []
+        shapes: List[Tuple[int, int]] = []
+        for (row_idx, row_vals), (col_idx, col_vals) in jobs:
+            pts = _cartesian_product_arrays(col_vals, row_vals).astype(
+                int, copy=False
+            )
+            layout = list(col_idx) + list(row_idx)
+            take = [layout.index(ind) for ind in func_order]
+            batches.append(pts[:, take])
+            shapes.append((len(col_vals), len(row_vals)))
+
+        values = np.asarray(
+            self._tensor_func(np.concatenate(batches, axis=0))
+        ).reshape(-1)
+        fibers = []
+        at = 0
+        for rows, cols in shapes:
+            fibers.append(
+                values[at : at + rows * cols].reshape(rows, cols)
+            )
+            at += rows * cols
+        return fibers
 
     def _pick(self, fiber: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         rule = _PIVOT_RULES.get(self._config.cross_algo)
         if rule is None:
-            raise ValueError(
-                f"unsupported algo {self._config.cross_algo}"
-            )
-        if self._config.cross_algo == CrossAlgo.DEIM:
-            rows, coeffs = rule(fiber)
-            return rows, coeffs
+            raise ValueError(f"unsupported algo {self._config.cross_algo}")
         return rule(fiber)
 
-    # -- the two half-sweeps -------------------------------------------------
+    # -- per-node candidate assembly ------------------------------------------
 
-    def _refine_down(self, node: DimTreeNode) -> None:
-        """Root->leaves: re-select this node's down pivots against the
-        parent's and siblings' current pivot sets."""
+    @staticmethod
+    def _down_candidates(node: DimTreeNode) -> np.ndarray:
+        """Candidate down-pivots: parent frees x parent's down pivots x
+        sibling up pivots."""
         parent = node.up_info.nodes[0]
-        ranges = []
-        for ind in node.down_info.indices:
-            if ind in parent.free_indices:
-                ranges.append(np.arange(ind.size)[:, None])
+        parts = [
+            np.arange(ind.size)[:, None]
+            for ind in node.down_info.indices
+            if ind in parent.free_indices
+        ]
         if parent.up_info.nodes:
-            ranges.append(parent.down_info.vals)
-        for sibling in parent.down_info.nodes:
-            if sibling.node != node.node:
-                ranges.append(sibling.up_info.vals)
-
-        candidates = _cartesian_product_arrays(*ranges)
-        fiber = self._fiber_matrix(
-            (node.up_info.indices, node.up_info.vals),
-            (node.down_info.indices, candidates),
+            parts.append(parent.down_info.vals)
+        parts.extend(
+            sib.up_info.vals
+            for sib in parent.down_info.nodes
+            if sib.node != node.node
         )
-        rows, _ = self._pick(fiber)
-        node.down_info.vals = candidates[rows, :]
-        node.down_info.rank = len(rows)
+        return _cartesian_product_arrays(*parts)
 
-    def _refine_up(self, node: DimTreeNode, net) -> None:
-        """Leaves->root: re-select up pivots and install the node's
-        interpolation core."""
-        ranges, sizes = [], []
+    @staticmethod
+    def _up_candidates(
+        node: DimTreeNode,
+    ) -> Tuple[np.ndarray, List[int]]:
+        """Candidate up-pivots (own frees x children's up pivots) plus
+        the core's axis sizes in candidate layout order."""
+        parts, sizes = [], []
         for ind in node.up_info.indices:
             if ind in node.free_indices:
+                parts.append(np.arange(ind.size)[:, None])
                 sizes.append(ind.size)
-                ranges.append(np.arange(ind.size)[:, None])
         for child in sorted(node.down_info.nodes):
+            parts.append(child.up_info.vals)
             sizes.append(len(child.up_info.vals))
-            ranges.append(child.up_info.vals)
+        return _cartesian_product_arrays(*parts), sizes
 
-        candidates = _cartesian_product_arrays(*ranges)
-        fiber = self._fiber_matrix(
-            (node.down_info.indices, node.down_info.vals),
-            (node.up_info.indices, candidates),
-        )
-        rows, coeffs = self._pick(fiber)
-        node.up_info.vals = candidates[rows, :]
-        node.up_info.rank = len(rows)
-        core = coeffs.reshape(*sizes, -1).transpose(np.argsort(node.perm))
-        net.node_tensor(node.node).update_val_size(core)
+    # -- level-synchronous half-sweeps -----------------------------------------
 
-    def _sweep(self, net, tree_nodes: Sequence[DimTreeNode]) -> None:
-        for node in tree_nodes:
-            if node.up_info.nodes:
-                self._refine_down(node)
-        for node in reversed(tree_nodes[1:]):
-            self._refine_up(node, net)
+    @staticmethod
+    def _levels(tree: DimTreeNode) -> List[List[DimTreeNode]]:
+        """Tree nodes grouped by depth (root level first)."""
+        levels: List[List[DimTreeNode]] = [[tree]]
+        while levels[-1]:
+            levels.append(
+                [
+                    child
+                    for node in levels[-1]
+                    for child in node.down_info.nodes
+                ]
+            )
+        return levels[:-1]
 
-    def _root_core(
-        self, tree: DimTreeNode, f_sizes: Sequence[int], f_vals: np.ndarray
-    ) -> np.ndarray:
+    def _sweep_down(self, levels: List[List[DimTreeNode]]) -> None:
+        """Root->leaves: per level, refine every node's down pivots
+        against its parent/siblings with one batched evaluation."""
+        for level in levels[1:]:
+            candidates = [self._down_candidates(n) for n in level]
+            fibers = self._eval_fibers(
+                [
+                    (
+                        (n.up_info.indices, n.up_info.vals),
+                        (n.down_info.indices, cand),
+                    )
+                    for n, cand in zip(level, candidates)
+                ]
+            )
+            for node, cand, fiber in zip(level, candidates, fibers):
+                rows, _ = self._pick(fiber)
+                node.down_info.vals = cand[rows, :]
+                node.down_info.rank = len(rows)
+
+    def _sweep_up(self, net, levels: List[List[DimTreeNode]]) -> None:
+        """Leaves->root: per level, refine up pivots and install the
+        interpolation cores."""
+        for level in reversed(levels[1:]):
+            packed = [self._up_candidates(n) for n in level]
+            fibers = self._eval_fibers(
+                [
+                    (
+                        (n.down_info.indices, n.down_info.vals),
+                        (n.up_info.indices, cand),
+                    )
+                    for n, (cand, _) in zip(level, packed)
+                ]
+            )
+            for node, (cand, sizes), fiber in zip(level, packed, fibers):
+                rows, coeffs = self._pick(fiber)
+                node.up_info.vals = cand[rows, :]
+                node.up_info.rank = len(rows)
+                core = coeffs.reshape(*sizes, -1).transpose(
+                    np.argsort(node.perm)
+                )
+                net.node_tensor(node.node).update_val_size(core)
+
+    def _install_root(self, net, tree: DimTreeNode) -> None:
+        """The root core holds raw fiber values over its own frees and
+        the children's pivot sets."""
         children = sorted(tree.down_info.nodes)
-        c_indices = [i for c in children for i in c.up_info.indices]
-        c_vals = [c.up_info.vals for c in children]
-        fiber = self._fiber_matrix(
-            (tree.free_indices, f_vals),
-            (c_indices, _cartesian_product_arrays(*c_vals)),
+        f_sizes = [ind.size for ind in tree.free_indices]
+        f_grid = _cartesian_product_arrays(
+            *[np.arange(s)[:, None] for s in f_sizes]
         )
-        c_sizes = [len(v) for v in c_vals]
-        return fiber.T.reshape(*f_sizes, *c_sizes).transpose(
+        col_idx = [i for c in children for i in c.up_info.indices]
+        col_vals = _cartesian_product_arrays(
+            *[c.up_info.vals for c in children]
+        )
+        [fiber] = self._eval_fibers(
+            [((tree.free_indices, f_grid), (col_idx, col_vals))]
+        )
+        c_sizes = [len(c.up_info.vals) for c in children]
+        core = fiber.T.reshape(*f_sizes, *c_sizes).transpose(
             np.argsort(tree.perm)
         )
+        net.node_tensor(tree.node).update_val_size(core)
 
-    # -- rank schedule ----------------------------------------------------------
+    # -- rank schedule -----------------------------------------------------------
 
     def _grow_ranks(
         self, tree: DimTreeNode, known: Optional[np.ndarray]
     ) -> None:
-        """Kick every rank, clamp to neighbor products (to fixpoint), and
-        seed fresh pivot rows."""
+        """Kick every rank, clamp to capacity fixpoint, seed new pivots."""
         kick = self._config.kickrank
         tree.increment_ranks(kick, self._config.max_rank)
         prev = None
@@ -275,15 +337,27 @@ class CrossApproximation:
             fresh = known[np.random.randint(0, len(known), [kick])]
         tree.add_values(fresh)
 
-    def _sample_validation(self) -> np.ndarray:
-        size = self._config.validation_size
-        return np.stack(
-            [
-                np.random.randint(0, ind.size, size=size)
-                for ind in self._tensor_func.indices
-            ],
-            axis=-1,
-        )
+    # -- convergence --------------------------------------------------------------
+
+    def _error(
+        self,
+        net,
+        previous,
+        validation: Optional[np.ndarray],
+        reference: Optional[np.ndarray],
+    ) -> float:
+        check = self._config.convergence
+        if check == ConvergenceCheck.NORM:
+            return float((net - previous).norm() / net.norm())
+        if check == ConvergenceCheck.VALID_ERROR:
+            estimate = np.asarray(
+                net.evaluate(self._tensor_func.indices, validation)
+            ).reshape(-1)
+            return float(
+                np.linalg.norm(reference - estimate)
+                / np.linalg.norm(reference)
+            )
+        raise RuntimeError("unknown termination criteria")
 
     # -- driver ---------------------------------------------------------------------
 
@@ -305,57 +379,43 @@ class CrossApproximation:
             root = list(net.network.nodes)[0]
         tree = net.dimension_tree(root)
 
-        if initialization is None:
-            tree.increment_ranks(1, self._config.max_rank)
-            seed = [np.random.randint(0, i.size) for i in tree.indices]
-            tree.add_values(np.asarray([seed]))
-        else:
-            tree.increment_ranks(
-                len(initialization), self._config.max_rank
+        seeds = initialization
+        if seeds is None:
+            seeds = np.asarray(
+                [[np.random.randint(0, i.size) for i in tree.indices]]
             )
-            tree.add_values(initialization)
+        tree.increment_ranks(len(seeds), self._config.max_rank)
+        tree.add_values(np.asarray(seeds))
 
-        check = self._config.convergence
-        real = None
-        if check == ConvergenceCheck.VALID_ERROR:
+        reference = None
+        if self._config.convergence == ConvergenceCheck.VALID_ERROR:
             if validation is None:
-                validation = self._sample_validation()
-            real = np.asarray(self._tensor_func(validation))
+                validation = np.stack(
+                    [
+                        np.random.randint(
+                            0, i.size, size=self._config.validation_size
+                        )
+                        for i in self._tensor_func.indices
+                    ],
+                    axis=-1,
+                )
+            reference = np.asarray(self._tensor_func(validation))
 
-        f_sizes = [ind.size for ind in tree.free_indices]
-        f_vals = _cartesian_product_arrays(
-            *[np.arange(sz)[:, None] for sz in f_sizes]
-        )
-
-        tree_nodes = tree.preorder()
+        levels = self._levels(tree)
         trajectory: Dict[int, float] = {}
         sweep_no = 0
         while True:
             previous = copy.deepcopy(net)
-            self._sweep(net, tree_nodes)
-            net.node_tensor(tree.node).update_val_size(
-                self._root_core(tree, f_sizes, f_vals)
-            )
+            self._sweep_down(levels)
+            self._sweep_up(net, levels)
+            self._install_root(net, tree)
 
-            if check == ConvergenceCheck.NORM:
-                err = (net - previous).norm() / net.norm()
-            elif check == ConvergenceCheck.VALID_ERROR:
-                estimate = np.asarray(
-                    net.evaluate(self._tensor_func.indices, validation)
-                ).reshape(-1)
-                err = float(
-                    np.linalg.norm(real - estimate)
-                    / np.linalg.norm(real)
-                )
-            else:
-                raise RuntimeError("unknown termination criteria")
-
+            err = self._error(net, previous, validation, reference)
             trajectory[len(tree.up_info.vals)] = float(err)
             logger.debug("sweep %s: error %s", sweep_no, err)
-            max_iters = self._config.max_iters
-            if err <= eps or (
-                max_iters is not None and sweep_no >= max_iters
-            ):
+
+            budget = self._config.max_iters
+            if err <= eps or (budget is not None and sweep_no >= budget):
                 break
             sweep_no += 1
             self._grow_ranks(tree, known)
