@@ -16,6 +16,7 @@ These are the kernels the multi-chip sharded paths in
 
 from __future__ import annotations
 
+import warnings
 from functools import lru_cache
 from typing import List, Optional, Tuple
 
@@ -83,13 +84,58 @@ def tt_inner_fn(has_mids: bool, precision: str = "highest"):
     return jax.jit(inner)
 
 
+def pallas_inner_eligible(ma, mb) -> bool:
+    """Route to the pallas zipper: on TPU (or when TNT_FORCE_PALLAS=1,
+    which runs the kernel in interpret mode for testing), f32/bf16 cores,
+    and bonds at least half the 128 lane width — below that the bond
+    padding wastes more bandwidth than the scan's carry staging costs."""
+    import os
+
+    backend_ok = (
+        jax.default_backend() == "tpu"
+        or os.environ.get("TNT_FORCE_PALLAS") == "1"
+    )
+    return (
+        backend_ok
+        and ma is not None
+        and ma.dtype in (jnp.float32, jnp.bfloat16)
+        and mb.dtype == ma.dtype
+        and min(ma.shape[1], ma.shape[3]) >= 64
+    )
+
+
+def pallas_inner(fa, ma, la, fb, mb, lb):
+    """The pallas zipper with observable fallback: a failure is logged
+    and counted (kernels.pallas_ops.PATH_STATS), never swallowed
+    silently — a silent fallback is an invisible ~2x perf cliff."""
+    from tensor_networks_tpu.kernels import pallas_ops as pk
+
+    try:
+        if ma.shape[1] % pk.LANE == 0 and fa.shape[1] == ma.shape[1]:
+            out = pk.tt_inner_pallas_fused(fa, ma, la, fb, mb, lb)
+        else:
+            out = pk.tt_inner_pallas(fa, ma, la, fb, mb, lb)
+        pk.PATH_STATS["pallas"] += 1
+        return out
+    except Exception as exc:
+        pk.PATH_STATS["fallback"] += 1
+        pk.logger.warning(
+            "pallas zipper failed (%s: %s); falling back to the scan "
+            "zipper — expect ~2x slower inner products",
+            type(exc).__name__,
+            exc,
+        )
+        return None
+
+
 def tt_inner_fast(a: TensorNetwork, b: TensorNetwork) -> jnp.ndarray:
     """Inner product of two uniform TTs through the fused zipper.
 
-    On TPU with f32/bf16 cores the Pallas HBM-roof kernel is used
-    (including its on-the-fly bond padding, still cheaper than the scan);
-    elsewhere the ``lax.scan`` zipper.  Falls back to the generic graph
-    contraction for non-uniform trains.
+    On TPU with f32/bf16 cores the Pallas HBM-roof kernel is used —
+    one dispatch when the train is prepadded (`kernels.pallas_ops.pad_train`),
+    otherwise with an on-the-fly padding pass; elsewhere the ``lax.scan``
+    zipper.  Falls back to the generic graph contraction for non-uniform
+    trains.
     """
     try:
         fa, ma, la = stack_tt_cores(a)
@@ -99,19 +145,10 @@ def tt_inner_fast(a: TensorNetwork, b: TensorNetwork) -> jnp.ndarray:
     if (ma is None) != (mb is None):
         return a.inner(b)
 
-    # below ~half the 128 lane width the pallas bond padding wastes more
-    # bandwidth than the scan's carry staging costs
-    if ma is not None and jax.default_backend() == "tpu" and (
-        ma.dtype in (jnp.float32, jnp.bfloat16)
-        and mb.dtype == ma.dtype
-        and min(ma.shape[1], ma.shape[3]) >= 64
-    ):
-        from tensor_networks_tpu.kernels.pallas_ops import tt_inner_pallas
-
-        try:
-            return tt_inner_pallas(fa, ma, la, fb, mb, lb)
-        except Exception:  # pragma: no cover - pallas regression safety
-            pass
+    if pallas_inner_eligible(ma, mb):
+        out = pallas_inner(fa, ma, la, fb, mb, lb)
+        if out is not None:
+            return out
 
     fn = tt_inner_fn(ma is not None)
     if ma is None:
@@ -223,13 +260,26 @@ def _tt_round_gram_sweep_fn(relative: bool):
 
 
 @lru_cache(maxsize=8)
-def _tt_round_sweep_fn(relative: bool):
+def _tt_round_sweep_fn(relative: bool, reorth: bool = False):
     """Fused right-orthogonalization + forward truncation sweep.
 
     Static shapes throughout: instead of shrinking bonds on device,
     truncated directions are zeroed (same represented tensor as hard
     truncation); the kept ranks are returned for host-side compaction.
+
+    ``reorth`` runs every orthogonalization twice (QR-twice, the CGS2
+    analogue): the chained single-QR sweep on TPU lifts null-direction
+    singular values to ~1e-5 of the norm for d~30 f32 trains, which
+    blocks tight truncation budgets; the second pass restores them to
+    the eps level at ~2x the QR cost.
     """
+
+    def qr_clean(mat):
+        q, rmat = jnp.linalg.qr(mat)
+        if reorth:
+            q, r2 = jnp.linalg.qr(q)
+            rmat = r2 @ rmat
+        return q, rmat
 
     def sweep(first, mids, last, eps):
         d = mids.shape[0] + 2
@@ -238,7 +288,7 @@ def _tt_round_sweep_fn(relative: bool):
         # ---- backward sweep: right-orthogonalize cores d-1 .. 1 ----------
         # rank-deficient bonds (n < r) are zero-padded so every scan step
         # carries a full (r, r) state; the zero directions are inert.
-        ql, rl = jnp.linalg.qr(last.T)
+        ql, rl = qr_clean(last.T)
         if ql.shape[1] < r:
             ql = jnp.pad(ql, ((0, 0), (0, r - ql.shape[1])))
             rl = jnp.pad(rl, ((0, r - rl.shape[0]), (0, 0)))
@@ -248,7 +298,7 @@ def _tt_round_sweep_fn(relative: bool):
         def back_step(carry, core):
             rr, n, rc = core.shape
             cur = jnp.einsum("rnk,kc->rnc", core, carry)
-            q, rmat = jnp.linalg.qr(cur.reshape(rr, n * rc).T)
+            q, rmat = qr_clean(cur.reshape(rr, n * rc).T)
             return rmat.T, q.T.reshape(rr, n, rc)
 
         carry, mids_q = jax.lax.scan(back_step, carry, mids, reverse=True)
@@ -279,7 +329,7 @@ def _tt_round_sweep_fn(relative: bool):
             cur = jnp.einsum("ak,knc->anc", carry_sv, core)
             # tall SVD via QR + small SVD: same factors, far cheaper than
             # the iterative SVD of the (r*n, r) unfolding
-            q, rmat = jnp.linalg.qr(cur.reshape(rr * n, rc))
+            q, rmat = qr_clean(cur.reshape(rr * n, rc))
             u_s, s, vt = jnp.linalg.svd(rmat, full_matrices=False)
             k = _trunc_count(s, budget)
             m = (
@@ -297,26 +347,54 @@ def _tt_round_sweep_fn(relative: bool):
     return jax.jit(sweep)
 
 
+def sweep_noise_floor(dtype, d: int) -> float:
+    """Measured relative noise floor of a d-core chained-QR sweep.
+
+    Null-direction singular values come out at roughly this fraction of
+    the train norm (TPU f32 measurements; the fused sweep measured a
+    factor better than the round-1 graph-path observations, so this is
+    deliberately conservative); truncation budgets below it may not
+    engage.
+    """
+    return 10.0 * float(jnp.finfo(dtype).eps) * float(np.sqrt(d))
+
+
 def tt_round_fixed(
     tn: TensorNetwork,
     eps: float,
     relative: bool = True,
     method: str = "svd",
+    reorth: bool = False,
 ) -> Tuple[TensorNetwork, List[int]]:
     """Round a uniform TT with the fused static-shape sweep.
 
     ``method="svd"`` is the accurate default; ``method="gram"`` runs the
     all-GEMM CholQR/Gram-eigh sweep (~10x fewer FLOPs per bond, squared
-    condition number).  Returns the rounded network (bonds compacted to
-    the discovered ranks on host) and the kept rank per bond.
+    condition number).  ``reorth`` orthogonalizes twice per bond for
+    tight budgets near the dtype noise floor.  Returns the rounded
+    network (bonds compacted to the discovered ranks on host) and the
+    kept rank per bond.
     """
     first, mids, last = stack_tt_cores(tn)
     if mids is None:
         raise ValueError("tt_round_fixed needs d >= 3")
+
+    d = mids.shape[0] + 2
+    floor = sweep_noise_floor(first.dtype, d) / (2.0 if reorth else 1.0)
+    if relative and eps < floor:
+        warnings.warn(
+            f"requested relative eps={eps:.1e} is below the ~{floor:.1e} "
+            f"noise floor of a {d}-core {first.dtype} rounding sweep; "
+            "truncation may not engage. Use float64, or reorth=True for "
+            "a ~2x-cost sweep with an eps-level floor.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
     fn = (
         _tt_round_gram_sweep_fn(relative)
         if method == "gram"
-        else _tt_round_sweep_fn(relative)
+        else _tt_round_sweep_fn(relative, reorth)
     )
     f, m, l, k0, mid_ranks = fn(first, mids, last, eps)
 

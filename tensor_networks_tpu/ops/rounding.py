@@ -17,12 +17,15 @@ The fused single-dispatch form of this sweep is
 
 from __future__ import annotations
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from tensor_networks_tpu.kernels import delta_svd
 from tensor_networks_tpu.network import TensorNetwork
+from tensor_networks_tpu.ops.fast import sweep_noise_floor
 from tensor_networks_tpu.ops.tt import tt_right_orth
 
 
@@ -40,6 +43,17 @@ def tt_svd_round(tn: TensorNetwork, eps: float) -> TensorNetwork:
     (the ``remaining_delta`` bookkeeping in :func:`delta_svd`).
     """
     dim = tn.dim()
+    sample = tn.value(list(tn.network.nodes)[0])
+    floor = sweep_noise_floor(sample.dtype, dim)
+    if eps < floor:
+        warnings.warn(
+            f"requested relative eps={eps:.1e} is below the ~{floor:.1e} "
+            f"noise floor of a {dim}-core {sample.dtype} rounding sweep; "
+            "truncation may not engage on device. Use float64 inputs or "
+            "ops.fast.tt_round_fixed(..., reorth=True).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     out = tt_right_orth(tn, dim - 1)
     for jj in range(dim - 2, 0, -1):
         out = tt_right_orth(out, jj)

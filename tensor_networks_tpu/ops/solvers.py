@@ -101,5 +101,8 @@ def gmres(
     for vec, coeff in zip(basis, y):
         x = x + copy.deepcopy(vec).scale(float(coeff))
     x = tt_svd_round(x, round_eps)
-    final = rhs + op(x).scale(-1.0)
+    # round the residual before measuring: the raw difference train's
+    # zipper norm loses half the mantissa to cancellation (the rounding
+    # sweep re-orthogonalizes, so the norm is backward stable)
+    final = tt_svd_round(rhs + op(x).scale(-1.0), round_eps)
     return x, final.norm()
