@@ -345,6 +345,10 @@ def svd_round(x: PackedTT, target: int, eps: float = 1e-7) -> PackedTT:
     :func:`rand_round`.  ~(r/t)x the FLOPs of the sketch; use this when
     accuracy sets the floor (e.g. the GMRES Krylov recurrence in f32).
     """
+    # precision-critical path: the Householder sweep resolves structure
+    # below the CholQR2 jitter floor (~40*eps relative), which the GMRES
+    # Krylov recurrence needs; use method="cholqr2" rounding only for
+    # tolerance-based compaction
     from tensor_networks_tpu.ops.fast import _tt_round_sweep_fn
 
     first, mids, last, _, _ = _tt_round_sweep_fn(True)(

@@ -9,6 +9,7 @@ bond factors).
 
 from tensor_networks_tpu.parallel.mesh import (
     make_mesh,
+    make_hybrid_mesh,
     default_mesh,
 )
 from tensor_networks_tpu.parallel.sharded import (
@@ -30,6 +31,7 @@ from tensor_networks_tpu.parallel.sweeps import (
 
 __all__ = [
     "make_mesh",
+    "make_hybrid_mesh",
     "default_mesh",
     "tt_inner_mode_sharded",
     "shard_tt_params",

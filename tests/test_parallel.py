@@ -120,3 +120,23 @@ def test_adam_train_step_descends(mesh8):
         params, opt_state, loss = step(params, opt_state, idx_dev, y_dev)
         losses.append(float(loss))
     assert losses[-1] < 0.5 * losses[0]
+
+
+def test_hybrid_mesh_dp_over_slices():
+    """Multi-slice mesh: pure DP over the slice (DCN) axis, TP within a
+    slice — the one-collective-over-DCN layout."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tensor_networks_tpu.parallel import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(2, (2, 2))
+    assert mesh.devices.shape == (2, 2, 2)
+    assert mesh.axis_names == ("slice", "data", "model")
+
+    # a batch reduction sharded over (slice, data): one psum result
+    x = jnp.arange(32.0).reshape(8, 4)
+    x = jax.device_put(x, NamedSharding(mesh, P(("slice", "data"), None)))
+    total = jax.jit(lambda v: jnp.sum(v))(x)
+    assert float(total) == float(np.sum(np.arange(32.0)))
