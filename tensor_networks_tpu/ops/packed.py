@@ -125,7 +125,8 @@ def evaluate(
 
     On TPU this is the VMEM-resident pallas kernel (the batch carry never
     round-trips HBM): ~0.8 Mpts/s at f32-level accuracy ("bf16x3"),
-    ~1.1 Mpts/s in bf16 ("default") for d=50 n=32 r=100 on one v5e chip.
+    ~1.25 Mpts/s in bf16 ("default", 2-step fused) for d=50 n=32 r=100
+    on one v5e chip.
     Elsewhere (or on kernel failure, which is logged) the XLA matmul
     form.  Not differentiable — training uses the XLA form directly.
     """
