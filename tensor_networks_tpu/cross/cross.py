@@ -139,6 +139,38 @@ def _cartesian_product_arrays(*arrays: np.ndarray) -> np.ndarray:
     return np.concatenate(pieces, axis=-1).reshape(total, sum(widths))
 
 
+def _norm_diff_packed(net, previous) -> Optional[float]:
+    """Fast NORM convergence metric for uniform-chain iterates.
+
+    The graph path re-contracts the whole (net - previous) network every
+    sweep, which recompiles at each new rank schedule (the dominant cost
+    of on-chip TT-cross runs).  Chains instead pack both iterates into
+    rank-bucketed PackedTTs — executables are reused while ranks grow —
+    and measure the block-diagonal difference train with
+    ``packed.norm_exact``, the backward-stable QR-sweep norm (the zipper
+    norm loses half the mantissa to cancellation precisely when the
+    iterates agree, i.e. at convergence).  Returns None when either
+    iterate is not a uniform-mode chain (HT/Tucker fall back).
+    """
+    from tensor_networks_tpu.ops import packed
+
+    a = packed.pack_ragged(net)
+    b = packed.pack_ragged(previous)
+    if (
+        a is None
+        or b is None
+        or a.d != b.d
+        or a.mode != b.mode
+    ):
+        return None
+    rank = max(a.rank, b.rank)
+    a = packed.pad_rank(a, rank)
+    b = packed.pad_rank(b, rank)
+    diff = packed.add(a, packed.scale(b, -1.0))
+    denom = packed.norm_exact(a)
+    return float(packed.norm_exact(diff) / denom)
+
+
 # ----------------------------- the engine ------------------------------
 
 
@@ -348,6 +380,9 @@ class CrossApproximation:
     ) -> float:
         check = self._config.convergence
         if check == ConvergenceCheck.NORM:
+            fast = _norm_diff_packed(net, previous)
+            if fast is not None:
+                return fast
             return float((net - previous).norm() / net.norm())
         if check == ConvergenceCheck.VALID_ERROR:
             estimate = np.asarray(

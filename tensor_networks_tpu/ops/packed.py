@@ -101,6 +101,100 @@ def pad(a: PackedTT) -> PackedTT:
     return PackedTT(*pad_train(a.first, a.mids, a.last))
 
 
+def pad_rank(a: PackedTT, rank: int) -> PackedTT:
+    """Zero-pad every bond of the train to ``rank`` (numerically inert)."""
+    grow = rank - a.rank
+    if grow < 0:
+        raise ValueError(f"cannot shrink rank {a.rank} to {rank}")
+    if grow == 0:
+        return a
+    return PackedTT(
+        jnp.pad(a.first, ((0, 0), (0, grow))),
+        jnp.pad(a.mids, ((0, 0), (0, grow), (0, 0), (0, grow))),
+        jnp.pad(a.last, ((0, grow), (0, 0))),
+    )
+
+
+def _chain_order(tn: TensorNetwork) -> Optional[list]:
+    """Node names of a path-topology network in chain order, else None."""
+    nodes = list(tn.network.nodes)
+    if len(nodes) < 3:
+        return None
+    nbrs = {n: list(tn.network.neighbors(n)) for n in nodes}
+    ends = [n for n in nodes if len(nbrs[n]) == 1]
+    if len(ends) != 2 or any(len(v) > 2 for v in nbrs.values()):
+        return None
+    order, prev = [ends[0]], None
+    while True:
+        step = [m for m in nbrs[order[-1]] if m != prev]
+        if not step:
+            break
+        prev = order[-1]
+        order.append(step[0])
+    return order if len(order) == len(nodes) else None
+
+
+def pack_ragged(tn: TensorNetwork, dtype=None) -> Optional[PackedTT]:
+    """Pack a linear-chain TT with *ragged* bond ranks into a PackedTT.
+
+    Every bond is zero-padded to the largest rank rounded up to a
+    power of two (>= 8) so executables are reused while ranks grow —
+    padding is numerically inert for inner/norm/add/norm_exact.  Axes
+    are put in canonical (left bond, mode, right bond) order from the
+    index metadata, so any core layout is accepted.
+
+    Returns None when the network is not a chain of >= 3 cores with one
+    free index per core and a single uniform mode size — callers fall
+    back to the graph path.
+    """
+    order = _chain_order(tn)
+    if order is None:
+        return None
+    tensors = [tn.node_tensor(n) for n in order]
+    bonds = []
+    for a, b in zip(tensors, tensors[1:]):
+        shared = [i for i in a.indices if i in b.indices]
+        if len(shared) != 1:
+            return None
+        bonds.append(shared[0])
+
+    cores, modes = [], []
+    for k, t in enumerate(tensors):
+        near = {bonds[j] for j in (k - 1, k) if 0 <= j < len(bonds)}
+        free = [i for i in t.indices if i not in near]
+        if len(free) != 1 or len(t.indices) != len(near) + 1:
+            return None
+        modes.append(free[0].size)
+        axes = (
+            [t.indices.index(bonds[k - 1])] if k else []
+        ) + [t.indices.index(free[0])] + (
+            [t.indices.index(bonds[k])] if k < len(bonds) else []
+        )
+        cores.append(jnp.transpose(t.value, axes))
+    if len(set(modes)) != 1:
+        return None
+
+    r = max(8, 1 << (max(b.size for b in bonds) - 1).bit_length())
+    first = jnp.pad(cores[0], ((0, 0), (0, r - cores[0].shape[1])))
+    mids = jnp.stack(
+        [
+            jnp.pad(
+                c,
+                (
+                    (0, r - c.shape[0]),
+                    (0, 0),
+                    (0, r - c.shape[2]),
+                ),
+            )
+            for c in cores[1:-1]
+        ]
+    )
+    last = jnp.pad(cores[-1], ((0, r - cores[-1].shape[0]), (0, 0)))
+    if dtype is not None:
+        first, mids, last = (x.astype(dtype) for x in (first, mids, last))
+    return PackedTT(first, mids, last)
+
+
 def inner(a: PackedTT, b: PackedTT) -> jnp.ndarray:
     """<a, b> via the fused zipper (Pallas HBM-roof kernel on TPU;
     one dispatch end-to-end for :func:`pad`-prepadded trains)."""
@@ -128,8 +222,14 @@ def evaluate(
     ~1.25 Mpts/s in bf16 ("default", 2-step fused) for d=50 n=32 r=100
     on one v5e chip.
     Elsewhere (or on kernel failure, which is logged) the XLA matmul
-    form.  Not differentiable — training uses the XLA form directly.
+    form.  For gradients use :func:`tt_evaluate_fast` (custom VJP).
     """
+    return _eval_routed(x.first, x.mids, x.last, idx, precision)
+
+
+def _eval_routed(first, mids, last, idx, precision: str) -> jnp.ndarray:
+    """Forward evaluation with the same pallas/XLA routing as
+    :func:`evaluate` (trace-time failures fall back, observably)."""
     import os
 
     from tensor_networks_tpu.parallel.sharded import tt_evaluate_batched
@@ -143,7 +243,7 @@ def evaluate(
 
         try:
             out = pko.tt_evaluate_pallas(
-                x.first, x.mids, x.last, idx, precision=precision
+                first, mids, last, idx, precision=precision
             )
             pko.PATH_STATS["pallas"] += 1
             return out
@@ -154,7 +254,46 @@ def evaluate(
                 type(exc).__name__,
                 exc,
             )
-    return tt_evaluate_batched(x.first, x.mids, x.last, idx)
+    return tt_evaluate_batched(first, mids, last, idx)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def tt_evaluate_fast(first, mids, last, idx, precision: str = "bf16x3"):
+    """Differentiable batched evaluation with the fast forward pass.
+
+    Forward runs the VMEM-resident pallas kernel on TPU (the XLA matmul
+    form elsewhere); backward rematerializes through the XLA form's VJP
+    — the standard trade of FLOPs for memory, and the cotangents are
+    exact f32 regardless of the forward ``precision``.  This is what
+    lets the training step use the ~3x-faster evaluation kernel.
+
+    Pallas calls do not SPMD-partition: on multi-device meshes keep the
+    plain :func:`parallel.sharded.tt_evaluate_batched` (sharding-aware)
+    or wrap per-device calls in ``shard_map`` yourself.
+    """
+    return _eval_routed(first, mids, last, idx, precision)
+
+
+def _tt_evaluate_fast_fwd(first, mids, last, idx, precision):
+    out = _eval_routed(first, mids, last, idx, precision)
+    return out, (first, mids, last, idx)
+
+
+def _tt_evaluate_fast_bwd(precision, res, g):
+    from tensor_networks_tpu.parallel.sharded import tt_evaluate_batched
+
+    first, mids, last, idx = res
+    _, vjp = jax.vjp(
+        lambda f, m, l: tt_evaluate_batched(f, m, l, idx),
+        first,
+        mids,
+        last,
+    )
+    df, dm, dl = vjp(g.astype(first.dtype))
+    return df, dm, dl, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+tt_evaluate_fast.defvjp(_tt_evaluate_fast_fwd, _tt_evaluate_fast_bwd)
 
 
 def norm(a: PackedTT) -> jnp.ndarray:

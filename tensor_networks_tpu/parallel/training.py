@@ -44,13 +44,45 @@ def init_tt_params(
     )
 
 
-def make_train_step(mesh: Mesh, optimizer: str = "sgd"):
+def _make_loss_fn(fast_eval: bool):
+    if fast_eval:
+        from tensor_networks_tpu.ops.packed import tt_evaluate_fast
+
+        def loss_fn(params: TTParams, idx, y):
+            preds = tt_evaluate_fast(
+                params.first, params.mids, params.last, idx
+            )
+            return jnp.mean((preds - y.astype(preds.dtype)) ** 2)
+
+        return loss_fn
+
+    def loss_fn(params: TTParams, idx, y):
+        preds = tt_evaluate_batched(
+            params.first, params.mids, params.last, idx
+        )
+        return jnp.mean((preds - y) ** 2)
+
+    return loss_fn
+
+
+def make_train_step(
+    mesh: Mesh, optimizer: str = "sgd", fast_eval: bool = False
+):
     """Build the jitted, mesh-sharded training step.
 
     ``optimizer`` is "sgd" (stateless; ``step(params, idx, y, lr)``) or
     "adam" (use :func:`make_adam_train_step` for the stateful API).
     Returns ``step`` plus placement helpers for params and batches.
+
+    ``fast_eval=True`` runs the forward pass through the pallas
+    evaluation kernel (custom VJP; backward stays the exact XLA form) —
+    single-device meshes only, since pallas calls do not SPMD-partition.
     """
+    if fast_eval and mesh.size > 1:
+        raise ValueError(
+            "fast_eval uses a pallas kernel, which does not partition "
+            "over a multi-device mesh; use the default XLA evaluation"
+        )
     param_shardings = TTParams(
         first=NamedSharding(mesh, P("model", None)),
         mids=NamedSharding(mesh, P(None, None, "model", None)),
@@ -59,11 +91,7 @@ def make_train_step(mesh: Mesh, optimizer: str = "sgd"):
     idx_sharding = NamedSharding(mesh, P("data", None))
     y_sharding = NamedSharding(mesh, P("data"))
 
-    def loss_fn(params: TTParams, idx, y):
-        preds = tt_evaluate_batched(
-            params.first, params.mids, params.last, idx
-        )
-        return jnp.mean((preds - y) ** 2)
+    loss_fn = _make_loss_fn(fast_eval)
 
     @jax.jit
     def step(
@@ -90,22 +118,23 @@ def make_train_step(mesh: Mesh, optimizer: str = "sgd"):
     return step, place_params, place_batch
 
 
-def make_adam_train_step(mesh: Mesh, lr: float = 1e-2):
+def make_adam_train_step(
+    mesh: Mesh, lr: float = 1e-2, fast_eval: bool = False
+):
     """Adam variant of the sharded training step (optax).
 
     Returns ``(step, init_state, place_params, place_batch)`` with
     ``step(params, opt_state, idx, y) -> (params, opt_state, loss)``.
+    ``fast_eval`` as in :func:`make_train_step`.
     """
     import optax
 
-    sgd_step, place_params, place_batch = make_train_step(mesh)
+    sgd_step, place_params, place_batch = make_train_step(
+        mesh, fast_eval=fast_eval
+    )
     tx = optax.adam(lr)
 
-    def loss_fn(params: TTParams, idx, y):
-        preds = tt_evaluate_batched(
-            params.first, params.mids, params.last, idx
-        )
-        return jnp.mean((preds - y) ** 2)
+    loss_fn = _make_loss_fn(fast_eval)
 
     @jax.jit
     def step(params, opt_state, idx, y):

@@ -113,3 +113,61 @@ def test_gmres_packed():
     x0 = pk.pack(_tt(d, n, 3, 8))
     x, resid = pk.gmres_packed(op, rhs, x0, eps=1e-8, rank=6, maxiter=25)
     assert resid < 1e-5 * float(pk.norm(rhs))
+
+
+def _ragged_tt(d, n, ranks, seed=7):
+    np.random.seed(seed)
+    indices = [Index(f"x{i}", n) for i in range(d)]
+    return TensorNetwork.rand_tt(indices, list(ranks))
+
+
+def test_pack_ragged_norm_parity():
+    """Zero-padded ragged packing represents the same tensor."""
+    tt = _ragged_tt(6, 5, [2, 3, 4, 3, 2])
+    p = pk.pack_ragged(tt)
+    assert p is not None and p.rank == 8  # padded to the pow2 bucket
+    dense = np.asarray(tt.contract().value).reshape(-1)
+    assert np.isclose(
+        float(pk.norm_exact(p)), np.linalg.norm(dense), rtol=1e-10
+    )
+    # inner parity against an independently packed second train
+    other = _ragged_tt(6, 5, [3, 2, 5, 2, 3], seed=8)
+    q = pk.pad_rank(pk.pack_ragged(other), p.rank)
+    dense_q = np.asarray(other.contract().value).reshape(-1)
+    assert np.isclose(
+        float(pk.inner(p, q)), float(dense.dot(dense_q)), rtol=1e-10
+    )
+
+
+def test_pack_ragged_rejects_non_chains():
+    indices = [Index(f"x{i}", 4) for i in range(4)]
+    assert pk.pack_ragged(TensorNetwork.rand_tucker(indices)) is None
+    assert pk.pack_ragged(TensorNetwork.rand_ht(indices, 2)) is None
+    # d=2 chains have no middle cores
+    short = TensorNetwork.rand_tt([Index("a", 4), Index("b", 4)], [2])
+    assert pk.pack_ragged(short) is None
+
+
+def test_pad_rank_inert():
+    tt = _tt(5, 4, 3, seed=11)
+    p = pk.pack(tt)
+    grown = pk.pad_rank(p, 9)
+    assert grown.rank == 9
+    assert np.isclose(
+        float(pk.norm_exact(grown)), float(pk.norm_exact(p)), rtol=1e-12
+    )
+    with pytest.raises(ValueError):
+        pk.pad_rank(p, 2)
+
+
+def test_cross_norm_check_uses_packed_path():
+    """The cross NORM convergence metric matches the graph computation
+    and actually takes the packed fast path for chain iterates."""
+    from tensor_networks_tpu.cross.cross import _norm_diff_packed
+
+    a = _ragged_tt(5, 4, [2, 3, 3, 2], seed=3)
+    b = _ragged_tt(5, 4, [3, 2, 2, 3], seed=4)
+    fast = _norm_diff_packed(a, b)
+    assert fast is not None
+    graph = float((a - b).norm() / a.norm())
+    assert np.isclose(fast, graph, rtol=1e-10)

@@ -79,3 +79,83 @@ def test_fallback_is_logged_not_swallowed(force_pallas, caplog, monkeypatch):
     assert abs(got - ref) <= 1e-5 * abs(ref)  # scan fallback correct
     assert po.PATH_STATS["fallback"] == force_pallas["fallback"] + 1
     assert any("falling back" in r.message for r in caplog.records)
+
+
+def test_evaluate_fast_custom_vjp(force_pallas):
+    """tt_evaluate_fast: pallas forward, exact XLA-form gradients."""
+    import jax
+
+    from tensor_networks_tpu.parallel.sharded import tt_evaluate_batched
+
+    np.random.seed(5)
+    d, n, r, batch = 6, 8, 96, 64
+    first = jnp.asarray(np.random.randn(n, r) / r, jnp.float32)
+    mids = jnp.asarray(
+        np.random.randn(d - 2, r, n, r) / r, jnp.float32
+    )
+    last = jnp.asarray(np.random.randn(r, n) / r, jnp.float32)
+    idx = jnp.asarray(np.random.randint(0, n, (batch, d)))
+    y = jnp.asarray(np.random.randn(batch), jnp.float32)
+
+    def loss_fast(f, m, l):
+        p = pk.tt_evaluate_fast(f, m, l, idx)
+        return jnp.mean((p - y) ** 2)
+
+    def loss_ref(f, m, l):
+        p = tt_evaluate_batched(f, m, l, idx)
+        return jnp.mean((p - y) ** 2)
+
+    val, grads = jax.value_and_grad(loss_fast, argnums=(0, 1, 2))(
+        first, mids, last
+    )
+    val_ref, grads_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(
+        first, mids, last
+    )
+    # forward took the pallas kernel
+    assert po.PATH_STATS["pallas"] > force_pallas["pallas"]
+    # bf16x3 forward: f32-level loss agreement
+    assert abs(float(val) - float(val_ref)) <= 1e-4 * abs(float(val_ref))
+    # backward is the exact XLA VJP
+    for g, gr in zip(grads, grads_ref):
+        assert np.allclose(np.asarray(g), np.asarray(gr), atol=1e-5)
+
+
+def test_train_step_fast_eval(force_pallas):
+    """A single-device training step with fast_eval converges like the
+    XLA-form step."""
+    import jax
+    from jax.sharding import Mesh
+
+    from tensor_networks_tpu.parallel.training import (
+        init_tt_params,
+        make_train_step,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    step_fast, place_p, place_b = make_train_step(mesh, fast_eval=True)
+    step_ref, _, _ = make_train_step(mesh, fast_eval=False)
+
+    np.random.seed(9)
+    params = init_tt_params(d=5, n=8, r=96, seed=1)
+    idx = np.random.randint(0, 8, (128, 5))
+    target = init_tt_params(d=5, n=8, r=96, seed=2)
+    from tensor_networks_tpu.parallel.sharded import tt_evaluate_batched
+
+    y = tt_evaluate_batched(target.first, target.mids, target.last, idx)
+    idx_d, y_d = place_b(idx, y)
+
+    p_fast, loss_fast = step_fast(place_p(params), idx_d, y_d, 1e-2)
+    p_ref, loss_ref = step_ref(place_p(params), idx_d, y_d, 1e-2)
+    assert abs(float(loss_fast) - float(loss_ref)) <= 1e-3 * abs(
+        float(loss_ref)
+    )
+    for a, b in zip(p_fast, p_ref):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # multi-device meshes must reject the pallas path
+    if len(jax.devices()) >= 2:
+        mesh8 = Mesh(
+            np.array(jax.devices()).reshape(-1, 1), ("data", "model")
+        )
+        with pytest.raises(ValueError):
+            make_train_step(mesh8, fast_eval=True)
