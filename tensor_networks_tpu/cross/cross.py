@@ -167,7 +167,9 @@ def _norm_diff_packed(net, previous) -> Optional[float]:
     a = packed.pad_rank(a, rank)
     b = packed.pad_rank(b, rank)
     diff = packed.add(a, packed.scale(b, -1.0))
-    denom = packed.norm_exact(a)
+    # the denominator reuses the numerator's (d, 2*rank) executable —
+    # a second norm_exact shape would be another multi-10s relay compile
+    denom = packed.norm_exact(packed.pad_rank(a, diff.rank))
     return float(packed.norm_exact(diff) / denom)
 
 
@@ -446,7 +448,7 @@ class CrossApproximation:
             self._install_root(net, tree)
 
             err = self._error(net, previous, validation, reference)
-            trajectory[len(tree.up_info.vals)] = float(err)
+            trajectory[max(tree.ranks(), default=0)] = float(err)
             logger.debug("sweep %s: error %s", sweep_no, err)
 
             budget = self._config.max_iters

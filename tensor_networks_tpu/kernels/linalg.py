@@ -48,17 +48,50 @@ def _svd_kernel(a: jnp.ndarray, tall: bool):
     return u, s, vt
 
 
+def _host_svd_threshold() -> int:
+    """Below this element count, TPU-backend SVDs run on the host.
+
+    On TPU, XLA's SVD is an iterative custom lowering that costs a fresh
+    multi-second compile per matrix shape (minutes through a remote
+    relay) — for the small, shape-diverse matrices of structure search
+    and graph rounding, host LAPACK wins on wall-clock and accuracy.
+    Large matrices still go to the device.  Tune with
+    ``TNT_DEVICE_SVD_MIN`` (elements); CPU/GPU backends are unaffected.
+    """
+    import os
+
+    return int(os.environ.get("TNT_DEVICE_SVD_MIN", 1 << 20))
+
+
 def svd_full(a) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Thin SVD ``a = u @ diag(s) @ vt`` on device."""
+    """Thin SVD ``a = u @ diag(s) @ vt`` (device; small-on-TPU → host)."""
     a = jnp.asarray(a)
     m, n = a.shape
+    if (
+        jax.default_backend() == "tpu"
+        and a.size < _host_svd_threshold()
+    ):
+        u, s, vt = np.linalg.svd(np.asarray(a), full_matrices=False)
+        return jnp.asarray(u), jnp.asarray(s), jnp.asarray(vt)
     return _svd_kernel(a, bool(m > 10 * n))
 
 
 @jax.jit
-def qr_reduced(a: jnp.ndarray):
-    """Reduced QR on device."""
-    return jnp.linalg.qr(jnp.asarray(a), mode="reduced")
+def _qr_kernel(a: jnp.ndarray):
+    return jnp.linalg.qr(a, mode="reduced")
+
+
+def qr_reduced(a):
+    """Reduced QR (device; small-on-TPU → host, same rationale as
+    :func:`svd_full` — graph rewrites produce many one-off shapes)."""
+    a = jnp.asarray(a)
+    if (
+        jax.default_backend() == "tpu"
+        and a.size < _host_svd_threshold()
+    ):
+        q, r = np.linalg.qr(np.asarray(a), mode="reduced")
+        return jnp.asarray(q), jnp.asarray(r)
+    return _qr_kernel(a)
 
 
 def qr_reduced_padded(a, r: int):

@@ -174,7 +174,11 @@ def pack_ragged(tn: TensorNetwork, dtype=None) -> Optional[PackedTT]:
     if len(set(modes)) != 1:
         return None
 
-    r = max(8, 1 << (max(b.size for b in bonds) - 1).bit_length())
+    # bucket floor 32: through the TPU relay every new (d, rank) shape
+    # is a ~30-60 s remote compile, so one bucket covering the usual
+    # cross/rounding rank range beats tighter padding (the padded QR
+    # compute is microseconds)
+    r = max(32, 1 << (max(b.size for b in bonds) - 1).bit_length())
     first = jnp.pad(cores[0], ((0, 0), (0, r - cores[0].shape[1])))
     mids = jnp.stack(
         [

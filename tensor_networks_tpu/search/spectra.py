@@ -27,6 +27,17 @@ from tensor_networks_tpu.tensor import Tensor
 from tensor_networks_tpu.types import Index
 
 
+def _padded_svals_fn():
+    """The one jitted batched-SVD executable (shape-polymorphic via jit's
+    per-shape cache; buckets keep the shape count tiny)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(
+        jax.vmap(lambda m: jnp.linalg.svd(m, compute_uv=False))
+    )
+
+
 def bin_spectrum(
     spectrum: np.ndarray, delta: float, bin_frac: float
 ) -> Tuple[List[float], List[int]]:
@@ -174,23 +185,50 @@ class SplitSpectra:
         )
 
     def _batched_device_svals(self, target: Tensor) -> None:
-        """All bipartition spectra, one vmapped SVD per matrix shape."""
+        """All bipartition spectra in ONE vmapped device SVD.
+
+        Every matricization is oriented short-side-first (singular values
+        are transpose-invariant) and zero-padded to a common
+        pow2-bucketed shape, so the whole preprocessing is a single
+        executable regardless of how many distinct shapes the
+        bipartitions produce.  Zero rows/cols only append zero singular
+        values; each spectrum is trimmed back to its true length before
+        binning.  One compile instead of one per shape — through the
+        ~20-60 s-per-compile TPU relay this is what makes search
+        preprocessing on-chip practical.
+        """
         import jax
-        import jax.numpy as jnp
 
-        by_shape: Dict[tuple, list] = {}
-        for comb in SearchState.all_index_combs(target.indices):
+        from tensor_networks_tpu.kernels.linalg import _host_svd_threshold
+
+        combs = list(SearchState.all_index_combs(target.indices))
+        mats = []
+        for comb in combs:
             mat = _matricize(target, comb)
-            by_shape.setdefault(mat.shape, []).append((comb, mat))
+            if mat.shape[0] > mat.shape[1]:
+                mat = mat.T
+            mats.append(mat)
 
-        for group in by_shape.values():
-            stack = jnp.asarray(np.stack([mat for _, mat in group]))
-            svals = np.asarray(
-                jax.vmap(
-                    lambda m: jnp.linalg.svd(m, compute_uv=False)
-                )(stack)
-            )
-            for (comb, _), s in zip(group, svals):
+        if jax.default_backend() == "tpu" and all(
+            m.size < _host_svd_threshold() for m in mats
+        ):
+            # small targets: host LAPACK beats per-shape device compiles
+            for comb, mat in zip(combs, mats):
+                s = np.linalg.svd(np.asarray(mat), compute_uv=False)
                 self._cands[OSplit(comb)] = bin_spectrum(
                     s, self.delta, self.config.synthesizer.bin_size
                 )
+            return
+
+        m_b = 1 << (max(m.shape[0] for m in mats) - 1).bit_length()
+        k_b = 1 << (max(m.shape[1] for m in mats) - 1).bit_length()
+        stack = np.zeros((len(mats), m_b, k_b), dtype=np.asarray(mats[0]).dtype)
+        for i, mat in enumerate(mats):
+            stack[i, : mat.shape[0], : mat.shape[1]] = mat
+        svals = np.asarray(_padded_svals_fn()(stack))
+        for comb, mat, s in zip(combs, mats, svals):
+            self._cands[OSplit(comb)] = bin_spectrum(
+                s[: mat.shape[0]],
+                self.delta,
+                self.config.synthesizer.bin_size,
+            )

@@ -125,7 +125,7 @@ def test_pack_ragged_norm_parity():
     """Zero-padded ragged packing represents the same tensor."""
     tt = _ragged_tt(6, 5, [2, 3, 4, 3, 2])
     p = pk.pack_ragged(tt)
-    assert p is not None and p.rank == 8  # padded to the pow2 bucket
+    assert p is not None and p.rank == 32  # padded to the bucket floor
     dense = np.asarray(tt.contract().value).reshape(-1)
     assert np.isclose(
         float(pk.norm_exact(p)), np.linalg.norm(dense), rtol=1e-10
