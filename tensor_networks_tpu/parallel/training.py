@@ -66,13 +66,21 @@ def _make_loss_fn(fast_eval: bool):
 
 
 def make_train_step(
-    mesh: Mesh, optimizer: str = "sgd", fast_eval: bool = False
+    mesh: Mesh,
+    optimizer: str = "sgd",
+    fast_eval: bool = False,
+    batch_axes: Tuple[str, ...] = ("data",),
 ):
     """Build the jitted, mesh-sharded training step.
 
     ``optimizer`` is "sgd" (stateless; ``step(params, idx, y, lr)``) or
     "adam" (use :func:`make_adam_train_step` for the stateful API).
     Returns ``step`` plus placement helpers for params and batches.
+
+    ``batch_axes`` names the mesh axes the sample batch shards over —
+    pass ``("slice", "data")`` on a :func:`make_hybrid_mesh` to run pure
+    DP over the DCN slice axis (one gradient all-reduce per step is the
+    only collective that crosses slices).
 
     ``fast_eval=True`` runs the forward pass through the pallas
     evaluation kernel (custom VJP; backward stays the exact XLA form) —
@@ -88,8 +96,9 @@ def make_train_step(
         mids=NamedSharding(mesh, P(None, None, "model", None)),
         last=NamedSharding(mesh, P(None, "model")),
     )
-    idx_sharding = NamedSharding(mesh, P("data", None))
-    y_sharding = NamedSharding(mesh, P("data"))
+    batch = tuple(batch_axes)
+    idx_sharding = NamedSharding(mesh, P(batch, None))
+    y_sharding = NamedSharding(mesh, P(batch))
 
     loss_fn = _make_loss_fn(fast_eval)
 

@@ -140,3 +140,35 @@ def test_hybrid_mesh_dp_over_slices():
     x = jax.device_put(x, NamedSharding(mesh, P(("slice", "data"), None)))
     total = jax.jit(lambda v: jnp.sum(v))(x)
     assert float(total) == float(np.sum(np.arange(32.0)))
+
+
+def test_train_step_hybrid_batch_axes():
+    """DP over the (slice, data) axes of a hybrid mesh: the batch shards
+    across slices, params replicate, and the step matches the
+    single-mesh result."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensor_networks_tpu.parallel import (
+        init_tt_params,
+        make_hybrid_mesh,
+        make_mesh,
+        make_train_step,
+    )
+
+    hmesh = make_hybrid_mesh(2, (2, 2))
+    step_h, place_p, place_b = make_train_step(
+        hmesh, batch_axes=("slice", "data")
+    )
+    params = init_tt_params(d=5, n=4, r=3, dtype=jnp.float32, seed=0)
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, 4, size=(16, 5))
+    y = rng.standard_normal(16).astype(np.float32)
+    p_h, loss_h = step_h(place_p(params), *place_b(idx, y), 1e-3)
+
+    flat = make_mesh((8, 1))
+    step_f, place_p_f, place_b_f = make_train_step(flat)
+    p_f, loss_f = step_f(place_p_f(params), *place_b_f(idx, y), 1e-3)
+    assert np.isclose(float(loss_h), float(loss_f), rtol=1e-6)
+    for a, b in zip(p_h, p_f):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
