@@ -76,6 +76,7 @@ from tensor_networks_tpu.ops import (  # noqa: E402
     stack_tt_cores,
     tt_round_fixed,
 )
+from tensor_networks_tpu import fit  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -119,4 +120,5 @@ __all__ = [
     "tt_inner_fn",
     "stack_tt_cores",
     "tt_round_fixed",
+    "fit",
 ]

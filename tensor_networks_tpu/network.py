@@ -751,7 +751,23 @@ class TensorNetwork:
         (structure, shapes, batch size) — eager per-node gathers are far
         too slow, especially on multi-device backends.
         """
-        batch_ind = Index("_batch", chunk.shape[0])
+        fn, values = self.evaluator(indices, chunk.shape[0])
+        return fn(values, jnp.asarray(chunk))
+
+    def evaluator(
+        self, indices: Sequence[Index], batch_size: int
+    ):
+        """The pure batched-evaluation function of this topology.
+
+        Returns ``(fn, values)`` where ``fn(values, cols) -> (B,)``
+        evaluates the network whose node values are ``values`` (listed in
+        node order) at the ``(batch_size, len(indices))`` integer
+        multi-index array ``cols``.  ``fn`` is jitted, cached by
+        structure, and **differentiable in ``values``** — it is the
+        building block for gradient-based fitting on arbitrary
+        topologies (:mod:`tensor_networks_tpu.fit`).
+        """
+        batch_ind = Index("_batch", batch_size)
         operand_indices: List[List[Index]] = []
         plans = []  # (perm or None, gathered columns)
         values = []
@@ -787,7 +803,7 @@ class TensorNetwork:
                 tuple((i.name, i.size) for i in ids)
                 for ids in operand_indices
             ),
-            chunk.shape,
+            (batch_size, len(list(indices))),
         )
         if len(_EVAL_FNS) > 1024:  # bound executable-cache growth
             _EVAL_FNS.clear()
@@ -809,7 +825,7 @@ class TensorNetwork:
 
             fn = jax.jit(run)
             _EVAL_FNS[key] = fn
-        return fn(values, jnp.asarray(chunk))
+        return fn, values
 
     # -- constructors ------------------------------------------------------------------------------
 
