@@ -134,6 +134,45 @@ def _chain_order(tn: TensorNetwork) -> Optional[list]:
     return order if len(order) == len(nodes) else None
 
 
+def chain_cores(tn: TensorNetwork):
+    """Canonical cores of a linear-chain network with ragged ranks.
+
+    Returns ``(order, cores, free_indices, perms)`` — node names in
+    chain order, values transposed into (left bond, mode, right bond) /
+    (mode, right) / (left, mode) layout from the index metadata, the
+    per-node free index, and the axis permutation applied to each node
+    (invert with ``np.argsort(perm)`` to write values back) — or None
+    when the network is not a chain of >= 3 cores with exactly one free
+    index per core.
+    """
+    order = _chain_order(tn)
+    if order is None:
+        return None
+    tensors = [tn.node_tensor(n) for n in order]
+    bonds = []
+    for a, b in zip(tensors, tensors[1:]):
+        shared = [i for i in a.indices if i in b.indices]
+        if len(shared) != 1:
+            return None
+        bonds.append(shared[0])
+
+    cores, frees, perms = [], [], []
+    for k, t in enumerate(tensors):
+        near = {bonds[j] for j in (k - 1, k) if 0 <= j < len(bonds)}
+        free = [i for i in t.indices if i not in near]
+        if len(free) != 1 or len(t.indices) != len(near) + 1:
+            return None
+        frees.append(free[0])
+        axes = (
+            [t.indices.index(bonds[k - 1])] if k else []
+        ) + [t.indices.index(free[0])] + (
+            [t.indices.index(bonds[k])] if k < len(bonds) else []
+        )
+        cores.append(jnp.transpose(t.value, axes))
+        perms.append(tuple(axes))
+    return order, cores, frees, perms
+
+
 def pack_ragged(tn: TensorNetwork, dtype=None) -> Optional[PackedTT]:
     """Pack a linear-chain TT with *ragged* bond ranks into a PackedTT.
 
@@ -147,38 +186,22 @@ def pack_ragged(tn: TensorNetwork, dtype=None) -> Optional[PackedTT]:
     free index per core and a single uniform mode size — callers fall
     back to the graph path.
     """
-    order = _chain_order(tn)
-    if order is None:
+    extracted = chain_cores(tn)
+    if extracted is None:
         return None
-    tensors = [tn.node_tensor(n) for n in order]
-    bonds = []
-    for a, b in zip(tensors, tensors[1:]):
-        shared = [i for i in a.indices if i in b.indices]
-        if len(shared) != 1:
-            return None
-        bonds.append(shared[0])
-
-    cores, modes = [], []
-    for k, t in enumerate(tensors):
-        near = {bonds[j] for j in (k - 1, k) if 0 <= j < len(bonds)}
-        free = [i for i in t.indices if i not in near]
-        if len(free) != 1 or len(t.indices) != len(near) + 1:
-            return None
-        modes.append(free[0].size)
-        axes = (
-            [t.indices.index(bonds[k - 1])] if k else []
-        ) + [t.indices.index(free[0])] + (
-            [t.indices.index(bonds[k])] if k < len(bonds) else []
-        )
-        cores.append(jnp.transpose(t.value, axes))
-    if len(set(modes)) != 1:
+    _, cores, frees, _ = extracted
+    if len({f.size for f in frees}) != 1:
         return None
 
     # bucket floor 32: through the TPU relay every new (d, rank) shape
     # is a ~30-60 s remote compile, so one bucket covering the usual
     # cross/rounding rank range beats tighter padding (the padded QR
     # compute is microseconds)
-    r = max(32, 1 << (max(b.size for b in bonds) - 1).bit_length())
+    rmax = max(
+        [c.shape[-1] for c in cores[:-1]]
+        + [c.shape[0] for c in cores[1:]]
+    )
+    r = max(32, 1 << (rmax - 1).bit_length())
     first = jnp.pad(cores[0], ((0, 0), (0, r - cores[0].shape[1])))
     mids = jnp.stack(
         [
