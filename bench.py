@@ -217,6 +217,11 @@ def main():
                 return tt_inner_pallas(
                     f, ma, la, fb, mb, lb, prepadded=True
                 )
+            if which == "pallas_b3":
+                return tt_inner_pallas(
+                    f, ma, la, fb, mb, lb,
+                    prepadded=True, precision="bf16x3",
+                )
             return tt_inner_fn(True)(f, ma, la, fb, mb, lb)
 
         def body(acc, _i):
@@ -252,6 +257,7 @@ def main():
         file=sys.stderr,
     )
     t_inner = t_inner_scan
+    t_inner_b3 = float("nan")
     if on_tpu:
         try:
             t_inner_pl = timed_repeat(
@@ -273,6 +279,26 @@ def main():
                 file=sys.stderr,
             )
             t_inner = min(t_inner, t_inner_pl)
+            # the 3-pass split point: ~3e-5 relative at near-bf16 speed
+            t_inner_b3 = timed_repeat(
+                lambda k: inner_repeat(
+                    a_dev[0],
+                    a_mids_padded,
+                    a_dev[2],
+                    a_dev[0],
+                    a_mids_padded,
+                    a_dev[2],
+                    k=k,
+                    which="pallas_b3",
+                ),
+                8,
+                104,
+            )
+            print(
+                f"[bench] tpu inner (pallas bf16x3): "
+                f"{t_inner_b3*1e6:.0f} us/call",
+                file=sys.stderr,
+            )
         except Exception as exc:  # always emit the JSON line
             print(f"[bench] pallas path failed: {exc}", file=sys.stderr)
 
@@ -599,6 +625,7 @@ def main():
             "tpu_inner_scan_us": round(t_inner_scan * 1e6, 1),
             "round_speedup_x": round(round_speedup, 2),
             "tpu_inner_us": round(t_inner * 1e6, 1),
+            "tpu_inner_bf16x3_us": round(t_inner_b3 * 1e6, 1),
             "numpy_inner_ms": round(t_np_inner * 1e3, 2),
             "tpu_round_ms": round(t_round * 1e3, 2),
             "tpu_round_svd_ms": round(t_round_svd * 1e3, 2),

@@ -53,13 +53,36 @@ def pad_bond(mids: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(mids, ((0, 0), (0, rp - r), (0, 0), (0, rp2 - r2)))
 
 
-def _make_zipper_kernel(precision: str):
-    # Mosaic supports only single-pass (DEFAULT) and 6-pass (HIGHEST)
-    # f32 matmuls; Precision.HIGH raises NotImplementedError in lowering
+def _pick_dot(precision: str):
+    """Matmul for the zipper kernels at the chosen accuracy/speed point.
+
+    Mosaic lowers only single-pass (DEFAULT, raw bf16) and 6-pass
+    (HIGHEST, full f32) matmuls — Precision.HIGH (3-pass) raises
+    NotImplementedError.  "bf16x3" recovers the 3-pass point manually
+    (hi*hi + hi*lo + lo*hi over split mantissas, :func:`_split_dot`):
+    ~1e-6 relative accuracy at ~half the HIGHEST cost.
+    """
+    if precision == "bf16x3":
+        return _split_dot
     prec = {
         "highest": jax.lax.Precision.HIGHEST,
         "default": jax.lax.Precision.DEFAULT,
     }[precision]
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x,
+            y,
+            (((1,), (0,)), ((), ())),
+            precision=prec,
+            preferred_element_type=jnp.float32,
+        )
+
+    return dot
+
+
+def _make_zipper_kernel(precision: str):
+    dot = _pick_dot(precision)
 
     def _zipper_kernel(a_ref, b_ref, w0_ref, out_ref, w_scratch):
         """One grid step: w <- sum_n A_i(n)^T w B_i(n).
@@ -80,23 +103,11 @@ def _make_zipper_kernel(precision: str):
         a = a_ref[0].reshape(rp, n * rp2)  # (rp, n*rp2), lane-aligned
         w = w_scratch[:]
         # t[b1, (n a2)] = sum_a1 w[a1, b1] a[a1, (n a2)]
-        t = jax.lax.dot_general(
-            w.T,
-            a,
-            (((1,), (0,)), ((), ())),
-            precision=prec,
-            preferred_element_type=jnp.float32,
-        )
+        t = dot(w.T, a)
         t = t.reshape(rp * n, rp2)  # regroup (b1, n) into rows
         b = b_ref[0].reshape(rp * n, rp2)
         # w'[a2, b2] = sum_(b1 n) t[(b1 n), a2] b[(b1 n), b2]
-        w_scratch[:] = jax.lax.dot_general(
-            t.T,
-            b,
-            (((1,), (0,)), ((), ())),
-            precision=prec,
-            preferred_element_type=jnp.float32,
-        )
+        w_scratch[:] = dot(t.T, b)
 
         @pl.when(i == pl.num_programs(0) - 1)
         def _():
@@ -152,19 +163,7 @@ def _make_fused_kernel(precision: str):
     """The whole inner product in one kernel: step 0 seeds the carry from
     the first cores, every step zips one middle core pair, the final step
     contracts the last cores down to the scalar."""
-    prec = {
-        "highest": jax.lax.Precision.HIGHEST,
-        "default": jax.lax.Precision.DEFAULT,
-    }[precision]
-
-    def dot(x, y):
-        return jax.lax.dot_general(
-            x,
-            y,
-            (((1,), (0,)), ((), ())),
-            precision=prec,
-            preferred_element_type=jnp.float32,
-        )
+    dot = _pick_dot(precision)
 
     def kernel(
         fa_ref, fb_ref, la_ref, lb_ref, a_ref, b_ref, out_ref, w_scratch

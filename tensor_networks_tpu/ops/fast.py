@@ -104,17 +104,25 @@ def pallas_inner_eligible(ma, mb) -> bool:
     )
 
 
-def pallas_inner(fa, ma, la, fb, mb, lb):
+def pallas_inner(fa, ma, la, fb, mb, lb, precision: str = "highest"):
     """The pallas zipper with observable fallback: a failure is logged
     and counted (kernels.pallas_ops.PATH_STATS), never swallowed
-    silently — a silent fallback is an invisible ~2x perf cliff."""
+    silently — a silent fallback is an invisible ~2x perf cliff.
+
+    ``precision``: "highest" (full f32, default), "bf16x3" (3-pass
+    split, ~1e-6 relative at ~2x the speed), "default" (raw bf16).
+    """
     from tensor_networks_tpu.kernels import pallas_ops as pk
 
     try:
         if ma.shape[1] % pk.LANE == 0 and fa.shape[1] == ma.shape[1]:
-            out = pk.tt_inner_pallas_fused(fa, ma, la, fb, mb, lb)
+            out = pk.tt_inner_pallas_fused(
+                fa, ma, la, fb, mb, lb, precision=precision
+            )
         else:
-            out = pk.tt_inner_pallas(fa, ma, la, fb, mb, lb)
+            out = pk.tt_inner_pallas(
+                fa, ma, la, fb, mb, lb, precision=precision
+            )
         pk.PATH_STATS["pallas"] += 1
         return out
     except Exception as exc:
@@ -128,7 +136,9 @@ def pallas_inner(fa, ma, la, fb, mb, lb):
         return None
 
 
-def tt_inner_fast(a: TensorNetwork, b: TensorNetwork) -> jnp.ndarray:
+def tt_inner_fast(
+    a: TensorNetwork, b: TensorNetwork, precision: str = "highest"
+) -> jnp.ndarray:
     """Inner product of two uniform TTs through the fused zipper.
 
     On TPU with f32/bf16 cores the Pallas HBM-roof kernel is used —
@@ -146,11 +156,15 @@ def tt_inner_fast(a: TensorNetwork, b: TensorNetwork) -> jnp.ndarray:
         return a.inner(b)
 
     if pallas_inner_eligible(ma, mb):
-        out = pallas_inner(fa, ma, la, fb, mb, lb)
+        out = pallas_inner(fa, ma, la, fb, mb, lb, precision=precision)
         if out is not None:
             return out
 
-    fn = tt_inner_fn(ma is not None)
+    # the XLA scan zipper has no 3-pass mode; map to full f32
+    fn = tt_inner_fn(
+        ma is not None,
+        "highest" if precision == "bf16x3" else precision,
+    )
     if ma is None:
         ma = mb = jnp.zeros((0,))
     return fn(fa, ma, la, fb, mb, lb)

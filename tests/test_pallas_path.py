@@ -159,3 +159,16 @@ def test_train_step_fast_eval(force_pallas):
         )
         with pytest.raises(ValueError):
             make_train_step(mesh8, fast_eval=True)
+
+
+def test_zipper_bf16x3_precision_option(force_pallas):
+    """The 3-pass split zipper: plumbed end-to-end, ~1e-5-accurate."""
+    a, b = _pair(r=96, seed=3)
+    ref = float(a.inner(b))
+    got = float(tt_inner_fast(a, b, precision="bf16x3"))
+    assert abs(got - ref) <= 1e-3 * abs(ref)
+    assert po.PATH_STATS["pallas"] > force_pallas["pallas"]
+
+    ap, bp = pk.pad(pk.pack(a)), pk.pad(pk.pack(b))
+    got_packed = float(pk.inner(ap, bp, precision="bf16x3"))
+    assert abs(got_packed - ref) <= 1e-3 * abs(ref)
