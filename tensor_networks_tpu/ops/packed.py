@@ -222,33 +222,58 @@ def pack_ragged(tn: TensorNetwork, dtype=None) -> Optional[PackedTT]:
     return PackedTT(first, mids, last)
 
 
+def _inner_routed(fa, ma, la, fb, mb, lb, precision: str) -> jnp.ndarray:
+    """Zipper forward with the pallas/XLA routing of :func:`inner`."""
+    from tensor_networks_tpu.ops.fast import (
+        pallas_inner,
+        pallas_inner_eligible,
+    )
+
+    if ma.ndim == 4 and pallas_inner_eligible(ma, mb):
+        out = pallas_inner(fa, ma, la, fb, mb, lb, precision=precision)
+        if out is not None:
+            return out
+    return tt_inner_fn(
+        True, "highest" if precision == "bf16x3" else precision
+    )(fa, ma, la, fb, mb, lb)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _inner_diff(fa, ma, la, fb, mb, lb, precision: str = "highest"):
+    """Differentiable zipper: pallas forward, exact XLA scan backward.
+
+    The pallas kernels have no VJP rule; the cotangents here come from
+    differentiating the ``lax.scan`` zipper in full f32 regardless of
+    the forward ``precision`` — the backward pass is one fused scan, the
+    same FLOP count as the forward."""
+    return _inner_routed(fa, ma, la, fb, mb, lb, precision)
+
+
+def _inner_diff_fwd(fa, ma, la, fb, mb, lb, precision):
+    out = _inner_routed(fa, ma, la, fb, mb, lb, precision)
+    return out, (fa, ma, la, fb, mb, lb)
+
+
+def _inner_diff_bwd(precision, res, g):
+    fa, ma, la, fb, mb, lb = res
+    _, vjp = jax.vjp(tt_inner_fn(True), fa, ma, la, fb, mb, lb)
+    return vjp(g.astype(fa.dtype))
+
+
+_inner_diff.defvjp(_inner_diff_fwd, _inner_diff_bwd)
+
+
 def inner(
     a: PackedTT, b: PackedTT, precision: str = "highest"
 ) -> jnp.ndarray:
     """<a, b> via the fused zipper (Pallas HBM-roof kernel on TPU;
     one dispatch end-to-end for :func:`pad`-prepadded trains).
     ``precision``: "highest" (full f32) / "bf16x3" (~1e-6, ~2x faster)
-    / "default" (raw bf16)."""
-    from tensor_networks_tpu.ops.fast import (
-        pallas_inner,
-        pallas_inner_eligible,
+    / "default" (raw bf16).  Differentiable: the backward pass is the
+    exact VJP of the XLA scan zipper (full f32)."""
+    return _inner_diff(
+        a.first, a.mids, a.last, b.first, b.mids, b.last, precision
     )
-
-    if a.mids.ndim == 4 and pallas_inner_eligible(a.mids, b.mids):
-        out = pallas_inner(
-            a.first,
-            a.mids,
-            a.last,
-            b.first,
-            b.mids,
-            b.last,
-            precision=precision,
-        )
-        if out is not None:
-            return out
-    return tt_inner_fn(
-        True, "highest" if precision == "bf16x3" else precision
-    )(a.first, a.mids, a.last, b.first, b.mids, b.last)
 
 
 def evaluate(
