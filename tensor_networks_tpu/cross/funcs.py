@@ -46,11 +46,26 @@ class TensorFunc:
                 grid = np.arange(int(ind.size), dtype=float)
             table[row, : grid.size] = grid
         self._grid_table = table
+        self._grid_sizes = np.asarray(sizes, dtype=int)
 
     def index_to_args(self, indices: np.ndarray) -> np.ndarray:
         """Integer multi-indices (n, d) -> argument values (n, d), one
         vectorized gather from the precompiled grid table."""
         pts = np.asarray(indices).astype(int)
+        # the table is padded to the largest mode; an index into the pad
+        # region of a smaller mode is a pivot-bookkeeping bug upstream
+        # and must fail loudly, not read 0.0
+        if pts.size and (
+            pts.min() < 0 or (pts >= self._grid_sizes[None, :]).any()
+        ):
+            bad = np.argwhere(
+                (pts < 0) | (pts >= self._grid_sizes[None, :])
+            )[0]
+            raise IndexError(
+                f"multi-index out of range: row {bad[0]} has index "
+                f"{pts[bad[0], bad[1]]} for mode {bad[1]} of size "
+                f"{self._grid_sizes[bad[1]]}"
+            )
         return self._grid_table[
             np.arange(self.d)[None, :], pts
         ]

@@ -71,7 +71,16 @@ def svd_full(a) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         jax.default_backend() == "tpu"
         and a.size < _host_svd_threshold()
     ):
-        u, s, vt = np.linalg.svd(np.asarray(a), full_matrices=False)
+        a_np = np.asarray(a)
+        try:
+            u, s, vt = np.linalg.svd(a_np, full_matrices=False)
+        except np.linalg.LinAlgError:
+            # LAPACK reports failure by raising (unlike JAX's NaN
+            # convention that delta_svd handles); QR + SVD of the small
+            # R factor is the reference's recovery (pytens/utils.py:62)
+            q, r = np.linalg.qr(a_np, mode="reduced")
+            u_r, s, vt = np.linalg.svd(r, full_matrices=False)
+            u = q @ u_r
         return jnp.asarray(u), jnp.asarray(s), jnp.asarray(vt)
     return _svd_kernel(a, bool(m > 10 * n))
 

@@ -114,8 +114,14 @@ def pallas_inner(fa, ma, la, fb, mb, lb, precision: str = "highest"):
     """
     from tensor_networks_tpu.kernels import pallas_ops as pk
 
+    def prepadded(f, m):
+        return m.shape[1] % pk.LANE == 0 and f.shape[1] == m.shape[1]
+
     try:
-        if ma.shape[1] % pk.LANE == 0 and fa.shape[1] == ma.shape[1]:
+        # the fused single-dispatch kernel needs BOTH trains prepadded;
+        # a mixed pair goes to the on-the-fly-padding kernel instead of
+        # failing into the ~2x-slower scan
+        if prepadded(fa, ma) and prepadded(fb, mb):
             out = pk.tt_inner_pallas_fused(
                 fa, ma, la, fb, mb, lb, precision=precision
             )

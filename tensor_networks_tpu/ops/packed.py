@@ -293,7 +293,15 @@ def evaluate(
 
 def _eval_routed(first, mids, last, idx, precision: str) -> jnp.ndarray:
     """Forward evaluation with the same pallas/XLA routing as
-    :func:`evaluate` (trace-time failures fall back, observably)."""
+    :func:`evaluate`.
+
+    The fallback catches *trace-time* failures (eager calls compile the
+    kernel here, so those are covered too).  Under an outer ``jit`` the
+    Mosaic compile happens later at that jit boundary; a kernel that
+    traces but fails to compile (e.g. the 16 MB scoped-VMEM limit at
+    very large padded ranks) surfaces there as an error rather than
+    falling back — run one eager call first to validate a new shape.
+    """
     import os
 
     from tensor_networks_tpu.parallel.sharded import tt_evaluate_batched

@@ -42,7 +42,7 @@ def _operator_train(
     d = len(stacks)
     n_sum = stacks[0].shape[0]
     eye = jnp.eye(n_sum, dtype=stacks[0].dtype)
-    bonds = [Index(f"{prefix}_r{p + 1}", n_sum) for p in range(d)]
+    bonds = [Index(f"{prefix}_r{p + 1}", n_sum) for p in range(d - 1)]
 
     net = TensorNetwork()
     for p, stack in enumerate(stacks):
@@ -53,9 +53,8 @@ def _operator_train(
             core = stack  # (S, n_out, n_in)
             inds = [bonds[p - 1], indices_out[p], indices_in[p]]
         else:
+            # (S, n_out, n_in, S'): diagonal summand embedding
             core = jnp.einsum("soi,st->soit", stack, eye)
-            core = jnp.moveaxis(core, 3, 1)  # (S, S', n_out, n_in) order?
-            core = jnp.moveaxis(core, 1, 3)
             inds = [bonds[p - 1], indices_out[p], indices_in[p], bonds[p]]
         net.add_node(p, Tensor(core, inds))
         if p:
@@ -184,14 +183,12 @@ def ttop_sum_apply(
     ]
     bonds = [
         Index(f"{rank_name_prefix}_r{p + 1}", bond_sizes[p])
-        for p in range(d)
+        for p in range(d - 1)
     ]
     for p in range(d):
         stack = applied[p]
         if p == 0:
-            core = jnp.moveaxis(stack, 0, -1)  # (n_out, r, S)
-            core = core.reshape(core.shape[0], -1)  # (n_out, r*S)? no:
-            # want summand-major blocks along the bond: (n_out, S*r)
+            # summand-major blocks along the bond: (n_out, S*r)
             core = jnp.moveaxis(stack, 0, 1).reshape(stack.shape[1], -1)
             inds = [indices_out[0], bonds[0]]
         elif p == d - 1:

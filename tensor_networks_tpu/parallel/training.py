@@ -128,18 +128,21 @@ def make_train_step(
 
 
 def make_adam_train_step(
-    mesh: Mesh, lr: float = 1e-2, fast_eval: bool = False
+    mesh: Mesh,
+    lr: float = 1e-2,
+    fast_eval: bool = False,
+    batch_axes: Tuple[str, ...] = ("data",),
 ):
     """Adam variant of the sharded training step (optax).
 
     Returns ``(step, init_state, place_params, place_batch)`` with
     ``step(params, opt_state, idx, y) -> (params, opt_state, loss)``.
-    ``fast_eval`` as in :func:`make_train_step`.
+    ``fast_eval`` and ``batch_axes`` as in :func:`make_train_step`.
     """
     import optax
 
     sgd_step, place_params, place_batch = make_train_step(
-        mesh, fast_eval=fast_eval
+        mesh, fast_eval=fast_eval, batch_axes=batch_axes
     )
     tx = optax.adam(lr)
 

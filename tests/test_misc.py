@@ -73,6 +73,15 @@ def test_func_data_and_func_network():
     assert np.allclose(np.asarray(g(pts)), data[pts[:, 0], pts[:, 1]])
     assert g.cost() == net.cost()
 
+    # mixed mode sizes: an index into the pad region of the smaller
+    # mode must fail loudly, never read the 0.0 pad
+    import pytest
+
+    with pytest.raises(IndexError):
+        f(np.array([[4, 0]]))  # 4 is the pad region of mode "i" (size 4)
+    with pytest.raises(IndexError):
+        f(np.array([[-1, 0]]))
+
 
 def test_tt_round_fixed_modes_agree():
     d, n, r = 7, 5, 3

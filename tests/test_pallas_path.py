@@ -56,6 +56,19 @@ def test_prepadded_train_single_fused_call(force_pallas):
     assert po.PATH_STATS["pallas"] == force_pallas["pallas"] + 1
 
 
+def test_mixed_padded_unpadded_pair_stays_on_pallas(force_pallas):
+    """One prepadded + one raw train must route to the on-the-fly-padding
+    kernel, not fail out of the fused kernel into the scan."""
+    a, b = _pair(r=96, seed=11)
+    ap = pk.pad(pk.pack(a))  # rank 128, lane-aligned
+    bp = pk.pack(b)  # rank 96, unpadded
+    ref = float(a.inner(b))
+    got = float(pk.inner(ap, bp))
+    assert abs(got - ref) <= 1e-4 * abs(ref)
+    assert po.PATH_STATS["pallas"] == force_pallas["pallas"] + 1
+    assert po.PATH_STATS["fallback"] == force_pallas["fallback"]
+
+
 def test_small_bonds_stay_on_scan(force_pallas):
     a, b = _pair(r=8)
     ref = float(a.inner(b))
