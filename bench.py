@@ -611,6 +611,31 @@ def main():
     except Exception as exc:
         print(f"[bench] search path failed: {exc}", file=sys.stderr)
 
+    dfs_wall = dfs_count = float("nan")
+    try:
+        np.random.seed(4)
+        dnet = TensorNetwork()
+        dnet.add_node(
+            "G",
+            Tensor(
+                np.random.randn(3, 4, 5),
+                [Index(nm, sz) for nm, sz in zip("ijk", (3, 4, 5))],
+            ),
+        )
+        dcfg = SearchConfig()
+        dcfg.engine.eps = 0.5
+        tic = time.perf_counter()
+        dstats = SearchEngine(dcfg).dfs(dnet)
+        dfs_wall = time.perf_counter() - tic
+        dfs_count = dstats["count"]
+        print(
+            f"[bench] dfs search 3x4x5: {dfs_wall:.2f} s, "
+            f"{dfs_count} states",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"[bench] dfs search failed: {exc}", file=sys.stderr)
+
     inner_speedup = t_np_inner / t_inner
     round_speedup = t_np_round / t_round
     geomean = float(np.sqrt(inner_speedup * round_speedup))
@@ -644,6 +669,8 @@ def main():
             "cross_d6_unique_evals": cross_calls,
             "search_partition_wall_s": round(search_wall, 2),
             "search_partition_programs": search_count,
+            "search_dfs_wall_s": round(dfs_wall, 2),
+            "search_dfs_states": dfs_count,
             "inner_self_rel_diff_f32": float(f"{rel:.2e}"),
             "device": str(dev),
         },
