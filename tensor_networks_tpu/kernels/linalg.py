@@ -65,12 +65,14 @@ def _host_svd_threshold() -> int:
 
 def svd_full(a) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Thin SVD ``a = u @ diag(s) @ vt`` (device; small-on-TPU → host)."""
-    a = jnp.asarray(a)
     m, n = a.shape
     if (
         jax.default_backend() == "tpu"
         and a.size < _host_svd_threshold()
     ):
+        # np.asarray is free for host inputs; do NOT device_put first —
+        # a put-then-fetch round trip through the relay costs seconds
+        # (measured 43 s/array in one session) for zero work
         a_np = np.asarray(a)
         try:
             u, s, vt = np.linalg.svd(a_np, full_matrices=False)
@@ -81,8 +83,12 @@ def svd_full(a) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
             q, r = np.linalg.qr(a_np, mode="reduced")
             u_r, s, vt = np.linalg.svd(r, full_matrices=False)
             u = q @ u_r
-        return jnp.asarray(u), jnp.asarray(s), jnp.asarray(vt)
-    return _svd_kernel(a, bool(m > 10 * n))
+        # return HOST arrays: pushing factors back to the device and
+        # re-fetching them costs relay round trips that dwarf the math
+        # for search-sized tensors; consumers that need device arrays
+        # convert exactly once at their boundary
+        return u, s, vt
+    return _svd_kernel(jnp.asarray(a), bool(m > 10 * n))
 
 
 @jax.jit
@@ -93,14 +99,15 @@ def _qr_kernel(a: jnp.ndarray):
 def qr_reduced(a):
     """Reduced QR (device; small-on-TPU → host, same rationale as
     :func:`svd_full` — graph rewrites produce many one-off shapes)."""
-    a = jnp.asarray(a)
     if (
         jax.default_backend() == "tpu"
         and a.size < _host_svd_threshold()
     ):
+        # host arrays out, no device_put first — same rationale as
+        # svd_full
         q, r = np.linalg.qr(np.asarray(a), mode="reduced")
-        return jnp.asarray(q), jnp.asarray(r)
-    return _qr_kernel(a)
+        return q, r
+    return _qr_kernel(jnp.asarray(a))
 
 
 def qr_reduced_padded(a, r: int):
@@ -110,12 +117,12 @@ def qr_reduced_padded(a, r: int):
     Used by right-orthogonalization when a core is rank-deficient
     (k < r); parity with ``pytens/algs.py:1679-1685``.
     """
-    a = jnp.asarray(a)
     q, rr = qr_reduced(a)
     cols = q.shape[1]
     if cols < r:
-        q = jnp.pad(q, ((0, 0), (0, r - cols)))
-        rr = jnp.pad(rr, ((0, r - cols), (0, 0)))
+        xp = np if isinstance(q, np.ndarray) else jnp
+        q = xp.pad(q, ((0, 0), (0, r - cols)))
+        rr = xp.pad(rr, ((0, r - cols), (0, 0)))
     return q, rr
 
 
@@ -148,8 +155,9 @@ def delta_svd(data, delta: float, with_normalizing: bool = False) -> TruncSVD:
     u, s, vt = svd_full(data)
     s_host = np.asarray(s)
     if not np.all(np.isfinite(s_host)):
-        q, r = qr_reduced(jnp.asarray(data))
-        u_small, s, vt = jnp.linalg.svd(r, full_matrices=False)
+        q, r = qr_reduced(data)
+        lin = np.linalg if isinstance(r, np.ndarray) else jnp.linalg
+        u_small, s, vt = lin.svd(r, full_matrices=False)
         u = q @ u_small
         s_host = np.asarray(s)
 

@@ -74,6 +74,14 @@ class CompiledContraction:
 
         self._fn = jax.jit(run)
 
+    def run_host(self, *arrays: np.ndarray) -> np.ndarray:
+        """The same contraction on host NumPy (same frozen path)."""
+        if self.path is not None:
+            return oe.contract(
+                self.expression, *arrays, optimize=self.path
+            )
+        return np.einsum(self.expression, *arrays)
+
     @staticmethod
     def _native_path(operand_ids, out_ids, shapes):
         """Exact minimum-flop path from the C++ subset DP, when in range."""
@@ -150,6 +158,31 @@ def contract_values(
     shapes = [tuple(v.shape) for v in values]
     dtype = np.result_type(*[v.dtype for v in values])
     fn = get_contraction(operand_ids, out_ids, shapes, dtype)
+
+    # TPU backend, small HOST-RESIDENT operands: run on host.  XLA's
+    # TPU pipeline pays a fresh multi-second remote compile per new
+    # contraction signature, so host BLAS wins for the small one-off
+    # shapes search preprocessing generates.  The gate requires every
+    # operand to already be NumPy: fetching device arrays through the
+    # relay costs far more than a cached-executable dispatch (measured
+    # 64-463 s for an 8-state DFS when this path fetched, vs 21 s
+    # without), so data is never moved to reach this path.
+    if jax.default_backend() == "tpu" and all(
+        isinstance(v, np.ndarray) for v in values
+    ):
+        from tensor_networks_tpu.kernels.linalg import _host_svd_threshold
+
+        limit = _host_svd_threshold()
+        out_size = 1
+        dim_of: Dict[int, int] = {}
+        for ids_row, shape in zip(operand_ids, shapes):
+            for i, sz in zip(ids_row, shape):
+                dim_of[i] = sz
+        for i in out_ids:
+            out_size *= dim_of[i]
+        if out_size < limit and all(v.size < limit for v in values):
+            return fn.run_host(*values)
+
     return fn(*values)
 
 

@@ -54,8 +54,17 @@ class Tensor:
     # -- metadata updates ----------------------------------------------------
 
     def update_val_size(self, value) -> "Tensor":
-        """Replace the value in place; index sizes follow the new shape."""
-        value = jnp.asarray(value)
+        """Replace the value in place; index sizes follow the new shape.
+
+        Host (NumPy) arrays are kept host-resident: on the TPU backend
+        small graph tensors flow host SVD -> host contraction -> host
+        install, and pushing them to the device here would force a relay
+        round trip per operation (measured 10-20x search slowdowns).
+        Device consumers (packed kernels, sharded paths) convert at
+        their own boundary.
+        """
+        if not isinstance(value, np.ndarray):
+            value = jnp.asarray(value)
         assert value.ndim == len(self.indices), (
             f"{value.shape}, {self.indices}"
         )
@@ -85,7 +94,9 @@ class Tensor:
         """A new tensor with axes permuted by position."""
         if not target_order:
             return self
-        value = jnp.transpose(self.value, tuple(target_order))
+        value = (
+            np if isinstance(self.value, np.ndarray) else jnp
+        ).transpose(self.value, tuple(target_order))
         indices = [self.indices[i] for i in target_order]
         return Tensor(value, indices)
 
@@ -194,7 +205,8 @@ class Tensor:
         self, lefts: Sequence[int]
     ) -> Tuple[jnp.ndarray, List[int], List[int], int, int]:
         rights = [i for i in range(len(self.indices)) if i not in lefts]
-        value = jnp.transpose(self.value, tuple(list(lefts) + rights))
+        xp = np if isinstance(self.value, np.ndarray) else jnp
+        value = xp.transpose(self.value, tuple(list(lefts) + rights))
         left_sz = int(np.prod([self.indices[i].size for i in lefts]))
         right_sz = int(np.prod([self.indices[j].size for j in rights]))
         return value.reshape(left_sz, right_sz), list(lefts), rights, left_sz, right_sz
@@ -218,7 +230,8 @@ class Tensor:
         u_indices.append(Index("r_split_l", rank))
 
         s_indices = [Index("r_split_l", rank), Index("r_split_r", rank)]
-        s_tensor = Tensor(jnp.diag(result.s), s_indices)
+        xp = np if isinstance(result.s, np.ndarray) else jnp
+        s_tensor = Tensor(xp.diag(result.s), s_indices)
 
         v_val = result.v.reshape(
             [rank] + [self.indices[j].size for j in rights]

@@ -98,3 +98,23 @@ def test_native_tt_ladder_finds_zipper():
     # zipper cost ~ 2 d n r^3; assert we are within 4x of it
     zipper = 2 * d * n * r**3
     assert cost <= 4 * zipper, (cost, zipper)
+
+
+def test_run_host_matches_device_contraction():
+    """The host einsum path (TPU small-contraction routing) returns the
+    same values as the jitted device contraction, same frozen path."""
+    import numpy as np
+
+    from tensor_networks_tpu.planner import get_contraction
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((4, 5, 6))
+    b = rng.standard_normal((6, 3))
+    c = rng.standard_normal((3, 5))
+    operand_ids = ((0, 1, 2), (2, 3), (3, 1))
+    out_ids = (0,)
+    shapes = (a.shape, b.shape, c.shape)
+    fn = get_contraction(operand_ids, out_ids, shapes, a.dtype)
+    dev = np.asarray(fn(a, b, c))
+    host = fn.run_host(a, b, c)
+    assert np.allclose(dev, host, atol=1e-12)
