@@ -629,7 +629,11 @@ def _gmres_at_rank(
         # then a correction pass — restores f32 basis orthogonality that
         # single-pass classical Gram-Schmidt loses
         for _ in range(2):
-            coeffs = [float(inner(w, v[ii])) for ii in range(jj + 1)]
+            # ONE host fetch for the whole coefficient block: each
+            # individual float() is a full relay round trip (~25 ms+)
+            coeffs = np.asarray(
+                jnp.stack([inner(w, v[ii]) for ii in range(jj + 1)])
+            ).tolist()
             for ii, c in enumerate(coeffs):
                 h[ii, jj] += c
             w = add(
