@@ -752,10 +752,23 @@ class TensorNetwork:
         too slow, especially on multi-device backends.
         """
         fn, values = self.evaluator(indices, chunk.shape[0])
+        if (
+            jax.default_backend() == "tpu"
+            and all(isinstance(v, np.ndarray) for v in values)
+            and self.cost() * chunk.shape[0] < (1 << 26)
+        ):
+            # small host-resident network: gathers + contraction on
+            # host.  Each evaluate batch shape otherwise costs a fresh
+            # multi-second remote XLA compile — for cross validation
+            # checks at ever-growing ranks that is the entire wall time
+            host_fn, _ = self.evaluator(
+                indices, chunk.shape[0], host=True
+            )
+            return host_fn(values, chunk)
         return fn(values, jnp.asarray(chunk))
 
     def evaluator(
-        self, indices: Sequence[Index], batch_size: int
+        self, indices: Sequence[Index], batch_size: int, host: bool = False
     ):
         """The pure batched-evaluation function of this topology.
 
@@ -766,6 +779,10 @@ class TensorNetwork:
         structure, and **differentiable in ``values``** — it is the
         building block for gradient-based fitting on arbitrary
         topologies (:mod:`tensor_networks_tpu.fit`).
+
+        ``host=True`` returns a NumPy implementation of the same plan
+        instead (no jit, no cache) — used to keep small host-resident
+        evaluations off the TPU relay entirely.
         """
         batch_ind = Index("_batch", batch_size)
         operand_indices: List[List[Index]] = []
@@ -795,6 +812,23 @@ class TensorNetwork:
                 plans.append((None, ()))
                 operand_indices.append(list(tensor.indices))
             values.append(tensor.value)
+
+        if host:
+
+            def run_host(vals, cols):
+                operands = []
+                for v, (perm, gcols) in zip(vals, plans):
+                    if perm is None:
+                        operands.append(np.asarray(v))
+                    else:
+                        vt = np.transpose(np.asarray(v), perm)
+                        idx = tuple(cols[:, c] for c in gcols)
+                        operands.append(vt[idx])
+                return contract_values(
+                    operand_indices, operands, [batch_ind]
+                )
+
+            return run_host, values
 
         key = (
             tuple(plans),
