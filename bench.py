@@ -521,9 +521,14 @@ def main():
         eval_speedup = float("nan")
         numpy_eval_pts = 512
 
-    # ---- on-chip cross approximation + structure search (absolute) ----
+    # ---- cross approximation + structure search (absolute wall) ----
     # the reference publishes no numbers for these; record measured
-    # wall-times + quality so rounds are comparable (VERDICT r1 item 6)
+    # wall-times + quality so rounds are comparable (VERDICT r1 item 6).
+    # NOTE these run on the TPU-backend session but the library routes
+    # search-sized tensors to host BLAS (see planner/kernels.linalg):
+    # the wall-times below are the end-to-end answer a user gets, not
+    # device-kernel times — the device numbers are the inner/round/
+    # evaluate metrics above
     cross_wall = cross_err = cross_calls = float("nan")
     try:
         from tensor_networks_tpu import Index, TensorNetwork

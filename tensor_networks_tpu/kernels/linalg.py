@@ -63,8 +63,16 @@ def _host_svd_threshold() -> int:
     return int(os.environ.get("TNT_DEVICE_SVD_MIN", 1 << 20))
 
 
-def svd_full(a) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Thin SVD ``a = u @ diag(s) @ vt`` (device; small-on-TPU → host)."""
+def svd_full(a) -> Tuple:
+    """Thin SVD ``a = u @ diag(s) @ vt``.
+
+    Device by default; small matrices on the TPU backend run on host
+    LAPACK and return **NumPy** factors (device round trips through the
+    relay cost more than the math — convert at your boundary if you
+    need device arrays).
+    """
+    if not hasattr(a, "shape"):
+        a = np.asarray(a)
     m, n = a.shape
     if (
         jax.default_backend() == "tpu"
@@ -97,8 +105,11 @@ def _qr_kernel(a: jnp.ndarray):
 
 
 def qr_reduced(a):
-    """Reduced QR (device; small-on-TPU → host, same rationale as
-    :func:`svd_full` — graph rewrites produce many one-off shapes)."""
+    """Reduced QR (device; small-on-TPU → host NumPy, same contract and
+    rationale as :func:`svd_full` — graph rewrites produce many one-off
+    shapes)."""
+    if not hasattr(a, "shape"):
+        a = np.asarray(a)
     if (
         jax.default_backend() == "tpu"
         and a.size < _host_svd_threshold()

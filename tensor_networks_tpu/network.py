@@ -724,6 +724,15 @@ class TensorNetwork:
         n_total = values.shape[0]
         assert values.shape[1] == len(indices)
 
+        # route the WHOLE call host or device, decided on the largest
+        # chunk it will see — per-chunk decisions would mix precision
+        # (host f64 vs device f32 accumulation) and out-of-range
+        # semantics (host raises IndexError, XLA's gather clamps)
+        # within one output array
+        host = self._host_eval_ok(
+            indices, _next_pow2(min(_EVAL_CHUNK, n_total))
+        )
+
         out = np.empty(n_total)
         start = 0
         while start < n_total:
@@ -736,36 +745,56 @@ class TensorNetwork:
                     axis=0,
                 )
             out[start : start + batch] = np.asarray(
-                self._evaluate_chunk(indices, chunk)
+                self._evaluate_chunk(indices, chunk, host=host)
             )[:batch]
             start += batch
         return out
 
-    def _evaluate_chunk(
-        self, indices: Sequence[Index], chunk: np.ndarray
-    ) -> jnp.ndarray:
-        """One fully-jitted gather + contraction over a padded batch.
+    def _host_eval_ok(
+        self, indices: Sequence[Index], batch: int
+    ) -> bool:
+        """Whether evaluation should run host-side (TPU backend only).
 
-        The whole chunk evaluation (per-node transposes, batched gathers,
-        and the final einsum) compiles to a single executable cached by
-        (structure, shapes, batch size) — eager per-node gathers are far
-        too slow, especially on multi-device backends.
+        True when every node value is host-resident NumPy and every
+        gathered operand — ``batch x`` the node's non-gathered dims —
+        stays below the host-contraction limit, so the host route never
+        falls through to a device dispatch carrying multi-megabyte host
+        operands.  Each device evaluate batch shape otherwise costs a
+        fresh multi-second remote XLA compile; for cross's validation
+        checks at ever-growing ranks that is the entire wall time.
         """
-        fn, values = self.evaluator(indices, chunk.shape[0])
-        if (
-            jax.default_backend() == "tpu"
-            and all(isinstance(v, np.ndarray) for v in values)
-            and self.cost() * chunk.shape[0] < (1 << 26)
-        ):
-            # small host-resident network: gathers + contraction on
-            # host.  Each evaluate batch shape otherwise costs a fresh
-            # multi-second remote XLA compile — for cross validation
-            # checks at ever-growing ranks that is the entire wall time
-            host_fn, _ = self.evaluator(
-                indices, chunk.shape[0], host=True
+        if jax.default_backend() != "tpu":
+            return False
+        from tensor_networks_tpu.kernels.linalg import _host_svd_threshold
+
+        limit = _host_svd_threshold()
+        index_set = set(indices)
+        for node in self.network.nodes:
+            tensor = self.node_tensor(node)
+            if not isinstance(tensor.value, np.ndarray):
+                return False
+            rest = int(
+                np.prod(
+                    [i.size for i in tensor.indices if i not in index_set]
+                )
             )
-            return host_fn(values, chunk)
-        return fn(values, jnp.asarray(chunk))
+            gathered = any(i in index_set for i in tensor.indices)
+            if (batch * rest if gathered else tensor.value.size) >= limit:
+                return False
+        return True
+
+    def _evaluate_chunk(
+        self, indices: Sequence[Index], chunk: np.ndarray, host: bool = False
+    ) -> jnp.ndarray:
+        """One gather + contraction over a padded batch.
+
+        Device (default): fully jitted, one executable cached by
+        (structure, shapes, batch size) — eager per-node gathers are far
+        too slow, especially on multi-device backends.  ``host``: the
+        same plan in NumPy (see :meth:`_host_eval_ok`).
+        """
+        fn, values = self.evaluator(indices, chunk.shape[0], host=host)
+        return fn(values, chunk if host else jnp.asarray(chunk))
 
     def evaluator(
         self, indices: Sequence[Index], batch_size: int, host: bool = False
@@ -813,22 +842,24 @@ class TensorNetwork:
                 operand_indices.append(list(tensor.indices))
             values.append(tensor.value)
 
-        if host:
-
-            def run_host(vals, cols):
+        def make_run(xp):
+            def run(vals, cols):
                 operands = []
                 for v, (perm, gcols) in zip(vals, plans):
                     if perm is None:
-                        operands.append(np.asarray(v))
+                        operands.append(xp.asarray(v))
                     else:
-                        vt = np.transpose(np.asarray(v), perm)
+                        vt = xp.transpose(xp.asarray(v), perm)
                         idx = tuple(cols[:, c] for c in gcols)
                         operands.append(vt[idx])
                 return contract_values(
                     operand_indices, operands, [batch_ind]
                 )
 
-            return run_host, values
+            return run
+
+        if host:
+            return make_run(np), values
 
         key = (
             tuple(plans),
@@ -843,21 +874,7 @@ class TensorNetwork:
             _EVAL_FNS.clear()
         fn = _EVAL_FNS.get(key)
         if fn is None:
-
-            def run(vals, cols):
-                operands = []
-                for v, (perm, gcols) in zip(vals, plans):
-                    if perm is None:
-                        operands.append(v)
-                    else:
-                        vt = jnp.transpose(v, perm)
-                        idx = tuple(cols[:, c] for c in gcols)
-                        operands.append(vt[idx])
-                return contract_values(
-                    operand_indices, operands, [batch_ind]
-                )
-
-            fn = jax.jit(run)
+            fn = jax.jit(make_run(jnp))
             _EVAL_FNS[key] = fn
         return fn, values
 

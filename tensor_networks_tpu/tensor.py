@@ -56,14 +56,25 @@ class Tensor:
     def update_val_size(self, value) -> "Tensor":
         """Replace the value in place; index sizes follow the new shape.
 
-        Host (NumPy) arrays are kept host-resident: on the TPU backend
-        small graph tensors flow host SVD -> host contraction -> host
-        install, and pushing them to the device here would force a relay
-        round trip per operation (measured 10-20x search slowdowns).
-        Device consumers (packed kernels, sharded paths) convert at
-        their own boundary.
+        On the TPU backend, small host (NumPy) arrays are kept
+        host-resident (as a defensive copy — deepcopy clones share
+        value buffers, so an installed array must never alias caller
+        memory): small graph tensors flow host SVD -> host contraction
+        -> host install, and pushing them to the device here would
+        force a relay round trip per operation (measured 10-20x search
+        slowdowns).  Everything else converts to a device array as
+        before; device consumers (packed kernels, sharded paths)
+        convert at their own boundary.
         """
-        if not isinstance(value, np.ndarray):
+        import jax
+
+        if (
+            isinstance(value, np.ndarray)
+            and jax.default_backend() == "tpu"
+            and value.size < (1 << 20)
+        ):
+            value = value.copy()
+        else:
             value = jnp.asarray(value)
         assert value.ndim == len(self.indices), (
             f"{value.shape}, {self.indices}"

@@ -89,6 +89,14 @@ def main() -> int:
         f"min-slope ({factor:.1f}x healthy ~{HEALTHY_US:.0f} us); "
         f"single-shot {us_single:.0f} us"
     )
+    if us_min <= 0:
+        # a stall during one best_of leg made the slope meaningless —
+        # exactly the condition the probe exists to catch
+        print(
+            "[chip_health] DEGRADED — non-positive slope, a relay "
+            "stall hit the measurement itself; timings untrustworthy"
+        )
+        return 1
     if factor > 3.0:
         print(
             "[chip_health] DEGRADED — do not trust timings taken now; "
