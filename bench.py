@@ -328,9 +328,18 @@ def main():
         sweep = _tt_round_sweep_fn(True)
 
         def body(acc, i):
-            scale = 1.0 + i * jnp.asarray(1e-6, dtype)
-            f, m, l, k0, _ = sweep(first * scale, mids, last, 1e-6)
-            return acc + jnp.sum(f) + k0.astype(dtype), None
+            # acc-dependent: serializes iterations (an i-only scale lets
+            # the scheduler overlap independent sweeps)
+            scale = 1.0 + acc * jnp.asarray(1e-24, dtype)
+            f, m, l, k0, ks = sweep(first * scale, mids, last, 1e-6)
+            # depend on EVERY output or XLA dead-code-eliminates the
+            # forward truncation sweep and the timing is only the
+            # backward half (a ~50x flattery caught 2026-08-17)
+            tot = (
+                jnp.sum(f) + jnp.sum(m) + jnp.sum(l)
+                + (k0 + jnp.sum(ks)).astype(dtype)
+            )
+            return acc + tot, None
 
         acc, _ = jax.lax.scan(
             body, jnp.asarray(0.0, dtype), jnp.arange(k, dtype=dtype)
@@ -355,9 +364,18 @@ def main():
         sweep = _tt_round_cholqr2_sweep_fn(True)
 
         def body(acc, i):
-            scale = 1.0 + i * jnp.asarray(1e-6, dtype)
-            f, m, l, k0, _ = sweep(first * scale, mids, last, 1e-6)
-            return acc + jnp.sum(f) + k0.astype(dtype), None
+            # acc-dependent: serializes iterations (an i-only scale lets
+            # the scheduler overlap independent sweeps)
+            scale = 1.0 + acc * jnp.asarray(1e-24, dtype)
+            f, m, l, k0, ks = sweep(first * scale, mids, last, 1e-6)
+            # depend on EVERY output or XLA dead-code-eliminates the
+            # forward truncation sweep and the timing is only the
+            # backward half (a ~50x flattery caught 2026-08-17)
+            tot = (
+                jnp.sum(f) + jnp.sum(m) + jnp.sum(l)
+                + (k0 + jnp.sum(ks)).astype(dtype)
+            )
+            return acc + tot, None
 
         acc, _ = jax.lax.scan(
             body, jnp.asarray(0.0, dtype), jnp.arange(k, dtype=dtype)
@@ -378,9 +396,45 @@ def main():
         print(f"[bench] cholqr2 path failed: {exc}", file=sys.stderr)
         t_round_c2 = float("nan")
 
+    # two-sided sweep: matmul-only truncation (batched sign projectors)
+    from tensor_networks_tpu.ops.fast import _tt_round_twosided_sweep_fn
+
+    @partial(jax.jit, static_argnames=("k",))
+    def round_ts_repeat(first, mids, last, k):
+        sweep = _tt_round_twosided_sweep_fn(True)
+
+        def body(acc, i):
+            scale = 1.0 + acc * jnp.asarray(1e-24, dtype)
+            f, m, l, k0, ks = sweep(first * scale, mids, last, 1e-6)
+            tot = (
+                jnp.sum(f) + jnp.sum(m) + jnp.sum(l)
+                + (k0 + jnp.sum(ks)).astype(dtype)
+            )
+            return acc + tot, None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.asarray(0.0, dtype), jnp.arange(k, dtype=dtype)
+        )
+        return acc
+
+    try:
+        t_round_ts = timed_repeat(
+            lambda k: round_ts_repeat(a_dev[0], a_dev[1], a_dev[2], k=k),
+            1,
+            9,
+        )
+        print(
+            f"[bench] tpu round (twosided): {t_round_ts*1e3:.2f} ms/call",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"[bench] twosided path failed: {exc}", file=sys.stderr)
+        t_round_ts = float("nan")
+
     t_round = min(
-        t_round_svd,
-        t_round_c2 if t_round_c2 == t_round_c2 else t_round_svd,
+        t
+        for t in (t_round_svd, t_round_c2, t_round_ts)
+        if t == t  # drop NaNs
     )
 
     # all-GEMM Gram/CholQR sweep (loose-tolerance fast mode)
@@ -392,8 +446,12 @@ def main():
 
         def body(acc, i):
             scale = 1.0 + acc * jnp.asarray(1e-24, dtype)
-            f, m, l, k0, _ = sweep(first * scale, mids, last, 1e-3)
-            return (jnp.sum(f) + k0.astype(dtype)).astype(dtype), None
+            f, m, l, k0, ks = sweep(first * scale, mids, last, 1e-3)
+            tot = (
+                jnp.sum(f) + jnp.sum(m) + jnp.sum(l)
+                + (k0 + jnp.sum(ks)).astype(dtype)
+            )
+            return tot.astype(dtype), None
 
         acc, _ = jax.lax.scan(
             body, jnp.asarray(0.0, dtype), jnp.arange(k, dtype=dtype)
@@ -663,6 +721,7 @@ def main():
             "tpu_round_ms": round(t_round * 1e3, 2),
             "tpu_round_svd_ms": round(t_round_svd * 1e3, 2),
             "tpu_round_cholqr2_ms": round(t_round_c2 * 1e3, 2),
+            "tpu_round_twosided_ms": round(t_round_ts * 1e3, 2),
             "tpu_round_gram_ms": round(t_round_gram * 1e3, 2),
             "numpy_round_ms": round(t_np_round * 1e3, 2),
             "round_gflops_est": round(gflops, 1),

@@ -67,6 +67,7 @@ from tensor_networks_tpu.ops import (  # noqa: E402
     tt_sum_randomized_round,
     tt_rand_precond_svd_round,
     gmres,
+    als_solve,
     packed,
     PackedTT,
     PackedTTOp,
@@ -116,6 +117,7 @@ __all__ = [
     "PackedTT",
     "PackedTTOp",
     "gmres_packed",
+    "als_solve",
     "tt_inner_fast",
     "tt_inner_fn",
     "stack_tt_cores",

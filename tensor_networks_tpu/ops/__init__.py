@@ -26,6 +26,7 @@ from tensor_networks_tpu.ops.randomized import (
     tt_rand_precond_svd_round,
 )
 from tensor_networks_tpu.ops.solvers import gmres
+from tensor_networks_tpu.ops.als import als_solve
 from tensor_networks_tpu.ops import packed
 from tensor_networks_tpu.ops.packed import (
     PackedTT,
@@ -58,6 +59,7 @@ __all__ = [
     "tt_sum_randomized_round",
     "tt_rand_precond_svd_round",
     "gmres",
+    "als_solve",
     "packed",
     "PackedTT",
     "PackedTTOp",

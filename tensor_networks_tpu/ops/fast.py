@@ -87,8 +87,12 @@ def tt_inner_fn(has_mids: bool, precision: str = "highest"):
 def pallas_inner_eligible(ma, mb) -> bool:
     """Route to the pallas zipper: on TPU (or when TNT_FORCE_PALLAS=1,
     which runs the kernel in interpret mode for testing), f32/bf16 cores,
-    and bonds at least half the 128 lane width — below that the bond
-    padding wastes more bandwidth than the scan's carry staging costs."""
+    and bonds in [64, 128] — below that the bond padding wastes more
+    bandwidth than the scan's carry staging costs; above the 128 lane
+    width the double-buffered (rp, n, rp) core-pair blocks exceed the
+    16 MB scoped-VMEM budget (measured: rp=256 n=32 needs 32 MB), and a
+    doomed compile attempt costs ~20 s through the relay before the
+    fallback fires."""
     import os
 
     backend_ok = (
@@ -101,6 +105,9 @@ def pallas_inner_eligible(ma, mb) -> bool:
         and ma.dtype in (jnp.float32, jnp.bfloat16)
         and mb.dtype == ma.dtype
         and min(ma.shape[1], ma.shape[3]) >= 64
+        and max(
+            ma.shape[1], ma.shape[3], mb.shape[1], mb.shape[3]
+        ) <= 128
     )
 
 
@@ -290,8 +297,14 @@ def _tt_round_cholqr2_sweep_fn(relative: bool):
     rank-deficient bonds (TT+TT).  The jitter inflates null-direction
     singular values to ~sqrt(jitter) ("ghosts"); truncation decisions
     deflate it back out (sqrt(s^2 - jitter)), so compaction matches the
-    Householder sweep exactly (verified at d=50 r=100 on chip), at ~10x
-    the speed (0.56 vs 6 ms).  Scope: the ghost floor (~sqrt(40 eps)
+    Householder sweep (verified at d=50 r=100 on chip).  Speed: ~32 vs
+    39 ms full-sweep at d=50 r=100 on a v5e — both are dominated by
+    the 48 sequential per-bond (r x r) SVDs, which on TPU cost ~700 us
+    each and neither batch nor pipeline; for the fast accurate mode
+    use ``method="twosided"`` (~10 ms, no eigensolvers).  An earlier
+    "0.56 ms" figure timed only the backward half (the benchmark body
+    did not consume the forward outputs, so XLA dead-code-eliminated
+    the truncation sweep).  Scope: the ghost floor (~sqrt(40 eps)
     relative, f32 ~2e-3) limits how finely the *kept factors* resolve
     structure — use the Householder sweep for precision-critical chains
     (GMRES Krylov rounding); this sweep for tolerance-based compaction.
@@ -383,6 +396,175 @@ def _tt_round_cholqr2_sweep_fn(relative: bool):
         )
         last_out = carry_sv @ last_q
         return first_out, mids_out, last_out, k0, mid_ranks
+
+    return jax.jit(sweep)
+
+
+@lru_cache(maxsize=8)
+def _tt_round_twosided_sweep_fn(relative: bool, sign_iters: int = 100):
+    """Two-sided rounding with matmul-only spectral-projector truncation.
+
+    The classic forward truncation sweep interleaves an (r x r) SVD per
+    bond into the sequential carry chain — and iterative SVD/eigh on
+    TPU costs ~700 us at r=128 *and does not batch* (a vmapped SVD of
+    (49,128,128) measures 33 ms — XLA unrolls it), so 48 such SVDs ARE
+    the rounding wall time.  This sweep removes eigensolvers entirely:
+
+    1. right-orthogonalize (CholeskyQR2 — GEMM/cholesky/triangular),
+    2. a forward CholeskyQR2 chain collecting the bond matrices L_k
+       with X = U_1..U_k L_k V_{k+1}..V_d for EVERY k (the single-chip
+       form of Al Daas/Ballard-style parallel TT-rounding),
+    3. per-bond truncation projectors P_k onto the above-threshold
+       eigenspace of G_k = L_k^T L_k, computed for ALL bonds at once by
+       a batched Newton-Schulz **matrix-sign iteration** (pure GEMMs;
+       power-iteration spectral scaling) — the projector of eigenvalues
+       of G_k - tau^2 I, with an orthonormal basis via one batched QR
+       of P_k applied to a fixed random probe,
+    4. project the cores: W_k = Q_{k-1}^T U_k Q_k (pure GEMMs).
+
+    Truncation rule: drop directions with sigma^2 < budget^2 / r — a
+    per-direction threshold whose total dropped mass is <= budget^2, so
+    the error contract holds, but it can keep a few more ranks than the
+    SVD sweep's maximal-tail rule on slowly-decaying spectra (exact
+    rank recovery on rank-deficient inputs is identical).  Accuracy
+    scope matches the cholqr2 sweep (jitter-deflated ghost handling,
+    ~sqrt(40 eps) kept-factor floor); thresholds below ~1.5^-sign_iters
+    of the spectral radius do not resolve — at the default 100
+    iterations that is ~1e-17, i.e. never the binding constraint.
+    """
+
+    def chol_rows(mat):
+        g = jnp.matmul(mat, mat.T, precision="highest")
+        jitter = (
+            jnp.trace(g) / g.shape[0] + jnp.asarray(1e-30, mat.dtype)
+        ) * (20.0 * jnp.finfo(mat.dtype).eps)
+        l1 = jnp.linalg.cholesky(
+            g + jitter * jnp.eye(g.shape[0], dtype=g.dtype)
+        )
+        q = jax.scipy.linalg.solve_triangular(l1, mat, lower=True)
+        return l1, q, jitter
+
+    def chol2_rows(mat):
+        l1, q1, j1 = chol_rows(mat)
+        l2, q2, j2 = chol_rows(q1)
+        scale1 = jnp.trace(l1 @ l1.T) / l1.shape[0]
+        return l1 @ l2, q2, j1 + j2 * scale1
+
+    def sweep(first, mids, last, eps):
+        d = mids.shape[0] + 2
+        r = last.shape[0]
+
+        # ---- backward CholQR2: right-orthogonalize ------------------
+        carry, last_q, _ = chol2_rows(last)
+
+        def back_step(carry, core):
+            rr, n, rc = core.shape
+            cur = jnp.einsum("rnk,kc->rnc", core, carry)
+            l_tot, q, _ = chol2_rows(cur.reshape(rr, n * rc))
+            return l_tot, q.reshape(rr, n, rc)
+
+        carry, mids_q = jax.lax.scan(back_step, carry, mids, reverse=True)
+        first_c = first @ carry  # (n, r) = U_1 L_1
+
+        # ---- forward CholQR2 chain: collect U_k and bond matrices ---
+        lt1, u1t, j1 = chol2_rows(first_c.T)  # first_c = u1t.T @ lt1.T
+        u_first = u1t.T  # (n, r), ~orthonormal kept columns
+        l_bond = lt1.T  # (r, r)
+
+        def fwd_step(l_prev, core):
+            rr, n, rc = core.shape
+            cur = jnp.einsum(
+                "ak,knc->anc", l_prev, core, precision="highest"
+            )
+            lt, qt, j = chol2_rows(cur.reshape(rr * n, rc).T)
+            return lt.T, (qt.T.reshape(rr, n, rc), lt.T, j)
+
+        l_end, (u_mids, l_mids, j_mids) = jax.lax.scan(
+            fwd_step, l_bond, mids_q
+        )
+        l_all = jnp.concatenate([l_bond[None], l_mids], axis=0)
+        j_all = jnp.concatenate([jnp.reshape(j1, (1,)), j_mids], axis=0)
+
+        # ---- truncation projectors for ALL bonds at once ------------
+        dt = first.dtype
+        # G_k = L_k L_k^T: the projector must span L's COLUMN space
+        # (it is inserted as Q Q^T L_k — left singular subspace).
+        # precision="highest" throughout: TPU einsum defaults to bf16,
+        # which breaks the Gershgorin/NS containment (observed NaNs)
+        gram = jnp.einsum(
+            "kab,kcb->kac", l_all, l_all, precision="highest"
+        )
+        # ||X||^2 = ||L_k||_F^2 at any bond (orthogonal environments);
+        # deflate the CholQR jitter mass (r directions inflated by ~j)
+        norm2 = jnp.maximum(
+            jnp.sum(l_all[-1] ** 2) - r * j_all[-1], 0.0
+        )
+        eps_b = jnp.asarray(eps, dt)
+        budget2 = (
+            (eps_b**2 * norm2 if relative else eps_b**2)
+            / jnp.asarray(d - 1.0, dt)
+        )
+        # per-direction threshold: dropping every sigma^2 < budget2/r
+        # drops at most budget2 of mass; +j compensates the jitter
+        # inflation of G's eigenvalues
+        tau2 = budget2 / r + j_all  # (d-1,)
+
+        eye = jnp.eye(r, dtype=dt)
+        a0 = gram - tau2[:, None, None] * eye[None]
+        # spectral-norm bound per bond: Gershgorin row sums — GUARANTEED
+        # >= |lambda|_max (an underestimate makes Newton-Schulz diverge
+        # for |x| > sqrt(3); a power-iteration estimate is not safe when
+        # top eigenvalues cluster), at worst sqrt(r)x loose, which only
+        # costs ~log_1.5(sqrt(r)) extra iterations
+        alpha = jnp.max(
+            jnp.sum(jnp.abs(a0), axis=2), axis=1
+        ) + jnp.asarray(1e-30, dt)
+
+        def ns_step(x, _):
+            x2 = jnp.einsum(
+                "kab,kbc->kac", x, x, precision="highest"
+            )
+            x3 = jnp.einsum(
+                "kab,kbc->kac", x, x2, precision="highest"
+            )
+            return 1.5 * x - 0.5 * x3, None
+
+        x0 = a0 / alpha[:, None, None]
+        sign, _ = jax.lax.scan(ns_step, x0, None, length=sign_iters)
+        proj = 0.5 * (eye[None] + sign)  # (d-1, r, r)
+
+        ks = jnp.clip(
+            jnp.round(jnp.einsum("kaa->k", proj)).astype(jnp.int32),
+            1,
+            r,
+        )
+        masks = (
+            jnp.arange(r, dtype=jnp.int32)[None, :] < ks[:, None]
+        ).astype(dt)
+
+        # orthonormal range basis: batched QR of P applied to a fixed
+        # probe; only the first k_bond columns are meaningful (masked)
+        probe = jax.random.normal(jax.random.PRNGKey(7), (r, r), dt)
+        q_all, _ = jnp.linalg.qr(
+            jnp.einsum("kab,bc->kac", proj, probe, precision="highest")
+        )
+        um = q_all * masks[:, None, :]  # (d-1, r, r), masked columns
+
+        # ---- project: W_k = Q_{k-1}^T U_k Q_k (pure GEMMs) ----------
+        first_out = jnp.matmul(u_first, um[0], precision="highest")
+        mids_out = jnp.einsum(
+            "kam,kanb,kbp->kmnp",
+            um[:-1],
+            u_mids,
+            um[1:],
+            precision="highest",
+        )
+        last_out = jnp.matmul(
+            um[-1].T,
+            jnp.matmul(l_end, last_q, precision="highest"),
+            precision="highest",
+        )
+        return first_out, mids_out, last_out, ks[0], ks[1:]
 
     return jax.jit(sweep)
 
@@ -499,11 +681,22 @@ def tt_round_fixed(
     ``method="svd"`` is the Householder-QR accurate default;
     ``method="cholqr2"`` is the all-GEMM accurate mode (CholeskyQR2 +
     exact R-factor SVDs — same truncation quality, MXU-bound instead of
-    QR-panel-bound); ``method="gram"`` is the loose-tolerance fast mode
-    (single-pass CholQR + Gram-eigh, squared condition number).
-    ``reorth`` orthogonalizes twice per bond for tight budgets near the
-    dtype noise floor.  Returns the rounded network (bonds compacted to
-    the discovered ranks on host) and the kept rank per bond.
+    QR-panel-bound); ``method="twosided"`` removes the sequential
+    per-bond eigensolvers entirely (two-sided orthogonalization +
+    batched matrix-sign spectral projectors — the fastest accurate mode
+    on TPU, where iterative SVDs neither batch nor pipeline, at the
+    cost of a per-direction threshold that can keep a few more ranks
+    on slowly-decaying spectra); ``method="gram"`` is the
+    loose-tolerance fast mode (single-pass CholQR + Gram-eigh, squared
+    condition number).  ``reorth`` orthogonalizes twice per bond for
+    tight budgets near the dtype noise floor.  Returns the rounded
+    network (bonds compacted to the discovered ranks on host) and the
+    kept rank per bond.
+
+    Resilience: the Cholesky-based modes can break down (NaN) on
+    heavily rank-deficient trains in f32 on TPU (observed at ~6x
+    rank deficiency); a NaN result is detected and the call falls back
+    to the Householder sweep with a warning.
     """
     first, mids, last = stack_tt_cores(tn)
     if mids is None:
@@ -525,9 +718,25 @@ def tt_round_fixed(
         fn = _tt_round_gram_sweep_fn(relative)
     elif method == "cholqr2":
         fn = _tt_round_cholqr2_sweep_fn(relative)
+    elif method == "twosided":
+        fn = _tt_round_twosided_sweep_fn(relative)
     else:
         fn = _tt_round_sweep_fn(relative, reorth)
     f, m, l, k0, mid_ranks = fn(first, mids, last, eps)
+
+    if method in ("gram", "cholqr2", "twosided") and bool(
+        jnp.isnan(jnp.sum(l))
+    ):
+        warnings.warn(
+            f"{method} rounding sweep broke down (NaN — Cholesky on a "
+            "heavily rank-deficient train); falling back to the "
+            "Householder sweep",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        f, m, l, k0, mid_ranks = _tt_round_sweep_fn(relative, reorth)(
+            first, mids, last, eps
+        )
 
     ranks = [int(k0)] + [int(x) for x in np.asarray(mid_ranks)]
     nodes = list(tn.network.nodes)

@@ -78,6 +78,18 @@ def test_small_bonds_stay_on_scan(force_pallas):
     assert po.PATH_STATS["pallas"] == force_pallas["pallas"]
 
 
+def test_large_bonds_stay_on_scan(force_pallas):
+    """Bonds above the 128 lane width would pad to blocks exceeding the
+    16 MB scoped-VMEM budget — the gate must refuse up front (a doomed
+    compile attempt costs ~20 s through the relay)."""
+    a, b = _pair(r=160, d=4, n=4, seed=13)
+    ref = float(a.inner(b))
+    got = float(tt_inner_fast(a, b))
+    assert abs(got - ref) <= 1e-4 * abs(ref)
+    assert po.PATH_STATS["pallas"] == force_pallas["pallas"]
+    assert po.PATH_STATS["fallback"] == force_pallas["fallback"]
+
+
 def test_fallback_is_logged_not_swallowed(force_pallas, caplog, monkeypatch):
     a, b = _pair(r=96)
 
