@@ -232,7 +232,9 @@ def _tt_round_gram_sweep_fn(relative: bool):
 
         def back_step(carry, core):
             rr, n, rc = core.shape
-            cur = jnp.einsum("rnk,kc->rnc", core, carry)
+            cur = jnp.einsum(
+                "rnk,kc->rnc", core, carry, precision="highest"
+            )
             l, q = chol_right_orth(cur.reshape(rr, n * rc))
             return l, q.reshape(rr, n, rc)
 
@@ -273,7 +275,9 @@ def _tt_round_gram_sweep_fn(relative: bool):
 
         def fwd_step(carry_sv, core):
             rr, n, rc = core.shape
-            cur = jnp.einsum("ak,knc->anc", carry_sv, core)
+            cur = jnp.einsum(
+                "ak,knc->anc", carry_sv, core, precision="highest"
+            )
             u, nxt, k = gram_trunc(cur.reshape(rr * n, rc))
             return nxt, (u.reshape(rr, n, -1), k)
 
@@ -345,7 +349,9 @@ def _tt_round_cholqr2_sweep_fn(relative: bool):
 
         def back_step(carry, core):
             rr, n, rc = core.shape
-            cur = jnp.einsum("rnk,kc->rnc", core, carry)
+            cur = jnp.einsum(
+                "rnk,kc->rnc", core, carry, precision="highest"
+            )
             l_tot, q, _ = chol2_rows(cur.reshape(rr, n * rc))
             return l_tot, q.reshape(rr, n, rc)
 
@@ -387,7 +393,9 @@ def _tt_round_cholqr2_sweep_fn(relative: bool):
 
         def fwd_step(carry_sv, core):
             rr, n, rc = core.shape
-            cur = jnp.einsum("ak,knc->anc", carry_sv, core)
+            cur = jnp.einsum(
+                "ak,knc->anc", carry_sv, core, precision="highest"
+            )
             left, nxt, k = trunc_cols(cur.reshape(rr * n, rc))
             return nxt, (left.reshape(rr, n, -1), k)
 
@@ -459,7 +467,9 @@ def _tt_round_twosided_sweep_fn(relative: bool, sign_iters: int = 100):
 
         def back_step(carry, core):
             rr, n, rc = core.shape
-            cur = jnp.einsum("rnk,kc->rnc", core, carry)
+            cur = jnp.einsum(
+                "rnk,kc->rnc", core, carry, precision="highest"
+            )
             l_tot, q, _ = chol2_rows(cur.reshape(rr, n * rc))
             return l_tot, q.reshape(rr, n, rc)
 
@@ -607,7 +617,9 @@ def _tt_round_sweep_fn(relative: bool, reorth: bool = False):
 
         def back_step(carry, core):
             rr, n, rc = core.shape
-            cur = jnp.einsum("rnk,kc->rnc", core, carry)
+            cur = jnp.einsum(
+                "rnk,kc->rnc", core, carry, precision="highest"
+            )
             q, rmat = qr_clean(cur.reshape(rr, n * rc).T)
             return rmat.T, q.T.reshape(rr, n, rc)
 
@@ -636,7 +648,9 @@ def _tt_round_sweep_fn(relative: bool, reorth: bool = False):
 
         def fwd_step(carry_sv, core):
             rr, n, rc = core.shape
-            cur = jnp.einsum("ak,knc->anc", carry_sv, core)
+            cur = jnp.einsum(
+                "ak,knc->anc", carry_sv, core, precision="highest"
+            )
             # tall SVD via QR + small SVD: same factors, far cheaper than
             # the iterative SVD of the (r*n, r) unfolding
             q, rmat = qr_clean(cur.reshape(rr * n, rc))

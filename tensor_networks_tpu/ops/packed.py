@@ -383,7 +383,9 @@ def _orth_norm_fn():
 
         def step(carry, core):
             rr = core.shape[0]
-            cur = jnp.einsum("rnk,kc->rnc", core, carry)
+            cur = jnp.einsum(
+                "rnk,kc->rnc", core, carry, precision="highest"
+            )
             _, rmat = jnp.linalg.qr(cur.reshape(rr, -1).T)
             return rmat.T, None
 
