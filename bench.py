@@ -472,12 +472,14 @@ def main():
         print(f"[bench] gram path failed: {exc}", file=sys.stderr)
         t_round_gram = float("nan")
 
-    # FLOP estimate for the rounding sweep (QR + SVD + carry GEMMs)
+    # FLOP estimate for the HOUSEHOLDER rounding sweep (QR + SVD +
+    # carry GEMMs) — tied to t_round_svd, the sweep the model
+    # describes; t_round may be the twosided sweep, which does no SVDs
     qr_flops = 2.0 * (N * R) * R * R  # per-core Householder QR
     svd_flops = 8.0 * (N * R) * R * R  # iterative SVD estimate
     gemm_flops = 2.0 * R * R * N * R * 2  # carry absorb fwd+bwd
     round_flops = D * (qr_flops + svd_flops + gemm_flops)
-    gflops = round_flops / t_round / 1e9
+    gflops = round_flops / t_round_svd / 1e9
 
     # ---- device: batched point evaluation throughput ----
     from tensor_networks_tpu.parallel.sharded import tt_evaluate_batched

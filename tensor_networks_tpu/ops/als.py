@@ -56,28 +56,28 @@ __all__ = ["als_solve"]
 
 @jax.jit
 def _adv_left(L, xk, ak):
-    t1 = jnp.einsum("psa,ajb->psjb", L, xk)
-    t2 = jnp.einsum("psjb,sijt->pitb", t1, ak)
-    return jnp.einsum("pitb,piq->qtb", t2, xk)
+    t1 = jnp.einsum("psa,ajb->psjb", L, xk, precision="highest")
+    t2 = jnp.einsum("psjb,sijt->pitb", t1, ak, precision="highest")
+    return jnp.einsum("pitb,piq->qtb", t2, xk, precision="highest")
 
 
 @jax.jit
 def _adv_right(R, xk, ak):
-    u1 = jnp.einsum("ajc,qtc->ajqt", xk, R)
-    u2 = jnp.einsum("ajqt,sijt->asiq", u1, ak)
-    return jnp.einsum("asiq,piq->psa", u2, xk)
+    u1 = jnp.einsum("ajc,qtc->ajqt", xk, R, precision="highest")
+    u2 = jnp.einsum("ajqt,sijt->asiq", u1, ak, precision="highest")
+    return jnp.einsum("asiq,piq->psa", u2, xk, precision="highest")
 
 
 @jax.jit
 def _adv_left_b(Lb, xk, bk):
-    t = jnp.einsum("pb,bif->pif", Lb, bk)
-    return jnp.einsum("pif,piq->qf", t, xk)
+    t = jnp.einsum("pb,bif->pif", Lb, bk, precision="highest")
+    return jnp.einsum("pif,piq->qf", t, xk, precision="highest")
 
 
 @jax.jit
 def _adv_right_b(Rb, xk, bk):
-    t = jnp.einsum("bif,qf->biq", bk, Rb)
-    return jnp.einsum("biq,piq->pb", t, xk)
+    t = jnp.einsum("bif,qf->biq", bk, Rb, precision="highest")
+    return jnp.einsum("biq,piq->pb", t, xk, precision="highest")
 
 
 # -- the local system ----------------------------------------------------------
@@ -85,37 +85,45 @@ def _adv_right_b(Rb, xk, bk):
 
 @jax.jit
 def _local_rhs(Lb, bk, Rb):
-    return jnp.einsum("pb,bif,qf->piq", Lb, bk, Rb)
+    return jnp.einsum("pb,bif,qf->piq", Lb, bk, Rb, precision="highest")
 
 
 @jax.jit
 def _local_dense(L, ak, R):
-    h1 = jnp.einsum("psa,sijt->paijt", L, ak)
-    H = jnp.einsum("paijt,qtc->piqajc", h1, R)
+    h1 = jnp.einsum("psa,sijt->paijt", L, ak, precision="highest")
+    H = jnp.einsum("paijt,qtc->piqajc", h1, R, precision="highest")
     m = H.shape[0] * H.shape[1] * H.shape[2]
     return H.reshape(m, m)
 
 
 def _matvec(L, ak, R, v):
-    v1 = jnp.einsum("psa,ajc->psjc", L, v)
-    v2 = jnp.einsum("psjc,sijt->pitc", v1, ak)
-    return jnp.einsum("pitc,qtc->piq", v2, R)
+    v1 = jnp.einsum("psa,ajc->psjc", L, v, precision="highest")
+    v2 = jnp.einsum("psjc,sijt->pitc", v1, ak, precision="highest")
+    return jnp.einsum("pitc,qtc->piq", v2, R, precision="highest")
 
 
 def _matvec_t(L, ak, R, u):
-    u1 = jnp.einsum("psa,piq->saiq", L, u)
-    u2 = jnp.einsum("saiq,sijt->ajqt", u1, ak)
-    return jnp.einsum("ajqt,qtc->ajc", u2, R)
+    u1 = jnp.einsum("psa,piq->saiq", L, u, precision="highest")
+    u2 = jnp.einsum("saiq,sijt->ajqt", u1, ak, precision="highest")
+    return jnp.einsum("ajqt,qtc->ajc", u2, R, precision="highest")
 
 
 @partial(jax.jit, static_argnames=("iters",))
 def _local_cg(L, ak, R, rhs, v0, lam, iters):
-    """CG on the normal equations of the projected system (general A)."""
+    """CG on the normal equations of the regularized projected system
+    (H + lam I) — the same operator the dense path regularizes, so the
+    computed core does not jump at ``dense_limit``."""
+
+    def hmat(v):
+        return _matvec(L, ak, R, v) + lam * v
+
+    def hmat_t(u):
+        return _matvec_t(L, ak, R, u) + lam * u
 
     def nmat(v):
-        return _matvec_t(L, ak, R, _matvec(L, ak, R, v)) + lam * v
+        return hmat_t(hmat(v))
 
-    b = _matvec_t(L, ak, R, rhs)
+    b = hmat_t(rhs)
     x, _ = jax.scipy.sparse.linalg.cg(
         nmat, b, x0=v0, maxiter=iters, tol=1e-12
     )
@@ -200,50 +208,65 @@ def als_solve(
     d = len(xs)
 
     # canonicalize: all cores right-orthogonal so the first sweep's
-    # right frames are orthonormal
+    # right frames are orthonormal.  The R factor is absorbed into the
+    # left neighbor — discarding it would change the represented
+    # tensor and destroy warm starts
     for k in range(d - 1, 0, -1):
-        xs[k] = _right_orth(xs[k])
+        r1, nn, r2 = xs[k].shape
+        q, rmat = jnp.linalg.qr(xs[k].reshape(r1, nn * r2).T)
+        if q.shape[1] < r1:
+            q = jnp.pad(q, ((0, 0), (0, r1 - q.shape[1])))
+            rmat = jnp.pad(rmat, ((0, r1 - rmat.shape[0]), (0, 0)))
+        xs[k] = q.T.reshape(r1, nn, r2)
+        xs[k - 1] = jnp.einsum(
+            "anb,cb->anc", xs[k - 1], rmat, precision="highest"
+        )
 
     one3 = jnp.ones((1, 1, 1), dt)
     one2 = jnp.ones((1, 1), dt)
 
     history: List[float] = []
     res = float("inf")
-    for _sweep in range(sweeps):
-        # right environments from the current cores
-        Rs, Rbs = [one3], [one2]
-        for k in range(d - 1, 0, -1):
-            Rs.append(_adv_right(Rs[-1], xs[k], as_[k]))
-            Rbs.append(_adv_right_b(Rbs[-1], xs[k], bs[k]))
-        Rs.reverse()
-        Rbs.reverse()  # [k] = env to the right of core k
+    lam_d = jnp.asarray(lam, dt)
 
-        L, Lb = one3, one2
+    # right-environment prefixes for the first left-to-right pass;
+    # subsequent passes get them from the preceding right-to-left pass
+    # (each half-sweep records the prefixes the next one consumes)
+    rev_rs, rev_rbs = [one3], [one2]
+    for k in range(d - 1, 0, -1):
+        rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
+        rev_rbs.append(_adv_right_b(rev_rbs[-1], xs[k], bs[k]))
+
+    for _sweep in range(sweeps):
+        rs = rev_rs[::-1]  # rs[k] = env right of core k
+        rbs = rev_rbs[::-1]
+
+        # left -> right, recording left prefixes for the return pass
+        ls, lbs = [one3], [one2]
         for k in range(d):
             xs[k] = _solve_core(
-                L, Rs[k], Lb, Rbs[k], as_[k], bs[k], xs[k],
-                jnp.asarray(lam, dt), dense_limit, cg_iters,
+                ls[-1], rs[k], lbs[-1], rbs[k], as_[k], bs[k], xs[k],
+                lam_d, dense_limit, cg_iters,
             )
             if k < d - 1:
                 xs[k] = _left_orth(xs[k])
-            L = _adv_left(L, xs[k], as_[k])
-            Lb = _adv_left_b(Lb, xs[k], bs[k])
+                ls.append(_adv_left(ls[-1], xs[k], as_[k]))
+                lbs.append(_adv_left_b(lbs[-1], xs[k], bs[k]))
 
-        # right-to-left, mirrored
-        Ls, Lbs = [one3], [one2]
-        for k in range(d - 1):
-            Ls.append(_adv_left(Ls[-1], xs[k], as_[k]))
-            Lbs.append(_adv_left_b(Lbs[-1], xs[k], bs[k]))
-        R, Rb = one3, one2
+        # right -> left, recording right prefixes for the next sweep
+        rev_rs, rev_rbs = [one3], [one2]
         for k in range(d - 1, -1, -1):
             xs[k] = _solve_core(
-                Ls[k], R, Lbs[k], Rb, as_[k], bs[k], xs[k],
-                jnp.asarray(lam, dt), dense_limit, cg_iters,
+                ls[k], rev_rs[-1], lbs[k], rev_rbs[-1],
+                as_[k], bs[k], xs[k],
+                lam_d, dense_limit, cg_iters,
             )
             if k > 0:
                 xs[k] = _right_orth(xs[k])
-            R = _adv_right(R, xs[k], as_[k])
-            Rb = _adv_right_b(Rb, xs[k], bs[k])
+                rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
+                rev_rbs.append(
+                    _adv_right_b(rev_rbs[-1], xs[k], bs[k])
+                )
 
         x = PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0])
         res = _residual(op, rhs, x)

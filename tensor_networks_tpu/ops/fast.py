@@ -104,7 +104,9 @@ def pallas_inner_eligible(ma, mb) -> bool:
         and ma is not None
         and ma.dtype in (jnp.float32, jnp.bfloat16)
         and mb.dtype == ma.dtype
-        and min(ma.shape[1], ma.shape[3]) >= 64
+        and min(
+            ma.shape[1], ma.shape[3], mb.shape[1], mb.shape[3]
+        ) >= 64
         and max(
             ma.shape[1], ma.shape[3], mb.shape[1], mb.shape[3]
         ) <= 128

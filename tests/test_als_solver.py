@@ -76,6 +76,24 @@ def test_als_solve_general_operator():
     assert res / float(pk.norm_exact(rhs_p)) < 1e-5
 
 
+def test_als_warm_start_preserved():
+    """Canonicalization must not change the represented tensor: one
+    sweep from a converged x0 stays converged (the R factors are
+    absorbed, not discarded)."""
+    _, packed_op, rhs, x0, _, _ = _setup(spd=True)
+    rhs_p = pk.pack(rhs, jnp.float64)
+    x_conv, res_conv, _ = als_solve(
+        packed_op, rhs_p, pk.pad_rank(pk.pack(x0, jnp.float64), 12),
+        sweeps=15, tol=1e-10,
+    )
+    rhs_norm = float(pk.norm_exact(rhs_p))
+    assert res_conv / rhs_norm < 1e-8
+    _, res_again, _ = als_solve(
+        packed_op, rhs_p, x_conv, sweeps=1, tol=0.0
+    )
+    assert res_again <= max(res_conv * 2.0, 1e-12 * rhs_norm)
+
+
 def test_als_monotone_progress_and_rank_restart():
     """The residual history is (weakly) decreasing after the first
     sweep, and a pad_rank warm restart improves a rank-starved solve."""
