@@ -69,6 +69,25 @@ def main():
         assert rel < 1e-3, (name, rel)
         print(f"[smoke] round[{name}] ok (rel {rel:.1e})", file=sys.stderr)
 
+    # twosided rounding on a d>=4 uniform train (sign-projector path;
+    # d=3 trains have ragged end bonds, so build a 5-core train)
+    from tensor_networks_tpu.ops.fast import tt_round_fixed
+
+    uni = f32(
+        TensorNetwork.rand_tt(
+            [Index(f"u{i}", 6) for i in range(5)], [4] * 4
+        )
+    )
+    udense = np.asarray(uni.contract().value)
+    out, ranks = tt_round_fixed(uni + uni, 1e-3, method="twosided")
+    got = np.asarray(out.contract().value)
+    rel = np.linalg.norm(got - 2 * udense) / np.linalg.norm(2 * udense)
+    assert rel < 1e-3 and max(ranks) <= 4, (rel, ranks)
+    print(
+        f"[smoke] round[twosided] ok (rel {rel:.1e}, ranks {ranks})",
+        file=sys.stderr,
+    )
+
     # evaluate
     pts = np.random.randint(0, 8, size=(257, 3))
     vals = np.asarray(a.evaluate(a.free_indices(), pts))
@@ -93,6 +112,49 @@ def main():
     )
     assert resid < 1e-2 * a.norm(), resid
     print(f"[smoke] gmres ok (resid {resid:.1e})", file=sys.stderr)
+
+    # ALS/DMRG linear solver on a d=4 SPD-dominant system
+    from tensor_networks_tpu.ops import packed as pk
+    from tensor_networks_tpu.ops.als import als_solve
+    from tensor_networks_tpu import ttop_sum
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    d_als, n_als = 4, 6
+    ains = [Index(f"ax{i}", n_als) for i in range(d_als)]
+    aouts = [Index(f"ay{i}", n_als) for i in range(d_als)]
+    mats = []
+    for _ in range(d_als):
+        g = rng.randn(n_als, n_als)
+        mats.append(0.3 * (g + g.T) / (2 * np.sqrt(n_als)))
+    aop = ttop_sum(
+        ains, aouts, [[np.eye(n_als)] * d_als, mats], "S"
+    )
+    acores = [np.asarray(aop.value(i)) for i in range(d_als)]
+    pop = pk.PackedTTOp(
+        jnp.asarray(acores[0], jnp.float32),
+        jnp.asarray(np.stack(acores[1:-1]), jnp.float32),
+        jnp.asarray(acores[-1], jnp.float32),
+    )
+    arhs = pk.pack(
+        f32(TensorNetwork.rand_tt(ains, [3] * (d_als - 1))), jnp.float32
+    )
+    ax0 = pk.pad_rank(
+        pk.pack(
+            f32(TensorNetwork.rand_tt(ains, [4] * (d_als - 1))),
+            jnp.float32,
+        ),
+        12,
+    )
+    arhs_norm = float(pk.norm_exact(arhs))
+    _, ares, _ = als_solve(
+        pop, arhs, ax0, sweeps=4, tol=1e-5 * arhs_norm
+    )
+    assert ares / arhs_norm < 1e-4, ares / arhs_norm
+    print(
+        f"[smoke] als_solve ok (rel resid {ares/arhs_norm:.1e})",
+        file=sys.stderr,
+    )
 
     # structure search on a small dense target
     from tensor_networks_tpu.search import SearchConfig, SearchEngine
