@@ -741,6 +741,12 @@ def main():
             "search_dfs_wall_s": round(dfs_wall, 2),
             "search_dfs_states": dfs_count,
             "inner_self_rel_diff_f32": float(f"{rel:.2e}"),
+            # BENCH records before 2026-08-17 flattered rounding ~50x:
+            # their scan bodies consumed only part of the sweep output,
+            # so XLA dead-code-eliminated the forward truncation sweep.
+            # Apparent round_speedup regressions vs those records are
+            # the correction, not a perf loss (see VALIDATION.md).
+            "note": "rounding timing corrected 2026-08-17 (pre-correction records were DCE-flattered ~50x)",
             "device": str(dev),
         },
     }
