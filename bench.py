@@ -418,6 +418,12 @@ def main():
         return acc
 
     try:
+        # guard against the nondeterministic TPU miscompile documented
+        # in VALIDATION.md: never let a NaN-producing compilation into
+        # the headline min()
+        probe_ts = float(round_ts_repeat(a_dev[0], a_dev[1], a_dev[2], k=1))
+        if probe_ts != probe_ts:
+            raise FloatingPointError("twosided sweep compiled to NaN")
         t_round_ts = timed_repeat(
             lambda k: round_ts_repeat(a_dev[0], a_dev[1], a_dev[2], k=k),
             1,
