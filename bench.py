@@ -437,11 +437,14 @@ def main():
         print(f"[bench] twosided path failed: {exc}", file=sys.stderr)
         t_round_ts = float("nan")
 
-    t_round = min(
+    _round_ok = tuple(
         t
         for t in (t_round_svd, t_round_c2, t_round_ts)
         if t == t  # drop NaNs
     )
+    # never crash before the JSON line: if every sweep failed, degrade
+    # to NaN (the driver contract is "always print ONE JSON line")
+    t_round = min(_round_ok) if _round_ok else float("nan")
 
     # all-GEMM Gram/CholQR sweep (loose-tolerance fast mode)
     from tensor_networks_tpu.ops.fast import _tt_round_gram_sweep_fn

@@ -448,6 +448,14 @@ class CrossApproximation:
             self._install_root(net, tree)
 
             err = self._error(net, previous, validation, reference)
+            # Deliberate deviation from the reference (documented in
+            # PARITY.md): reference cross.py:417 keys ranks_and_errors
+            # by len(tree.up_info.vals) — but the ROOT's up vals are
+            # never written (init empty at algs.py:1072-1074; the root
+            # is excluded from _leaves_to_root at cross.py:327), so the
+            # reference always records a single entry keyed 0.  Keying
+            # by the max bond rank keeps the whole rank/error
+            # trajectory instead.
             trajectory[max(tree.ranks(), default=0)] = float(err)
             logger.debug("sweep %s: error %s", sweep_no, err)
 

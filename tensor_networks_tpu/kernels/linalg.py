@@ -66,16 +66,20 @@ def _host_svd_threshold() -> int:
 def svd_full(a) -> Tuple:
     """Thin SVD ``a = u @ diag(s) @ vt``.
 
-    Device by default; small matrices on the TPU backend run on host
-    LAPACK and return **NumPy** factors (device round trips through the
-    relay cost more than the math — convert at your boundary if you
-    need device arrays).
+    Device by default; small **host-resident** matrices on the TPU
+    backend run on host LAPACK and return **NumPy** factors (device
+    round trips through the relay cost more than the math — convert at
+    your boundary if you need device arrays).  Device-resident inputs
+    always stay on device: fetching them here would be a blocking
+    relay round trip per call, breaking the packed sweeps'
+    "nothing leaves the device" contract.
     """
     if not hasattr(a, "shape"):
         a = np.asarray(a)
     m, n = a.shape
     if (
-        jax.default_backend() == "tpu"
+        isinstance(a, np.ndarray)
+        and jax.default_backend() == "tpu"
         and a.size < _host_svd_threshold()
     ):
         # np.asarray is free for host inputs; do NOT device_put first —
@@ -105,13 +109,15 @@ def _qr_kernel(a: jnp.ndarray):
 
 
 def qr_reduced(a):
-    """Reduced QR (device; small-on-TPU → host NumPy, same contract and
-    rationale as :func:`svd_full` — graph rewrites produce many one-off
-    shapes)."""
+    """Reduced QR (device; small-host-resident-on-TPU → host NumPy, same
+    contract and rationale as :func:`svd_full` — graph rewrites produce
+    many one-off host shapes, while device operands never leave the
+    device)."""
     if not hasattr(a, "shape"):
         a = np.asarray(a)
     if (
-        jax.default_backend() == "tpu"
+        isinstance(a, np.ndarray)
+        and jax.default_backend() == "tpu"
         and a.size < _host_svd_threshold()
     ):
         # host arrays out, no device_put first — same rationale as

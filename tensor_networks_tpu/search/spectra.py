@@ -14,6 +14,7 @@ the device batching and the bin walk vectorized our way.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -27,9 +28,12 @@ from tensor_networks_tpu.tensor import Tensor
 from tensor_networks_tpu.types import Index
 
 
+@functools.lru_cache(maxsize=1)
 def _padded_svals_fn():
     """The one jitted batched-SVD executable (shape-polymorphic via jit's
-    per-shape cache; buckets keep the shape count tiny)."""
+    per-shape cache; buckets keep the shape count tiny).  Cached so the
+    compiled executable is reused across calls — rebuilding the jit
+    wrapper would pay a fresh 20-60 s relay compile every time."""
     import jax
     import jax.numpy as jnp
 

@@ -68,10 +68,12 @@ class Tensor:
         """
         import jax
 
+        from tensor_networks_tpu.kernels.linalg import _host_svd_threshold
+
         if (
             isinstance(value, np.ndarray)
             and jax.default_backend() == "tpu"
-            and value.size < (1 << 20)
+            and value.size < _host_svd_threshold()
         ):
             value = value.copy()
         else:
