@@ -31,6 +31,16 @@ D, N, R = 50, 32, 100
 DTYPE = "float32"  # device dtype; the NumPy reference runs float64
 
 
+def _round_stats_snapshot() -> dict:
+    """Fallback counters from the library's rounding telemetry."""
+    try:
+        from tensor_networks_tpu.ops.fast import ROUND_STATS
+
+        return dict(ROUND_STATS)
+    except Exception:
+        return {}
+
+
 def _time(fn, reps: int, warmup: int = 1) -> float:
     for _ in range(warmup):
         fn()
@@ -209,6 +219,26 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     a_mids_padded = jax.device_put(pad_bond(a_dev[1]))
+
+    # chip-health probe FIRST: the relay degrades ~50x transiently, and
+    # a benchmark that doesn't know the chip state reports phantom
+    # regressions.  The factor is embedded in the JSON (self-diagnosing).
+    chip_health = {"factor": float("nan"), "status": "not_tpu"}
+    if on_tpu:
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(__file__), "tools")
+            )
+            from chip_health import probe as _chip_probe
+
+            chip_health = _chip_probe()
+            print(
+                f"[bench] chip health: {chip_health['status']} "
+                f"({chip_health['factor']:.2f}x vs healthy zipper)",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            print(f"[bench] chip health probe failed: {exc}", file=sys.stderr)
 
     @partial(jax.jit, static_argnames=("k", "which"))
     def inner_repeat(fa, ma, la, fb, mb, lb, k, which):
@@ -481,6 +511,50 @@ def main():
         print(f"[bench] gram path failed: {exc}", file=sys.stderr)
         t_round_gram = float("nan")
 
+    # parallel-prefix sweep: GEMM-only chains, every factorization
+    # batched over bonds (no cholesky/QR/SVD in any sequential chain);
+    # same loose-tolerance accuracy scope as gram (sqrt-eps floor), so
+    # it runs at eps=1e-3 like gram and stays out of the accurate
+    # t_round headline
+    from tensor_networks_tpu.ops.fast import _tt_round_prefix_sweep_fn
+
+    @partial(jax.jit, static_argnames=("k",))
+    def round_prefix_repeat(first, mids, last, k):
+        sweep = _tt_round_prefix_sweep_fn(True)
+
+        def body(acc, i):
+            scale = 1.0 + acc * jnp.asarray(1e-24, dtype)
+            f, m, l, k0, ks = sweep(first * scale, mids, last, 1e-3)
+            tot = (
+                jnp.sum(f) + jnp.sum(m) + jnp.sum(l)
+                + (k0 + jnp.sum(ks)).astype(dtype)
+            )
+            return tot.astype(dtype), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.asarray(0.0, dtype), jnp.arange(k, dtype=dtype)
+        )
+        return acc
+
+    try:
+        probe_px = float(
+            round_prefix_repeat(a_dev[0], a_dev[1], a_dev[2], k=1)
+        )
+        if probe_px != probe_px:
+            raise FloatingPointError("prefix sweep compiled to NaN")
+        t_round_prefix = timed_repeat(
+            lambda k: round_prefix_repeat(a_dev[0], a_dev[1], a_dev[2], k=k),
+            1,
+            9,
+        )
+        print(
+            f"[bench] tpu round (prefix): {t_round_prefix*1e3:.2f} ms/call",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"[bench] prefix path failed: {exc}", file=sys.stderr)
+        t_round_prefix = float("nan")
+
     # FLOP estimate for the HOUSEHOLDER rounding sweep (QR + SVD +
     # carry GEMMs) — tied to t_round_svd, the sweep the model
     # describes; t_round may be the twosided sweep, which does no SVDs
@@ -734,6 +808,7 @@ def main():
             "tpu_round_cholqr2_ms": round(t_round_c2 * 1e3, 2),
             "tpu_round_twosided_ms": round(t_round_ts * 1e3, 2),
             "tpu_round_gram_ms": round(t_round_gram * 1e3, 2),
+            "tpu_round_prefix_ms": round(t_round_prefix * 1e3, 2),
             "numpy_round_ms": round(t_np_round * 1e3, 2),
             "round_gflops_est": round(gflops, 1),
             "evaluate_mpts_per_s": round(eval_mpts, 2),
@@ -756,6 +831,14 @@ def main():
             # Apparent round_speedup regressions vs those records are
             # the correction, not a perf loss (see VALIDATION.md).
             "note": "rounding timing corrected 2026-08-17 (pre-correction records were DCE-flattered ~50x)",
+            "chip_health_x": round(chip_health["factor"], 2)
+            if chip_health["factor"] == chip_health["factor"]
+            else float("nan"),
+            "chip_health_status": chip_health["status"],
+            # whether any Cholesky-mode sweep NaN'd and fell back (the
+            # twosided/prefix headline is only honest if this is 0; the
+            # bench additionally NaN-guards its own direct sweep calls)
+            "round_fallbacks": _round_stats_snapshot(),
             "device": str(dev),
         },
     }

@@ -88,6 +88,16 @@ def main():
         file=sys.stderr,
     )
 
+    # parallel-prefix rounding (GEMM-only chains, batched factorizations)
+    out, ranks = tt_round_fixed(uni + uni, 1e-3, method="prefix")
+    got = np.asarray(out.contract().value)
+    rel = np.linalg.norm(got - 2 * udense) / np.linalg.norm(2 * udense)
+    assert rel < 1e-3 and max(ranks) <= 4, (rel, ranks)
+    print(
+        f"[smoke] round[prefix] ok (rel {rel:.1e}, ranks {ranks})",
+        file=sys.stderr,
+    )
+
     # evaluate
     pts = np.random.randint(0, 8, size=(257, 3))
     vals = np.asarray(a.evaluate(a.free_indices(), pts))

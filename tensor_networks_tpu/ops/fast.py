@@ -185,6 +185,54 @@ def tt_inner_fast(
     return fn(fa, ma, la, fb, mb, lb)
 
 
+# Machine-readable rounding telemetry (PATH_STATS analogue): how many
+# times each sweep mode ran, and how many NaN-detected fallbacks to the
+# Householder sweep fired.  bench.py embeds this in the JSON so the
+# headline number is self-reporting about whether the fast mode
+# actually produced it.
+ROUND_STATS = {
+    "svd": 0,
+    "gram": 0,
+    "cholqr2": 0,
+    "twosided": 0,
+    "prefix": 0,
+    "fallback_nan": 0,
+}
+
+
+def _sign_newton_schulz(a0, alpha, max_iters: int):
+    """Batched matrix-sign of symmetric ``a0`` by Newton-Schulz.
+
+    Self-terminating: iterates until ``||x @ x - I||_max`` falls under
+    ~50 machine-eps (every eigenvalue pinned at +-1) or ``max_iters``.
+    The iteration grows the smallest |eigenvalue| by 1.5x per step then
+    converges quadratically, so the count adapts to the actual spectral
+    gap instead of paying a worst-case static 100 (VERDICT r2 #8 asked
+    for a log(alpha/threshold) schedule; the while-loop form is tighter
+    — benign spectra stop in ~20 iterations).
+    """
+    dt = a0.dtype
+    r = a0.shape[-1]
+    eye = jnp.eye(r, dtype=dt)
+    tol = 50.0 * jnp.finfo(dt).eps
+
+    def cond(state):
+        _, err, i = state
+        return jnp.logical_and(i < max_iters, err > tol)
+
+    def body(state):
+        x, _, i = state
+        x2 = jnp.einsum("kab,kbc->kac", x, x, precision="highest")
+        x3 = jnp.einsum("kab,kbc->kac", x, x2, precision="highest")
+        err = jnp.max(jnp.abs(x2 - eye[None]))
+        return 1.5 * x - 0.5 * x3, err, i + jnp.int32(1)
+
+    x0 = a0 / alpha[:, None, None]
+    big = jnp.asarray(jnp.finfo(dt).max, dt)
+    x, _, _ = jax.lax.while_loop(cond, body, (x0, big, jnp.int32(0)))
+    return x
+
+
 def _trunc_count(s: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
     """Kept rank under the TT-SVD tail rule (traced, static shapes).
 
@@ -532,17 +580,7 @@ def _tt_round_twosided_sweep_fn(relative: bool, sign_iters: int = 100):
             jnp.sum(jnp.abs(a0), axis=2), axis=1
         ) + jnp.asarray(1e-30, dt)
 
-        def ns_step(x, _):
-            x2 = jnp.einsum(
-                "kab,kbc->kac", x, x, precision="highest"
-            )
-            x3 = jnp.einsum(
-                "kab,kbc->kac", x, x2, precision="highest"
-            )
-            return 1.5 * x - 0.5 * x3, None
-
-        x0 = a0 / alpha[:, None, None]
-        sign, _ = jax.lax.scan(ns_step, x0, None, length=sign_iters)
+        sign = _sign_newton_schulz(a0, alpha, sign_iters)
         proj = 0.5 * (eye[None] + sign)  # (d-1, r, r)
 
         ks = jnp.clip(
@@ -576,6 +614,195 @@ def _tt_round_twosided_sweep_fn(relative: bool, sign_iters: int = 100):
             jnp.matmul(l_end, last_q, precision="highest"),
             precision="highest",
         )
+        return first_out, mids_out, last_out, ks[0], ks[1:]
+
+    return jax.jit(sweep)
+
+
+@lru_cache(maxsize=8)
+def _tt_round_prefix_sweep_fn(relative: bool, sign_iters: int = 100):
+    """Batched two-sided Gram rounding: the parallel-prefix mode.
+
+    Every other sweep in this module threads a Cholesky/QR/SVD through
+    the sequential d-step carry chain — 48 small factorizations whose
+    per-step latency (not FLOPs) is the rounding floor on TPU.  This
+    mode restructures the Al Daas/Ballard-style Gram rounding
+    (reference semantics: ``pytens/algs.py:1766-1838``) so the chains
+    carry **only GEMMs** and every factorization is batched over all
+    bonds at once:
+
+    1. left Grams ``H_k`` (forward) and right Grams ``G_k`` (backward)
+       of every bond matricization, two GEMMs per scan step, fused into
+       ONE scan (step i advances H over core i and G over core d-1-i);
+       carries are trace-rescaled each step (log-scales tracked) so
+       48-step products never over/underflow,
+    2. batched Cholesky whitening of all bonds: ``H = E^T E``,
+       ``G = F^T F``; the bond matricization then reads
+       ``M_k = Q_L (E_k F_k^T) Q_R^T`` with orthonormal Q's, so the
+       singular values of the small ``W_k = E_k F_k^T`` are those of
+       the bond,
+    3. batched Newton-Schulz sign projectors ``P_k`` onto the
+       above-threshold left singular subspace of W_k (pure GEMMs, as in
+       the twosided sweep), orthonormal bases by batched CholQR2,
+    4. oblique bond insertions ``a_k = E_k^{-1} Q_k``,
+       ``b_k^T = Q_k^T E_k`` (batched triangular solves): inserting
+       ``a_k b_k^T`` at bond k projects M_k onto its dominant subspace
+       exactly (``L a b^T R^T = Q_L P W Q_R^T``); cores update in one
+       batched einsum ``B_k = b_{k-1}^T A_k a_k``.
+
+    Error rule: per-direction threshold tau^2 = budget^2 / r per bond
+    (total dropped mass <= eps^2 ||X||^2, the same contract as the
+    twosided sweep).  ||X||^2 = tr(H_k G_k) in each bond's own
+    normalized units, so the relative threshold needs no un-scaling.
+
+    Accuracy scope: the Gram chains square the condition number and the
+    raw-product carries accumulate ~sqrt(d)*eps noise, so singular
+    values below ~sqrt(d * mach_eps) of the norm are unresolvable —
+    a loose-tolerance mode (f32: eps >= ~1e-2..1e-3, f64: eps >=
+    ~1e-6), like ``method="gram"`` but with no factorization in any
+    sequential chain.  Value-correctness (error <= eps) holds at any
+    eps; only *rank recovery* of deeply-buried null directions needs
+    the accurate sweeps.
+    """
+
+    def sweep(first, mids, last, eps):
+        d = mids.shape[0] + 2
+        r = last.shape[0]
+        dt = first.dtype
+        mach = jnp.asarray(jnp.finfo(dt).eps, dt)
+        nb = d - 1  # bonds
+
+        # ---- fused H/G chains: GEMM-only scan -----------------------
+        h0 = jnp.matmul(first.T, first, precision="highest")
+        s0 = jnp.trace(h0) / r + jnp.asarray(1e-30, dt)
+        h0n = h0 / s0
+        g0 = jnp.matmul(last, last.T, precision="highest")
+        t0 = jnp.trace(g0) / r + jnp.asarray(1e-30, dt)
+        g0n = g0 / t0
+
+        # The H and G updates share one algebraic form,
+        #   out[c, C] = sum_{a, b, n} M[a, b] X[a, n, c] X[b, n, C],
+        # with X = core for H and X = core reversed end-for-end for G
+        # (check by renaming: out = sum core[c,n,a] G[a,b] core[C,n,b]).
+        # Stacking [core, rev(core_back)] lets ONE batched GEMM pair per
+        # scan step advance both chains — half the dispatches of the
+        # naive 4-einsum step, which matters because the chain is
+        # per-step-latency-bound, not FLOP-bound.
+        xs = jnp.stack(
+            [mids, jnp.transpose(jnp.flip(mids, 0), (0, 3, 2, 1))],
+            axis=1,
+        )  # (d-2, 2, r, n, r)
+
+        def chain_step(m, x):
+            # keep the sequential body pure-GEMM + rescale; the log of
+            # the per-step scales is summed OUTSIDE the chain
+            t = jnp.einsum("yab,yanc->ybnc", m, x, precision="highest")
+            m2 = jnp.einsum("ybnc,ybnC->ycC", t, x, precision="highest")
+            s = jnp.einsum("yaa->y", m2) / r + jnp.asarray(1e-30, dt)
+            m2 = m2 / s[:, None, None]
+            return m2, (m2, s)
+
+        m0 = jnp.stack([h0n, g0n])
+        _, (m_seq, s_seq) = jax.lax.scan(chain_step, m0, xs)
+        ls_seq = jnp.cumsum(jnp.log(s_seq), axis=0)  # (d-2, 2)
+        h_seq, g_seq = m_seq[:, 0], m_seq[:, 1]
+        lh_seq, lg_seq = ls_seq[:, 0], ls_seq[:, 1]
+        # Bond k sits between cores k and k+1 (k = 0..nb-1).  The scan's
+        # step i advances H over core i+1 (h_seq[i] = H at bond i+1) and
+        # G over core d-2-i (g_seq[i] = G at bond d-3-i), so G comes out
+        # in reverse bond order.
+        h_all = jnp.concatenate([h0n[None], h_seq], axis=0)  # (nb, r, r)
+        g_all = jnp.concatenate([jnp.flip(g_seq, 0), g0n[None]], axis=0)
+        one0 = jnp.zeros((1,), dt)
+        lh_all = jnp.log(s0) + jnp.concatenate([one0, lh_seq])
+        lg_all = jnp.log(t0) + jnp.concatenate([jnp.flip(lg_seq, 0), one0])
+
+        # ---- batched whitening ---------------------------------------
+        eye = jnp.eye(r, dtype=dt)
+        hg_all = jnp.concatenate([h_all, g_all], axis=0)  # (2 nb, r, r)
+        jit_hg = (jnp.einsum("kaa->k", hg_all) / r + 1e-30) * (20.0 * mach)
+        jit_h, jit_g = jit_hg[:nb], jit_hg[nb:]
+        # ONE batched cholesky over both chains (each extra batched
+        # factorization call costs ~0.5 ms of dispatch+panel latency)
+        l_hg = jnp.linalg.cholesky(hg_all + jit_hg[:, None, None] * eye)
+        e_all = jnp.swapaxes(l_hg[:nb], 1, 2)  # upper: H = E^T E
+        f_all = jnp.swapaxes(l_hg[nb:], 1, 2)  # upper: G = F^T F
+        w_all = jnp.einsum(
+            "kab,kcb->kac", e_all, f_all, precision="highest"
+        )  # E F^T
+        ww = jnp.einsum(
+            "kab,kcb->kac", w_all, w_all, precision="highest"
+        )  # W W^T, eigs = sigma^2 of the bond
+
+        # ---- thresholds ---------------------------------------------
+        norm2 = jnp.einsum(
+            "kab,kba->k", h_all, g_all, precision="highest"
+        )  # ||X||^2 in bond-k normalized units
+        eps_b = jnp.asarray(eps, dt)
+        if relative:
+            tau2 = eps_b**2 * norm2 / jnp.asarray((d - 1.0) * r, dt)
+        else:
+            tau2 = (
+                eps_b**2
+                / jnp.asarray((d - 1.0) * r, dt)
+                * jnp.exp(-(lh_all + lg_all))
+            )
+        # deflate the cholesky-jitter ghosts (null directions of H/G
+        # inflated to ~jitter scale propagate into W W^T at ~jit*tr)
+        ghost = jit_h * jnp.einsum("kaa->k", g_all) + jit_g * jnp.einsum(
+            "kaa->k", h_all
+        )
+        tau2 = tau2 + 2.0 * ghost
+
+        # ---- batched sign projectors (pure GEMMs) --------------------
+        a0 = ww - tau2[:, None, None] * eye[None]
+        alpha = jnp.max(
+            jnp.sum(jnp.abs(a0), axis=2), axis=1
+        ) + jnp.asarray(1e-30, dt)
+
+        sign = _sign_newton_schulz(a0, alpha, sign_iters)
+        proj = 0.5 * (eye[None] + sign)  # (nb, r, r)
+        ks = jnp.clip(
+            jnp.round(jnp.einsum("kaa->k", proj)).astype(jnp.int32), 1, r
+        )
+        masks = (
+            jnp.arange(r, dtype=jnp.int32)[None, :] < ks[:, None]
+        ).astype(dt)
+
+        # ---- orthonormal bases: batched CholQR2 of P @ probe ---------
+        probe = jax.random.normal(jax.random.PRNGKey(7), (r, r), dt)
+        c0 = jnp.einsum("kab,bc->kac", proj, probe, precision="highest")
+
+        def cholqr_cols(c):
+            g = jnp.einsum("kab,kac->kbc", c, c, precision="highest")
+            jit = (jnp.einsum("kaa->k", g) / r + 1e-30) * (20.0 * mach)
+            l = jnp.linalg.cholesky(g + jit[:, None, None] * eye)
+            # solve c = q l^T for q: batched triangular solve on rows
+            q = jax.lax.linalg.triangular_solve(
+                l, c, left_side=False, lower=True, transpose_a=True
+            )
+            return q
+
+        q_all = cholqr_cols(cholqr_cols(c0)) * masks[:, None, :]
+
+        # ---- oblique insertions a = E^{-1} Q, b^T = Q^T E ------------
+        a_ins = jax.lax.linalg.triangular_solve(
+            e_all, q_all, left_side=True, lower=False
+        )  # E a = Q
+        bt_ins = jnp.einsum(
+            "kca,kcb->kab", q_all, e_all, precision="highest"
+        )  # b^T = Q^T E
+
+        # ---- project cores: one batched einsum -----------------------
+        first_out = jnp.matmul(first, a_ins[0], precision="highest")
+        mids_out = jnp.einsum(
+            "kma,kanb,kbp->kmnp",
+            bt_ins[:-1],
+            mids,
+            a_ins[1:],
+            precision="highest",
+        )
+        last_out = jnp.matmul(bt_ins[-1], last, precision="highest")
         return first_out, mids_out, last_out, ks[0], ks[1:]
 
     return jax.jit(sweep)
@@ -702,8 +929,11 @@ def tt_round_fixed(
     batched matrix-sign spectral projectors — the fastest accurate mode
     on TPU, where iterative SVDs neither batch nor pipeline, at the
     cost of a per-direction threshold that can keep a few more ranks
-    on slowly-decaying spectra); ``method="gram"`` is the
-    loose-tolerance fast mode (single-pass CholQR + Gram-eigh, squared
+    on slowly-decaying spectra); ``method="prefix"`` is the fastest
+    mode: GEMM-only Gram chains with every factorization batched over
+    bonds (no cholesky/QR/SVD in any sequential chain), at gram-mode
+    accuracy scope (sqrt(mach-eps) resolution floor); ``method="gram"``
+    is the loose-tolerance single-pass CholQR + Gram-eigh mode (squared
     condition number).  ``reorth`` orthogonalizes twice per bond for
     tight budgets near the dtype noise floor.  Returns the rounded
     network (bonds compacted to the discovered ranks on host) and the
@@ -719,13 +949,21 @@ def tt_round_fixed(
         raise ValueError("tt_round_fixed needs d >= 3")
 
     d = mids.shape[0] + 2
-    floor = sweep_noise_floor(first.dtype, d) / (2.0 if reorth else 1.0)
+    if method in ("gram", "prefix"):
+        # Gram chains square the condition number: singular values below
+        # ~sqrt(mach eps) of the norm are unresolvable regardless of d
+        floor = 4.0 * float(np.sqrt(jnp.finfo(first.dtype).eps))
+    else:
+        floor = sweep_noise_floor(first.dtype, d) / (
+            2.0 if reorth else 1.0
+        )
     if relative and eps < floor:
         warnings.warn(
             f"requested relative eps={eps:.1e} is below the ~{floor:.1e} "
-            f"noise floor of a {d}-core {first.dtype} rounding sweep; "
-            "truncation may not engage. Use float64, or reorth=True for "
-            "a ~2x-cost sweep with an eps-level floor.",
+            f"noise floor of a {d}-core {first.dtype} {method} rounding "
+            "sweep; truncation may not engage. Use float64, an accurate "
+            "method (svd/cholqr2/twosided), or reorth=True for a "
+            "~2x-cost sweep with an eps-level floor.",
             RuntimeWarning,
             stacklevel=2,
         )
@@ -736,13 +974,17 @@ def tt_round_fixed(
         fn = _tt_round_cholqr2_sweep_fn(relative)
     elif method == "twosided":
         fn = _tt_round_twosided_sweep_fn(relative)
+    elif method == "prefix":
+        fn = _tt_round_prefix_sweep_fn(relative)
     else:
         fn = _tt_round_sweep_fn(relative, reorth)
     f, m, l, k0, mid_ranks = fn(first, mids, last, eps)
+    ROUND_STATS[method if method in ROUND_STATS else "svd"] += 1
 
-    if method in ("gram", "cholqr2", "twosided") and bool(
+    if method in ("gram", "cholqr2", "twosided", "prefix") and bool(
         jnp.isnan(jnp.sum(l))
     ):
+        ROUND_STATS["fallback_nan"] += 1
         warnings.warn(
             f"{method} rounding sweep broke down (NaN — Cholesky on a "
             "heavily rank-deficient train); falling back to the "

@@ -92,13 +92,19 @@ class ISplit(Action):
             names, _ = net.svd(
                 self.node, axes, SVDConfig(compute_data=False)
             )
-            u_mat, s_vec, v_mat = (np.asarray(m) for m in svd)
+            u_mat, s_vec, v_mat = svd
             lshape = [node_indices[k].size for k in axes]
             rshape = [node_indices[k].size for k in rest]
+            # keep device factors on device (the batched search scorer
+            # hands us jnp arrays; a forced np.asarray here would fetch
+            # the full U/V through the relay before truncation slices
+            # them down) — np.diag of the small s vector is cheap
             net.node_tensor(names[0]).update_val_size(
                 u_mat.reshape(*lshape, -1)
             )
-            net.node_tensor(names[1]).update_val_size(np.diag(s_vec))
+            net.node_tensor(names[1]).update_val_size(
+                np.diag(np.asarray(s_vec))
+            )
             net.node_tensor(names[2]).update_val_size(
                 v_mat.reshape(-1, *rshape)
             )

@@ -1,0 +1,246 @@
+"""Device-batched split scoring for the exhaustive search drivers.
+
+The BFS/DFS hot loop pays one SVD per candidate action (reference:
+``pytens/search/exhaustive.py:147-216`` scores each split with its own
+decomposition).  For a *single-node* state — the root of every search,
+and by far its most expensive level — all candidate matricizations are
+views of one dense tensor, so they can be scored together: group the
+actions by the pow2-bucketed shape of their oriented matricization,
+build each group's stacked padded batch with ONE jitted
+transpose/pad/stack program, and run ONE batched SVD per bucket.  Two
+compiled executables per bucket shape regardless of how many actions
+there are — through a ~20-60 s-per-compile TPU relay this is the
+difference between search being device-hosted or not (same trick as
+:mod:`tensor_networks_tpu.search.spectra`, extended to full U/s/V).
+
+Restricting to single-node states keeps successor semantics *identical*
+to the per-action path: ``network.svd(..., with_orthonormal=True)``
+orthonormalizes the node's environment first, which is a no-op exactly
+when the node has no neighbors.  Multi-node states are small in practice
+(children of a split shrink geometrically) and stay on the host-routed
+per-action path, which round-2 validation showed is the right placement
+for them.
+
+Zero-padding is safe end to end: padding rows/cols only append zero
+singular values, and every singular vector with a *nonzero* value is
+supported entirely inside the true rows/cols (u_i = A v_i / s_i and the
+padded rows of A are zero), so the trimmed factors reconstruct the
+matrix exactly; trailing null-space columns may mix into the padding but
+are multiplied by zero singular values wherever they are kept.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tensor_networks_tpu.network import TensorNetwork
+from tensor_networks_tpu.search.actions import Action, ISplit, OSplit
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
+def device_scoring_eligible(net: TensorNetwork) -> bool:
+    """Batched device scoring applies to large single-node states.
+
+    ``TNT_SEARCH_DEVICE=1`` forces it on any backend (how the CPU parity
+    tests drive this path); ``=0`` disables it; default is on for the
+    TPU backend when the node clears the host-SVD routing threshold
+    (small tensors are faster end-to-end on the host — measured in
+    round 2, VALIDATION.md).
+    """
+    force = os.environ.get("TNT_SEARCH_DEVICE")
+    if force == "0":
+        return False
+    nodes = list(net.network.nodes)
+    if len(nodes) != 1:
+        return False
+    if force == "1":
+        return True
+    import jax
+
+    from tensor_networks_tpu.kernels.linalg import _host_svd_threshold
+
+    val = net.node_tensor(nodes[0]).value
+    return (
+        jax.default_backend() == "tpu"
+        and val.size >= _host_svd_threshold()
+    )
+
+
+# jitted program caches, keyed by static shape signatures — the point is
+# ONE compile per (tensor shape, group) and per bucket, reused across
+# every state and search run in the process
+_STACK_FNS: Dict[tuple, object] = {}
+_SVD_FNS: Dict[tuple, object] = {}
+
+
+def _stack_fn(
+    tshape: Tuple[int, ...],
+    dtype_key: str,
+    plans: Tuple[Tuple[Tuple[int, ...], bool], ...],
+    bucket: Tuple[int, int],
+):
+    """Jitted transpose/reshape/pad/stack for one shape group."""
+    key = (tshape, dtype_key, plans, bucket)
+    fn = _STACK_FNS.get(key)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+
+    mb, nb = bucket
+    nd = len(tshape)
+
+    def build(x):
+        mats = []
+        for axes, trans in plans:
+            rest = tuple(k for k in range(nd) if k not in axes)
+            perm = axes + rest
+            rows = 1
+            for k in axes:
+                rows *= tshape[k]
+            mat = jnp.transpose(x, perm).reshape(rows, -1)
+            if trans:
+                mat = mat.T
+            mats.append(
+                jnp.pad(
+                    mat,
+                    (
+                        (0, mb - mat.shape[0]),
+                        (0, nb - mat.shape[1]),
+                    ),
+                )
+            )
+        return jnp.stack(mats)
+
+    fn = jax.jit(build)
+    _STACK_FNS[key] = fn
+    return fn
+
+
+def _svd_fn(bucket: Tuple[int, int], dtype_key: str):
+    """Jitted batched thin SVD for one bucket shape."""
+    key = (bucket, dtype_key)
+    fn = _SVD_FNS.get(key)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+
+    fn = jax.jit(lambda s: jnp.linalg.svd(s, full_matrices=False))
+    _SVD_FNS[key] = fn
+    return fn
+
+
+def batched_split_svds(
+    net: TensorNetwork, actions: Sequence[Action]
+) -> Dict[Action, Tuple]:
+    """(U, s, V) for every split action on a single-node network.
+
+    Returns a dict the drivers pass into ``take_action(.., svd=..)``;
+    actions that are not splits (or fail to resolve) are absent and fall
+    back to the per-action path.
+    """
+    nodes = list(net.network.nodes)
+    if len(nodes) != 1:
+        return {}
+    node = nodes[0]
+    val = net.node_tensor(node).value
+    tshape = tuple(int(s) for s in val.shape)
+    nd = len(tshape)
+
+    # resolve every action to (sorted axes, orientation)
+    plans: List[Tuple[Action, Tuple[int, ...], bool, int, int]] = []
+    for action in actions:
+        if isinstance(action, OSplit):
+            try:
+                isp = action.to_isplit(net)
+            except ValueError:
+                continue
+            if isp.node != node:
+                continue
+            axes = tuple(isp.left_indices)
+        elif isinstance(action, ISplit):
+            if action.node != node:
+                continue
+            axes = tuple(sorted(action.left_indices))
+        else:
+            continue
+        dim_l = 1
+        for k in axes:
+            dim_l *= tshape[k]
+        dim_r = val.size // dim_l
+        trans = dim_l > dim_r
+        plans.append((action, axes, trans, dim_l, dim_r))
+
+    if not plans:
+        return {}
+
+    import jax.numpy as jnp
+
+    x = jnp.asarray(val)
+    dtype_key = str(x.dtype)
+
+    # group by pow2 bucket of the oriented shape
+    groups: Dict[Tuple[int, int], List[int]] = {}
+    for i, (_, _, trans, dim_l, dim_r) in enumerate(plans):
+        m, n = (dim_r, dim_l) if trans else (dim_l, dim_r)
+        groups.setdefault((_pow2(m), _pow2(n)), []).append(i)
+
+    from tensor_networks_tpu.kernels.linalg import _trunc_rank
+    from tensor_networks_tpu.types import SVDConfig
+
+    # the per-action path runs delta_svd(mat, SVDConfig().delta): the
+    # installed factors are pre-truncated at that absolute budget.  The
+    # batched path applies the identical rule (count parity: the
+    # prune_full_rank noop test compares the installed rank to the cap)
+    delta0 = SVDConfig().delta
+
+    out: Dict[Action, Tuple] = {}
+    for bucket, members in groups.items():
+        gplans = tuple(
+            (plans[i][1], plans[i][2]) for i in members
+        )
+        stack = _stack_fn(tshape, dtype_key, gplans, bucket)(x)
+        u_b, s_b, vh_b = _svd_fn(bucket, dtype_key)(stack)
+        s_host = np.asarray(s_b)  # ONE small fetch per group
+        for j, i in enumerate(members):
+            action, _, trans, dim_l, dim_r = plans[i]
+            k = min(dim_l, dim_r)
+            s_j = s_host[j, :k]
+            if not np.all(np.isfinite(s_j)):
+                continue  # diverged SVD: per-action path has a fallback
+            rank, _ = _trunc_rank(s_j, delta0)
+            if trans:  # oriented matrix was A^T: A = vh^T s u^T
+                u = vh_b[j, :rank, :dim_l].T
+                v = u_b[j, :dim_r, :rank].T
+            else:
+                u = u_b[j, :dim_l, :rank]
+                v = vh_b[j, :rank, :dim_r]
+            out[action] = (u, s_j[:rank], v)
+    return out
+
+
+def maybe_batched_svds(
+    state, actions: Sequence[Action]
+) -> Dict[Action, Tuple]:
+    """The drivers' entry point: {} whenever the state is ineligible."""
+    try:
+        if not device_scoring_eligible(state.network):
+            return {}
+        return batched_split_svds(state.network, actions)
+    except Exception as exc:  # never let scoring break the search
+        import warnings
+
+        warnings.warn(
+            f"batched device scoring failed ({exc}); falling back to "
+            "per-action SVDs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return {}

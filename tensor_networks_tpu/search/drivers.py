@@ -22,6 +22,7 @@ import time
 from typing import List, Optional, Set, Tuple
 
 from tensor_networks_tpu.network import TensorNetwork
+from tensor_networks_tpu.search.batched import maybe_batched_svds
 from tensor_networks_tpu.search.configuration import SearchConfig
 from tensor_networks_tpu.search.mdp import SearchState
 from tensor_networks_tpu.search.trace import SearchTrace
@@ -69,8 +70,14 @@ def run_bfs(
             and time.time() - start >= config.engine.timeout
         ):
             break
-        for action in state.get_legal_actions(use_osplit):
-            for child in state.take_action(action, config=config):
+        actions = state.get_legal_actions(use_osplit)
+        # large single-node states: every action's SVD in shape-grouped
+        # batched device calls (no-op {} when ineligible)
+        svds = maybe_batched_svds(state, actions)
+        for action in actions:
+            for child in state.take_action(
+                action, config=config, svd=svds.get(action)
+            ):
                 if config.heuristics.prune_full_rank and child.is_noop:
                     continue
                 count += 1
@@ -120,9 +127,13 @@ def run_dfs(
             return
         last_level = depth + 1 >= config.engine.max_ops
 
-        for action in state.get_legal_actions(use_osplit):
+        actions = state.get_legal_actions(use_osplit)
+        svds = maybe_batched_svds(state, actions)
+        for action in actions:
             level_config = _narrowed(config, 1 if last_level else width)
-            for child in state.take_action(action, config=level_config):
+            for child in state.take_action(
+                action, config=level_config, svd=svds.get(action)
+            ):
                 if config.heuristics.prune_full_rank and child.is_noop:
                     continue
                 if child.network.cost() < best.cost():

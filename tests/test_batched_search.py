@@ -1,0 +1,97 @@
+"""Device-batched split scoring (search/batched.py): bit-identical
+search semantics vs the per-action SVD path, on CPU with the batched
+path force-enabled (TNT_SEARCH_DEVICE=1)."""
+
+import numpy as np
+import pytest
+
+from tensor_networks_tpu import Index, Tensor, TensorNetwork
+from tensor_networks_tpu.search import SearchConfig, SearchEngine
+from tensor_networks_tpu.search.batched import (
+    batched_split_svds,
+    device_scoring_eligible,
+    maybe_batched_svds,
+)
+from tensor_networks_tpu.search.mdp import SearchState
+
+
+def _net(shape=(3, 4, 5), seed=1):
+    np.random.seed(seed)
+    data = np.random.randn(*shape)
+    indices = [Index(f"i{k}", s) for k, s in enumerate(shape)]
+    net = TensorNetwork()
+    net.add_node("G", Tensor(data, indices))
+    return net
+
+
+def _run(kind, net, eps=0.5, monkeypatch=None, force=None):
+    if monkeypatch is not None:
+        if force is None:
+            monkeypatch.delenv("TNT_SEARCH_DEVICE", raising=False)
+        else:
+            monkeypatch.setenv("TNT_SEARCH_DEVICE", force)
+    config = SearchConfig()
+    config.engine.eps = eps
+    engine = SearchEngine(config=config)
+    return getattr(engine, kind)(net)
+
+
+@pytest.mark.parametrize("kind,count", [("bfs", 7), ("dfs", 8)])
+def test_counts_match_per_action_path(kind, count, monkeypatch):
+    stats_host = _run(kind, _net(), monkeypatch=monkeypatch, force="0")
+    stats_dev = _run(kind, _net(), monkeypatch=monkeypatch, force="1")
+    assert stats_host["count"] == stats_dev["count"] == count
+    assert np.isclose(
+        stats_host["best_network"].cost(),
+        stats_dev["best_network"].cost(),
+    )
+
+
+def test_counts_match_4d(monkeypatch):
+    """A 4-way target exercises multi-axis groups and transposed
+    orientations (dim_l > dim_r)."""
+    net = _net(shape=(3, 4, 5, 6), seed=3)
+    stats_host = _run("bfs", net, monkeypatch=monkeypatch, force="0")
+    net2 = _net(shape=(3, 4, 5, 6), seed=3)
+    stats_dev = _run("bfs", net2, monkeypatch=monkeypatch, force="1")
+    assert stats_host["count"] == stats_dev["count"]
+    assert np.isclose(
+        stats_host["best_network"].cost(),
+        stats_dev["best_network"].cost(),
+    )
+
+
+def test_factor_reconstruction(monkeypatch):
+    """Trimmed padded factors reconstruct each matricization exactly."""
+    monkeypatch.setenv("TNT_SEARCH_DEVICE", "1")
+    net = _net(shape=(4, 3, 6), seed=7)
+    state = SearchState(net, 0.5)
+    actions = state.get_legal_actions(True)  # OSplits
+    svds = batched_split_svds(net, actions)
+    assert len(svds) == len(actions) == 3
+    data = np.asarray(net.node_tensor("G").value)
+    free = net.free_indices()
+    for action, (u, s, v) in svds.items():
+        axes = [free.index(i) for i in action.indices]
+        rest = [k for k in range(3) if k not in axes]
+        mat = np.transpose(data, axes + rest).reshape(
+            int(np.prod([data.shape[a] for a in axes])), -1
+        )
+        got = np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(v)
+        assert np.allclose(got, mat, atol=1e-10)
+        # spectra match host LAPACK
+        s_ref = np.linalg.svd(mat, compute_uv=False)
+        assert np.allclose(np.asarray(s), s_ref[: len(s)], atol=1e-10)
+
+
+def test_eligibility_gates(monkeypatch):
+    net = _net()
+    monkeypatch.setenv("TNT_SEARCH_DEVICE", "0")
+    assert not device_scoring_eligible(net)
+    monkeypatch.setenv("TNT_SEARCH_DEVICE", "1")
+    assert device_scoring_eligible(net)
+    # multi-node states never take the batched path
+    net.svd("G", [0])
+    assert not device_scoring_eligible(net)
+    state = SearchState(net, 0.5)
+    assert maybe_batched_svds(state, state.get_legal_actions()) == {}

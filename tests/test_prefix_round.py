@@ -1,0 +1,103 @@
+"""The parallel-prefix rounding mode (GEMM-only chains + batched
+factorizations): parity with the Householder sweep, the error contract,
+and the machine-readable fallback counter."""
+
+import numpy as np
+import pytest
+
+from tensor_networks_tpu import Index, TensorNetwork
+from tensor_networks_tpu.ops.fast import ROUND_STATS, tt_round_fixed
+
+
+def _train(d=7, n=5, r=3, seed=0):
+    np.random.seed(seed)
+    indices = [Index(f"x{i}", n) for i in range(d)]
+    return TensorNetwork.rand_tt(indices, [r] * (d - 1)), indices
+
+
+def test_prefix_exact_rank_recovery():
+    """a + a doubles every bond; prefix compacts back exactly."""
+    tt, _ = _train()
+    tt2 = tt + tt
+    dense = np.asarray(tt2.contract().value)
+    out, ranks = tt_round_fixed(tt2, 1e-8, method="prefix")
+    assert ranks == [3] * 6, ranks
+    got = np.asarray(out.contract().value)
+    rel = np.linalg.norm(got - dense) / np.linalg.norm(dense)
+    assert rel < 1e-12, rel
+
+
+def test_prefix_error_contract():
+    a, indices = _train(seed=2)
+    b = TensorNetwork.rand_tt(indices, [4] * 6)
+    for node in list(b.network.nodes):
+        t = b.node_tensor(node)
+        t.update_val_size(np.asarray(t.value) * 1e-6)
+    s = a + b
+    dense = np.asarray(s.contract().value)
+    out, ranks = tt_round_fixed(s, 1e-3, method="prefix")
+    assert ranks == [3] * 6, ranks
+    got = np.asarray(out.contract().value)
+    rel = np.linalg.norm(got - dense) / np.linalg.norm(dense)
+    assert rel < 1e-3
+
+
+def test_prefix_keeps_structure_above_threshold():
+    tt, _ = _train(d=6, n=4, r=4, seed=5)
+    dense = np.asarray(tt.contract().value)
+    with pytest.warns(RuntimeWarning, match="noise floor"):
+        out, ranks = tt_round_fixed(tt, 1e-10, method="prefix")
+    got = np.asarray(out.contract().value)
+    rel = np.linalg.norm(got - dense) / np.linalg.norm(dense)
+    assert rel < 1e-10
+    assert ranks == [int(x) for x in tt.ranks()]
+
+
+def test_prefix_value_parity_with_householder():
+    """Value parity with the svd sweep at eps=1e-6 on a doubled d=8
+    train (VERDICT r2 #1 done-criterion)."""
+    np.random.seed(11)
+    indices = [Index(f"y{i}", 6) for i in range(8)]
+    t1 = TensorNetwork.rand_tt(indices, [6] * 7)
+    t2 = t1 + t1
+    dense = np.asarray(t2.contract().value)
+    o1, r1 = tt_round_fixed(t2, 1e-6, method="svd")
+    o2, r2 = tt_round_fixed(t2, 1e-6, method="prefix")
+    assert r1 == r2 == [6] * 7
+    g1 = np.asarray(o1.contract().value)
+    g2 = np.asarray(o2.contract().value)
+    nrm = np.linalg.norm(dense)
+    assert np.linalg.norm(g1 - g2) / nrm < 1e-12
+    assert np.linalg.norm(g2 - dense) / nrm < 1e-12
+
+
+def test_round_stats_counters():
+    """ROUND_STATS counts mode runs and NaN fallbacks machine-readably."""
+    from tensor_networks_tpu.ops import fast as fast_mod
+
+    tt, _ = _train()
+    tt2 = tt + tt
+    before = dict(ROUND_STATS)
+    tt_round_fixed(tt2, 1e-8, method="prefix")
+    assert ROUND_STATS["prefix"] == before["prefix"] + 1
+    assert ROUND_STATS["fallback_nan"] == before["fallback_nan"]
+
+    real = fast_mod._tt_round_prefix_sweep_fn
+
+    def poisoned(relative):
+        fn = real(relative)
+
+        def wrapper(first, mids, last, eps):
+            f, m, l, k0, ks = fn(first, mids, last, eps)
+            return f, m, l * np.nan, k0, ks
+
+        return wrapper
+
+    fast_mod._tt_round_prefix_sweep_fn = poisoned
+    try:
+        with pytest.warns(RuntimeWarning, match="broke down"):
+            out, ranks = tt_round_fixed(tt2, 1e-8, method="prefix")
+    finally:
+        fast_mod._tt_round_prefix_sweep_fn = real
+    assert ROUND_STATS["fallback_nan"] == before["fallback_nan"] + 1
+    assert ranks == [3] * 6

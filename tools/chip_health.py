@@ -21,15 +21,27 @@ os.environ.setdefault("TNT_ENABLE_X64", "0")
 HEALTHY_US = 460.0
 
 
-def main() -> int:
+def probe() -> dict:
+    """Measure the zipper probe and classify the relay state.
+
+    Returns ``{"us_min", "us_single", "factor", "status"}`` with status
+    one of ``healthy | bursty | degraded | not_tpu``.  Importable so
+    bench.py can embed the factor in its JSON (self-diagnosing
+    benchmarks — a 2x "regression" with factor 2.1 is the relay, not
+    the code).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     dev = jax.devices()[0]
     if jax.default_backend() != "tpu":
-        print(f"not a TPU backend ({dev}); nothing to probe")
-        return 0
+        return {
+            "us_min": float("nan"),
+            "us_single": float("nan"),
+            "factor": float("nan"),
+            "status": "not_tpu",
+        }
 
     from tensor_networks_tpu.kernels.pallas_ops import (
         pad_train,
@@ -84,26 +96,41 @@ def main() -> int:
     us_min = (best_of(104) - best_of(8)) / 96 * 1e6
 
     factor = us_min / HEALTHY_US
+    if us_min <= 0 or factor > 3.0:
+        status = "degraded"
+    elif us_single > 3.0 * us_min:
+        status = "bursty"
+    else:
+        status = "healthy"
+    return {
+        "us_min": float(us_min),
+        "us_single": float(us_single),
+        "factor": float(factor),
+        "status": status,
+        "device": str(dev),
+    }
+
+
+def main() -> int:
+    res = probe()
+    if res["status"] == "not_tpu":
+        print("not a TPU backend; nothing to probe")
+        return 0
     print(
-        f"[chip_health] {dev}: zipper inner {us_min:.0f} us/call "
-        f"min-slope ({factor:.1f}x healthy ~{HEALTHY_US:.0f} us); "
-        f"single-shot {us_single:.0f} us"
+        f"[chip_health] {res['device']}: zipper inner "
+        f"{res['us_min']:.0f} us/call min-slope "
+        f"({res['factor']:.1f}x healthy ~{HEALTHY_US:.0f} us); "
+        f"single-shot {res['us_single']:.0f} us"
     )
-    if us_min <= 0:
-        # a stall during one best_of leg made the slope meaningless —
-        # exactly the condition the probe exists to catch
-        print(
-            "[chip_health] DEGRADED — non-positive slope, a relay "
-            "stall hit the measurement itself; timings untrustworthy"
-        )
-        return 1
-    if factor > 3.0:
+    if res["status"] == "degraded":
+        # non-positive slope means a relay stall hit the measurement
+        # itself — exactly the condition the probe exists to catch
         print(
             "[chip_health] DEGRADED — do not trust timings taken now; "
             "re-probe later before benchmarking"
         )
         return 1
-    if us_single > 3.0 * us_min:
+    if res["status"] == "bursty":
         print(
             "[chip_health] BURSTY — min-filtered slopes (bench protocol) "
             "are OK, single-shot timings are being poisoned by stalls"
