@@ -233,6 +233,53 @@ def _sign_newton_schulz(a0, alpha, max_iters: int):
     return x
 
 
+def _chol_adaptive(g, jit0):
+    """Batched/unbatched Cholesky with per-matrix escalating shift.
+
+    TPU Gram matmuls round differently from CPU f32 (multi-pass bf16
+    accumulation, autotuned layouts), and on exactly rank-deficient
+    trains that noise can exceed a mean-diagonal-scaled shift, giving a
+    negative pivot -> NaN.  ``tools/nan_repro.py`` showed the round-2
+    "nondeterministic miscompile" is this: the backward CholeskyQR2
+    chain NaNs *deterministically* on a 2x rank-deficient train on TPU
+    while the identical program is clean on CPU f32; per-process
+    nondeterminism at other deficiency levels is consistent with
+    autotune picking different matmul algorithms (different rounding)
+    per process, flipping a borderline pivot.  Escalating the shift 32x
+    per retry on exactly the matrices that failed keeps the common-case
+    ghost floor at the documented ~sqrt(20 eps) while self-healing the
+    deficient case.  Returns ``(L, shift_used)`` — callers must deflate
+    ghosts with the *returned* shift.
+    """
+    eye = jnp.eye(g.shape[-1], dtype=g.dtype)
+    bshape = g.shape[:-2]
+
+    def chol(mult):
+        shift = jit0 * mult
+        return jnp.linalg.cholesky(
+            g + shift[..., None, None] * eye
+        )
+
+    def cond(state):
+        mult, l = state
+        bad = jnp.any(~jnp.isfinite(l), axis=(-2, -1))
+        return jnp.any(jnp.logical_and(bad, mult < 2.0**25))
+
+    def body(state):
+        mult, l = state
+        bad = jnp.any(~jnp.isfinite(l), axis=(-2, -1))
+        mult = jnp.where(bad, mult * 32.0, mult)
+        l2 = chol(mult)
+        l = jnp.where(bad[..., None, None], l2, l)
+        return mult, l
+
+    mult0 = jnp.ones(bshape, g.dtype)
+    jit0 = jnp.asarray(jit0, g.dtype)
+    l0 = chol(mult0)
+    mult, l = jax.lax.while_loop(cond, body, (mult0, l0))
+    return l, jit0 * mult
+
+
 def _trunc_count(s: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
     """Kept rank under the TT-SVD tail rule (traced, static shapes).
 
@@ -272,7 +319,7 @@ def _tt_round_gram_sweep_fn(relative: bool):
             jitter = (jnp.trace(g) / g.shape[0] + eps_floor) * (
                 10.0 * jnp.finfo(g.dtype).eps
             )
-            l = jnp.linalg.cholesky(g + jitter * jnp.eye(g.shape[0], dtype=g.dtype))
+            l, _ = _chol_adaptive(g, jitter)
             q = jax.scipy.linalg.solve_triangular(l, cur, lower=True)
             return l, q
 
@@ -371,9 +418,7 @@ def _tt_round_cholqr2_sweep_fn(relative: bool):
         jitter = (
             jnp.trace(g) / g.shape[0] + jnp.asarray(1e-30, mat.dtype)
         ) * (20.0 * jnp.finfo(mat.dtype).eps)
-        l1 = jnp.linalg.cholesky(
-            g + jitter * jnp.eye(g.shape[0], dtype=g.dtype)
-        )
+        l1, jitter = _chol_adaptive(g, jitter)
         q = jax.scipy.linalg.solve_triangular(l1, mat, lower=True)
         return l1, q, jitter
 
@@ -496,9 +541,7 @@ def _tt_round_twosided_sweep_fn(relative: bool, sign_iters: int = 100):
         jitter = (
             jnp.trace(g) / g.shape[0] + jnp.asarray(1e-30, mat.dtype)
         ) * (20.0 * jnp.finfo(mat.dtype).eps)
-        l1 = jnp.linalg.cholesky(
-            g + jitter * jnp.eye(g.shape[0], dtype=g.dtype)
-        )
+        l1, jitter = _chol_adaptive(g, jitter)
         q = jax.scipy.linalg.solve_triangular(l1, mat, lower=True)
         return l1, q, jitter
 
@@ -721,10 +764,11 @@ def _tt_round_prefix_sweep_fn(relative: bool, sign_iters: int = 100):
         eye = jnp.eye(r, dtype=dt)
         hg_all = jnp.concatenate([h_all, g_all], axis=0)  # (2 nb, r, r)
         jit_hg = (jnp.einsum("kaa->k", hg_all) / r + 1e-30) * (20.0 * mach)
-        jit_h, jit_g = jit_hg[:nb], jit_hg[nb:]
         # ONE batched cholesky over both chains (each extra batched
-        # factorization call costs ~0.5 ms of dispatch+panel latency)
-        l_hg = jnp.linalg.cholesky(hg_all + jit_hg[:, None, None] * eye)
+        # factorization call costs ~0.5 ms of dispatch+panel latency);
+        # adaptive shift escalation on rank-deficient chains
+        l_hg, jit_hg = _chol_adaptive(hg_all, jit_hg)
+        jit_h, jit_g = jit_hg[:nb], jit_hg[nb:]
         e_all = jnp.swapaxes(l_hg[:nb], 1, 2)  # upper: H = E^T E
         f_all = jnp.swapaxes(l_hg[nb:], 1, 2)  # upper: G = F^T F
         w_all = jnp.einsum(
@@ -776,7 +820,7 @@ def _tt_round_prefix_sweep_fn(relative: bool, sign_iters: int = 100):
         def cholqr_cols(c):
             g = jnp.einsum("kab,kac->kbc", c, c, precision="highest")
             jit = (jnp.einsum("kaa->k", g) / r + 1e-30) * (20.0 * mach)
-            l = jnp.linalg.cholesky(g + jit[:, None, None] * eye)
+            l, _ = _chol_adaptive(g, jit)
             # solve c = q l^T for q: batched triangular solve on rows
             q = jax.lax.linalg.triangular_solve(
                 l, c, left_side=False, lower=True, transpose_a=True

@@ -68,3 +68,100 @@ def test_graph_svd_round_warns_below_floor():
     s, _ = _flat_spectrum_train(d=12, n=4, k=3)
     with pytest.warns(RuntimeWarning, match="noise floor"):
         tnt.tt_svd_round(s, 1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Compensated (double-word f32) tight rounding: ops/tight.py
+# ---------------------------------------------------------------------------
+
+
+def _graded_train(d=10, n=6, scales=(1.0, 1e-2, 1e-4, 1e-6)):
+    """f32 TT whose bond spectra are the given graded scales."""
+    rng = np.random.default_rng(7)
+    ins = [tnt.Index(f"x{i}", n) for i in range(d)]
+    s = tt_sum([_scaled_rank1(ins, rng, sc) for sc in scales])
+    for node in list(s.network.nodes):
+        s.node_tensor(node).update_val_size(
+            jnp.asarray(s.value(node), jnp.float32)
+        )
+    return s, ins
+
+
+def _scaled_rank1(ins, rng, scale):
+    t = _unit_rank1(ins, rng)
+    t.scale(scale)
+    return t
+
+
+def _to64(tn):
+    out = tn.__deepcopy__({})
+    for node in list(out.network.nodes):
+        out.node_tensor(node).update_val_size(
+            jnp.asarray(out.value(node), jnp.float64)
+        )
+    return out
+
+
+def test_tight_round_tracks_eps_below_f32_floor():
+    """eps=1e-6 on an f32 train: correct ranks AND error <= eps.
+
+    This is exactly the regime where the plain f32 sweeps stop
+    truncating (their per-bond budget falls under the chained-QR noise
+    floor); the compensated sweep must keep working.
+    """
+    from tensor_networks_tpu.ops.packed import norm_exact, pack_ragged
+    from tensor_networks_tpu.ops.tight import tt_round_tight
+
+    s, _ = _graded_train()
+    s64 = _to64(s)
+    nrm = float(norm_exact(pack_ragged(s64)))
+    for eps, want_rank in [(1e-1, 1), (1e-3, 2), (1e-5, 3), (3e-7, 4)]:
+        out, ranks = tt_round_tight(s.__deepcopy__({}), eps)
+        assert max(ranks) == want_rank, (eps, ranks)
+        diff = _to64(out) - s64
+        rel = float(norm_exact(pack_ragged(diff))) / nrm
+        assert rel <= 2.0 * eps, (eps, rel)
+
+
+def test_tight_round_rank_deficient_last_core():
+    """Structural deficiency (bond rank > mode size) must not produce
+    ghost directions or NaNs — the round-2 failure mode."""
+    from tensor_networks_tpu.ops.packed import norm_exact, pack_ragged
+    from tensor_networks_tpu.ops.tight import tt_round_tight
+
+    rng = np.random.default_rng(3)
+    ins = [tnt.Index(f"x{i}", 4) for i in range(8)]
+    # 6 terms -> rank-6 bonds against mode size 4: last core is 6x4
+    s = tt_sum([_scaled_rank1(ins, rng, 1.0) for _ in range(6)])
+    s64 = _to64(s)
+    for node in list(s.network.nodes):
+        s.node_tensor(node).update_val_size(
+            jnp.asarray(s.value(node), jnp.float32)
+        )
+    nrm = float(norm_exact(pack_ragged(s64)))
+    out, ranks = tt_round_tight(s, 1e-5)
+    assert all(np.isfinite(np.asarray(out.value(n))).all()
+               for n in out.network.nodes)
+    assert max(ranks) <= 6
+    diff = _to64(out) - s64
+    rel = float(norm_exact(pack_ragged(diff))) / nrm
+    assert rel <= 2e-5, rel
+
+
+def test_chol_adaptive_rank_deficient_no_nan():
+    """Escalating-shift Cholesky self-heals exact rank deficiency."""
+    from tensor_networks_tpu.ops.fast import _chol_adaptive
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((8, 3)).astype(np.float32)
+    g = jnp.asarray(a @ a.T)  # exactly rank 3, 8x8
+    jit0 = (jnp.trace(g) / 8 + 1e-30) * (20.0 * jnp.finfo(g.dtype).eps)
+    l, shift = _chol_adaptive(g, jit0)
+    assert bool(jnp.isfinite(l).all())
+    # batched: one clean, one deficient
+    gb = jnp.stack([g + jnp.eye(8, dtype=g.dtype), g])
+    jb = jnp.full((2,), jit0, g.dtype)
+    lb, sb = _chol_adaptive(gb, jb)
+    assert bool(jnp.isfinite(lb).all())
+    # the clean matrix must keep the base shift
+    assert float(sb[0]) == pytest.approx(float(jb[0]))
