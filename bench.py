@@ -641,6 +641,49 @@ def main():
                 else:
                     eval_mpts_bf16 = mpts
 
+        # segment-sorted ragged-matmul kernel (round 3): only the
+        # useful (r x r) slice per point-step — "highest" is FULL f32
+        # and is the accurate headline; "default" is the bf16 mode
+        if on_tpu:
+            from tensor_networks_tpu.kernels.ragged_eval import (
+                tt_evaluate_ragged,
+            )
+
+            for prec, label in (("highest", "f32"), ("default", "bf16")):
+
+                @partial(jax.jit, static_argnames=("k",))
+                def eval_rg_repeat(first, mids, last, idx, k, _p=prec):
+                    def body(acc, _):
+                        scale = 1.0 + acc * jnp.asarray(1e-24, dtype)
+                        vals = tt_evaluate_ragged(
+                            first * scale, mids, last, idx, _p
+                        )
+                        return jnp.sum(vals).astype(dtype), None
+
+                    acc, _ = jax.lax.scan(
+                        body,
+                        jnp.asarray(0.0, dtype),
+                        jnp.arange(k, dtype=dtype),
+                    )
+                    return acc
+
+                t_rg = timed_repeat(
+                    lambda k: eval_rg_repeat(
+                        a_dev[0], a_dev[1], a_dev[2], idx, k=k
+                    ),
+                    2,
+                    10,
+                )
+                mpts = n_pts / t_rg / 1e6
+                print(
+                    f"[bench] evaluate (ragged {label}): {mpts:.2f} Mpts/s",
+                    file=sys.stderr,
+                )
+                if label == "f32":
+                    eval_mpts = max(eval_mpts, mpts)
+                else:
+                    eval_mpts_bf16 = max(eval_mpts_bf16, mpts)
+
         # honest baseline labeling: the reference-style evaluation is
         # minutes-slow at full batch, so the numpy number is MEASURED on
         # a 512-point slice and the speedup compares per-point times

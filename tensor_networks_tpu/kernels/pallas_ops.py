@@ -39,7 +39,7 @@ logger = logging.getLogger(__name__)
 
 #: observability: how often the pallas path ran vs fell back (tests and
 #: perf debugging read these; a silent fallback is a perf cliff)
-PATH_STATS = {"pallas": 0, "fallback": 0}
+PATH_STATS = {"pallas": 0, "fallback": 0, "ragged": 0}
 
 
 def pad_bond(mids: jnp.ndarray) -> jnp.ndarray:

@@ -281,12 +281,12 @@ def evaluate(
 ) -> jnp.ndarray:
     """Evaluate the train at (B, d) integer multi-indices.
 
-    On TPU this is the VMEM-resident pallas kernel (the batch carry never
-    round-trips HBM): ~0.8 Mpts/s at f32-level accuracy ("bf16x3"),
-    ~1.25 Mpts/s in bf16 ("default", 2-step fused) for d=50 n=32 r=100
-    on one v5e chip.
-    Elsewhere (or on kernel failure, which is logged) the XLA matmul
-    form.  For gradients use :func:`tt_evaluate_fast` (custom VJP).
+    On TPU this is the segment-sorted ragged-matmul kernel
+    (:mod:`tensor_networks_tpu.kernels.ragged_eval`): ~2.8 Mpts/s at
+    FULL f32 accuracy, ~4.2 Mpts/s in bf16 ("default") for d=50 n=32
+    r=100 B=8192 on one v5e chip; the pallas one-hot kernel and the XLA
+    matmul form are the (logged) fallbacks.  For gradients use
+    :func:`tt_evaluate_fast` (custom VJP).
     """
     return _eval_routed(x.first, x.mids, x.last, idx, precision)
 
@@ -306,13 +306,34 @@ def _eval_routed(first, mids, last, idx, precision: str) -> jnp.ndarray:
 
     from tensor_networks_tpu.parallel.sharded import tt_evaluate_batched
 
-    use_pallas = (
+    use_fast = (
         jax.default_backend() == "tpu"
         or os.environ.get("TNT_FORCE_PALLAS") == "1"
     )
-    if use_pallas:
+    if use_fast:
         from tensor_networks_tpu.kernels import pallas_ops as pko
 
+        # segment-sorted ragged-matmul kernel first: ~3.5x the pallas
+        # one-hot kernel at d=50 n=32 r=100 (2.8 Mpts/s full-f32 vs
+        # 0.81 bf16x3) because it skips the n-fold wasted MXU work
+        if mids is not None and mids.shape[0] > 0:
+            from tensor_networks_tpu.kernels.ragged_eval import (
+                tt_evaluate_ragged,
+            )
+
+            try:
+                out = tt_evaluate_ragged(
+                    first, mids, last, idx, precision=precision
+                )
+                pko.PATH_STATS["ragged"] += 1
+                return out
+            except Exception as exc:
+                pko.PATH_STATS["fallback"] += 1
+                pko.logger.warning(
+                    "ragged evaluate failed (%s: %s); trying pallas",
+                    type(exc).__name__,
+                    exc,
+                )
         try:
             out = pko.tt_evaluate_pallas(
                 first, mids, last, idx, precision=precision

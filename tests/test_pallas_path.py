@@ -136,8 +136,8 @@ def test_evaluate_fast_custom_vjp(force_pallas):
     val_ref, grads_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(
         first, mids, last
     )
-    # forward took the pallas kernel
-    assert po.PATH_STATS["pallas"] > force_pallas["pallas"]
+    # forward took a fast kernel (segment-sorted ragged since round 3)
+    assert po.PATH_STATS["ragged"] > force_pallas.get("ragged", 0)
     # bf16x3 forward: f32-level loss agreement
     assert abs(float(val) - float(val_ref)) <= 1e-4 * abs(float(val_ref))
     # backward is the exact XLA VJP

@@ -1,0 +1,100 @@
+"""Segment-sorted ragged-matmul evaluation (kernels/ragged_eval.py).
+
+Parity against an exact per-point f64 chain and against the XLA batched
+form, on every precision mode, including duplicate/degenerate index
+patterns (all points in one mode group; empty groups) that stress the
+sort/ragged-group bookkeeping.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensor_networks_tpu.kernels.ragged_eval import tt_evaluate_ragged
+from tensor_networks_tpu.parallel.sharded import tt_evaluate_batched
+
+
+def _train(d=9, n=7, r=5, seed=0):
+    rng = np.random.default_rng(seed)
+    first = jnp.asarray(rng.standard_normal((n, r)), jnp.float32)
+    mids = jnp.asarray(
+        rng.standard_normal((d - 2, r, n, r)) / np.sqrt(r), jnp.float32
+    )
+    last = jnp.asarray(rng.standard_normal((r, n)), jnp.float32)
+    return first, mids, last
+
+
+def _ref(first, mids, last, idx):
+    f = np.asarray(first, np.float64)
+    m = np.asarray(mids, np.float64)
+    l = np.asarray(last, np.float64)
+    i = np.asarray(idx)
+    out = np.empty(i.shape[0])
+    for b in range(i.shape[0]):
+        v = f[i[b, 0]]
+        for k in range(m.shape[0]):
+            v = v @ m[k][:, i[b, k + 1], :]
+        out[b] = v @ l[:, i[b, -1]]
+    return out
+
+
+@pytest.mark.parametrize("precision", ["highest", "bf16x3", "default"])
+def test_ragged_matches_f64_chain(precision):
+    first, mids, last = _train()
+    rng = np.random.default_rng(1)
+    idx = jnp.asarray(rng.integers(0, 7, (257, 9)), jnp.int32)
+    got = np.asarray(
+        tt_evaluate_ragged(first, mids, last, idx, precision), np.float64
+    )
+    ref = _ref(first, mids, last, idx)
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < (3e-2 if precision == "default" else 1e-5), rel
+
+
+def test_ragged_matches_xla_form():
+    first, mids, last = _train(seed=3)
+    rng = np.random.default_rng(2)
+    idx = jnp.asarray(rng.integers(0, 7, (64, 9)), jnp.int32)
+    got = np.asarray(tt_evaluate_ragged(first, mids, last, idx, "highest"))
+    ref = np.asarray(tt_evaluate_batched(first, mids, last, idx))
+    assert np.allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_ragged_degenerate_groups():
+    """All points share one mode value at some steps -> n-1 empty
+    groups; also B=1 and points identical."""
+    first, mids, last = _train(d=6, n=4, r=3, seed=5)
+    idx = np.zeros((16, 6), np.int32)
+    idx[:, 2] = 3  # every point in the LAST group at step 1
+    idx[:, 3] = np.arange(16) % 4
+    idx_j = jnp.asarray(idx)
+    got = np.asarray(tt_evaluate_ragged(first, mids, last, idx_j, "highest"))
+    ref = _ref(first, mids, last, idx_j)
+    assert np.allclose(got, ref, rtol=1e-5, atol=1e-7)
+
+    one = jnp.asarray(idx[:1])
+    got1 = np.asarray(tt_evaluate_ragged(first, mids, last, one, "highest"))
+    assert np.allclose(got1, ref[:1], rtol=1e-5, atol=1e-7)
+
+
+def test_ragged_rejects_short_trains():
+    first, mids, last = _train(d=3, n=4, r=3)
+    with pytest.raises(ValueError):
+        tt_evaluate_ragged(first, mids[:0], last, jnp.zeros((4, 2), jnp.int32))
+
+
+def test_routed_evaluate_uses_ragged(monkeypatch):
+    """TNT_FORCE_PALLAS=1 routes packed.evaluate through the ragged
+    kernel and counts it (never a silent path change)."""
+    from tensor_networks_tpu.kernels import pallas_ops as po
+    from tensor_networks_tpu.ops import packed as pk
+
+    monkeypatch.setenv("TNT_FORCE_PALLAS", "1")
+    first, mids, last = _train(seed=8)
+    rng = np.random.default_rng(4)
+    idx = jnp.asarray(rng.integers(0, 7, (32, 9)), jnp.int32)
+    before = dict(po.PATH_STATS)
+    got = np.asarray(pk._eval_routed(first, mids, last, idx, "highest"))
+    assert po.PATH_STATS["ragged"] == before["ragged"] + 1
+    ref = _ref(first, mids, last, idx)
+    assert np.allclose(got, ref, rtol=1e-5, atol=1e-6)
