@@ -345,14 +345,19 @@ def _tt_round_gram_sweep_fn(relative: bool):
             jnp.asarray(d - 1.0, first.dtype)
         )
 
-        def gram_trunc(cur):
+        def gram_trunc(cur, kmax):
             # cur (m, r): orthonormal-basis truncation via eigh(cur^T cur)
+            # kmax = structural rank bound of the bond matricization —
+            # eigenvalues past it are Gram-squaring noise (the sqrt(eps)
+            # floor) and must never be kept, whatever the budget (the
+            # reference's host SVD structurally cannot return them;
+            # observed: k0=103 ghosts on a (32, 256) first bond)
             g = jnp.matmul(cur.T, cur, precision="highest")
             w, v = jnp.linalg.eigh(g)  # ascending
             w = jnp.flip(w, 0)
             v = jnp.flip(v, 1)
             s = jnp.sqrt(jnp.maximum(w, 0.0))
-            k = _trunc_count(s, budget)
+            k = jnp.minimum(_trunc_count(s, budget), kmax)
             m = (
                 jnp.arange(s.shape[0], dtype=jnp.int32) < k
             ).astype(s.dtype)
@@ -363,23 +368,29 @@ def _tt_round_gram_sweep_fn(relative: bool):
             carry_next = (m * s)[:, None] * v.T
             return u, carry_next, k
 
-        u0, carry_sv, k0 = gram_trunc(first_c)
+        u0, carry_sv, k0 = gram_trunc(
+            first_c, jnp.int32(min(first.shape[0], first_c.shape[1]))
+        )
         if u0.shape[1] < r:  # first bond can be thinner than r
             pad = r - u0.shape[1]
             u0 = jnp.pad(u0, ((0, 0), (0, pad)))
             carry_sv = jnp.pad(carry_sv, ((0, pad), (0, 0)))
         first_out = u0
 
-        def fwd_step(carry_sv, core):
+        def fwd_step(carry, core):
+            carry_sv, kprev = carry
             rr, n, rc = core.shape
             cur = jnp.einsum(
                 "ak,knc->anc", carry_sv, core, precision="highest"
             )
-            u, nxt, k = gram_trunc(cur.reshape(rr * n, rc))
-            return nxt, (u.reshape(rr, n, -1), k)
+            u, nxt, k = gram_trunc(
+                cur.reshape(rr * n, rc),
+                jnp.minimum(kprev * n, jnp.int32(rc)),
+            )
+            return (nxt, k), (u.reshape(rr, n, -1), k)
 
-        carry_sv, (mids_out, mid_ranks) = jax.lax.scan(
-            fwd_step, carry_sv, mids_q
+        (carry_sv, _), (mids_out, mid_ranks) = jax.lax.scan(
+            fwd_step, (carry_sv, k0), mids_q
         )
         last_out = carry_sv @ last_q
         return first_out, mids_out, last_out, k0, mid_ranks
