@@ -180,6 +180,20 @@ def main():
     from functools import partial
 
     import jax
+
+    # persistent compilation cache: remote compiles through the relay
+    # cost 20-700 s; the cache survives processes AND rounds (verified:
+    # a 37 s SVD compile replays in 3 s from a fresh process)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as exc:
+        print(f"[bench] compile cache unavailable: {exc}", file=sys.stderr)
+
     import jax.numpy as jnp
 
     from tensor_networks_tpu.ops.fast import (
@@ -830,6 +844,114 @@ def main():
     except Exception as exc:
         print(f"[bench] dfs search failed: {exc}", file=sys.stderr)
 
+    # ---- device-vs-host search scoring (VERDICT r2 item 4) ----
+    # d=8 n=6 root level: 127 bipartition SVDs through the REAL dfs
+    # driver.  Host = per-action LAPACK on a NumPy tensor; device =
+    # shape-grouped batched SVDs (search/batched.py) on a device tensor.
+    # Both runs must visit the same state count (semantics pinned).
+    sdev_wall = shost_wall = float("nan")
+    sdev_count = shost_count = -1
+    if on_tpu:
+        try:
+            from tensor_networks_tpu import Index, Tensor, TensorNetwork
+            from tensor_networks_tpu.search import SearchConfig
+            from tensor_networks_tpu.search.drivers import run_dfs
+
+            def _dfs8(device: bool):
+                rng8 = np.random.default_rng(0)
+                val = rng8.standard_normal([6] * 8).astype(np.float32)
+                net8 = TensorNetwork()
+                net8.add_node(
+                    "G",
+                    Tensor(
+                        jnp.asarray(val) if device else val,
+                        [Index(f"i{k}", 6) for k in range(8)],
+                    ),
+                )
+                c8 = SearchConfig()
+                c8.engine.eps = 0.5
+                c8.engine.max_ops = 1
+                os.environ["TNT_SEARCH_DEVICE"] = "1" if device else "0"
+                try:
+                    tic = time.perf_counter()
+                    stats8, best8, _ = run_dfs(net8, c8)
+                    return time.perf_counter() - tic, stats8["count"]
+                finally:
+                    os.environ.pop("TNT_SEARCH_DEVICE", None)
+
+            _dfs8(True)  # warm the per-shape executables (compile-cached)
+            sdev_wall, sdev_count = _dfs8(True)
+            shost_wall, shost_count = _dfs8(False)
+            print(
+                f"[bench] dfs d=8 n=6 root scoring: device {sdev_wall:.1f} s"
+                f" vs host {shost_wall:.1f} s (counts {sdev_count}/"
+                f"{shost_count})",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            print(
+                f"[bench] device-vs-host search failed: {exc}",
+                file=sys.stderr,
+            )
+
+    # ---- on-chip cross: device-evaluated fibers (VERDICT r2 item 7) --
+    # network-valued target (d=8, n=32, r=24, device-resident f32): all
+    # fiber matrices evaluate on the TPU; pow2 batch buckets prewarmed.
+    cdev_wall = cdev_err = float("nan")
+    cdev_calls = -1
+    if on_tpu:
+        try:
+            from tensor_networks_tpu import Index, TensorNetwork
+            from tensor_networks_tpu.cross import (
+                ConvergenceCheck,
+                CrossApproximation,
+                CrossConfig,
+                FuncTensorNetwork,
+            )
+
+            rng_c = np.random.default_rng(11)
+            dt_, nt_, rt_ = 8, 32, 24
+            t_inds = [Index(f"t{k}", nt_) for k in range(dt_)]
+            target = TensorNetwork.rand_tt(t_inds, [rt_] * (dt_ - 1))
+            for node in list(target.network.nodes):
+                v = target.value(node)
+                target.node_tensor(node).update_val_size(
+                    jnp.asarray(np.asarray(v) / np.sqrt(rt_), jnp.float32)
+                )
+            dfunc = FuncTensorNetwork(t_inds, target)
+            for bexp in range(3, 14):  # prewarm pow2 evaluate buckets
+                target.evaluate(
+                    t_inds,
+                    rng_c.integers(0, nt_, size=(2**bexp, dt_)),
+                )
+            cnet = TensorNetwork.rand_tt(t_inds, [1] * (dt_ - 1))
+            tic = time.perf_counter()
+            cres = CrossApproximation(
+                dfunc,
+                CrossConfig(
+                    kickrank=4,
+                    convergence=ConvergenceCheck.VALID_ERROR,
+                    validation_size=2000,
+                    max_iters=6,
+                ),
+            ).cross(cnet, eps=1e-4)
+            cdev_wall = time.perf_counter() - tic
+            grid_c = rng_c.integers(0, nt_, size=(4096, dt_))
+            got_c = np.asarray(cres.net.evaluate(t_inds, grid_c))
+            real_c = np.asarray(dfunc(grid_c))
+            cdev_err = float(
+                np.linalg.norm(got_c - real_c) / np.linalg.norm(real_c)
+            )
+            cdev_calls = dfunc.num_calls()
+            print(
+                f"[bench] cross device-target d=8 n=32 r=24: "
+                f"{cdev_wall:.1f} s, rel err {cdev_err:.1e}, "
+                f"{cdev_calls} unique device evals",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            print(f"[bench] device cross failed: {exc}", file=sys.stderr)
+
     inner_speedup = t_np_inner / t_inner
     round_speedup = t_np_round / t_round
     geomean = float(np.sqrt(inner_speedup * round_speedup))
@@ -867,6 +989,17 @@ def main():
             "search_partition_programs": search_count,
             "search_dfs_wall_s": round(dfs_wall, 2),
             "search_dfs_states": dfs_count,
+            # d=8 n=6 root scoring through the real dfs driver: the
+            # device-batched SVD path vs per-action host LAPACK
+            "search_dfs8_device_s": round(sdev_wall, 2),
+            "search_dfs8_host_s": round(shost_wall, 2),
+            "search_dfs8_counts": [sdev_count, shost_count],
+            # cross with a device-resident network target: every fiber
+            # matrix evaluates on the TPU (vs cross_d8_* which routes
+            # host for its small all-NumPy target)
+            "cross_device_wall_s": round(cdev_wall, 2),
+            "cross_device_rel_err": float(f"{cdev_err:.2e}"),
+            "cross_device_unique_evals": cdev_calls,
             "inner_self_rel_diff_f32": float(f"{rel:.2e}"),
             # BENCH records before 2026-08-17 flattered rounding ~50x:
             # their scan bodies consumed only part of the sweep output,
