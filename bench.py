@@ -849,43 +849,59 @@ def main():
     # driver.  Host = per-action LAPACK on a NumPy tensor; device =
     # shape-grouped batched SVDs (search/batched.py) on a device tensor.
     # Both runs must visit the same state count (semantics pinned).
-    sdev_wall = shost_wall = float("nan")
-    sdev_count = shost_count = -1
+    sdev_wall = shost_wall = sper_wall = float("nan")
+    sdev_count = shost_count = sper_count = -1
     if on_tpu:
         try:
             from tensor_networks_tpu import Index, Tensor, TensorNetwork
             from tensor_networks_tpu.search import SearchConfig
             from tensor_networks_tpu.search.drivers import run_dfs
 
-            def _dfs8(device: bool):
+            def _dfs8(mode: str):
+                # "batched": shape-grouped batched device SVDs.
+                # "peraction": per-action SVDs, device-routed (the
+                #   tensor is above TNT_DEVICE_SVD_MIN) — 127 separate
+                #   ~25 ms relay dispatches.
+                # "host": per-action SVDs FORCED to host LAPACK by
+                #   raising the routing threshold above the tensor size
+                #   (without this the "host" leg silently ran on device
+                #   — the round-3 bench-anomaly finding, VALIDATION.md).
                 rng8 = np.random.default_rng(0)
                 val = rng8.standard_normal([6] * 8).astype(np.float32)
                 net8 = TensorNetwork()
                 net8.add_node(
                     "G",
                     Tensor(
-                        jnp.asarray(val) if device else val,
+                        jnp.asarray(val) if mode == "batched" else val,
                         [Index(f"i{k}", 6) for k in range(8)],
                     ),
                 )
                 c8 = SearchConfig()
                 c8.engine.eps = 0.5
                 c8.engine.max_ops = 1
-                os.environ["TNT_SEARCH_DEVICE"] = "1" if device else "0"
+                os.environ["TNT_SEARCH_DEVICE"] = (
+                    "1" if mode == "batched" else "0"
+                )
+                if mode == "host":
+                    os.environ["TNT_DEVICE_SVD_MIN"] = str(1 << 40)
                 try:
                     tic = time.perf_counter()
                     stats8, best8, _ = run_dfs(net8, c8)
                     return time.perf_counter() - tic, stats8["count"]
                 finally:
                     os.environ.pop("TNT_SEARCH_DEVICE", None)
+                    if mode == "host":
+                        os.environ.pop("TNT_DEVICE_SVD_MIN", None)
 
-            _dfs8(True)  # warm the per-shape executables (compile-cached)
-            sdev_wall, sdev_count = _dfs8(True)
-            shost_wall, shost_count = _dfs8(False)
+            _dfs8("batched")  # warm the per-shape executables
+            sdev_wall, sdev_count = _dfs8("batched")
+            sper_wall, sper_count = _dfs8("peraction")
+            shost_wall, shost_count = _dfs8("host")
             print(
-                f"[bench] dfs d=8 n=6 root scoring: device {sdev_wall:.1f} s"
-                f" vs host {shost_wall:.1f} s (counts {sdev_count}/"
-                f"{shost_count})",
+                f"[bench] dfs d=8 n=6 root scoring: device-batched "
+                f"{sdev_wall:.1f} s vs device-per-action {sper_wall:.1f} s"
+                f" vs host-LAPACK {shost_wall:.1f} s (counts "
+                f"{sdev_count}/{sper_count}/{shost_count})",
                 file=sys.stderr,
             )
         except Exception as exc:
@@ -989,11 +1005,13 @@ def main():
             "search_partition_programs": search_count,
             "search_dfs_wall_s": round(dfs_wall, 2),
             "search_dfs_states": dfs_count,
-            # d=8 n=6 root scoring through the real dfs driver: the
-            # device-batched SVD path vs per-action host LAPACK
+            # d=8 n=6 root scoring through the real dfs driver:
+            # device-batched SVDs vs per-action device SVDs vs
+            # per-action host LAPACK (threshold forced)
             "search_dfs8_device_s": round(sdev_wall, 2),
+            "search_dfs8_device_peraction_s": round(sper_wall, 2),
             "search_dfs8_host_s": round(shost_wall, 2),
-            "search_dfs8_counts": [sdev_count, shost_count],
+            "search_dfs8_counts": [sdev_count, sper_count, shost_count],
             # cross with a device-resident network target: every fiber
             # matrix evaluates on the TPU (vs cross_d8_* which routes
             # host for its small all-NumPy target)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import copy
 import logging
+import os
 from collections import Counter
 from dataclasses import dataclass
 from typing import (
@@ -732,6 +733,7 @@ class TensorNetwork:
         host = self._host_eval_ok(
             indices, _next_pow2(min(_EVAL_CHUNK, n_total))
         )
+        ragged = None if host else self._ragged_evaluator(indices)
 
         out = np.empty(n_total)
         start = 0
@@ -744,11 +746,65 @@ class TensorNetwork:
                     [chunk, np.repeat(chunk[-1:], padded - batch, axis=0)],
                     axis=0,
                 )
-            out[start : start + batch] = np.asarray(
-                self._evaluate_chunk(indices, chunk, host=host)
-            )[:batch]
+            got = (
+                ragged(chunk)
+                if ragged is not None
+                else self._evaluate_chunk(indices, chunk, host=host)
+            )
+            out[start : start + batch] = np.asarray(got)[:batch]
             start += batch
         return out
+
+    def _ragged_evaluator(self, indices: Sequence[Index]):
+        """Segment-sorted ragged-matmul route for uniform TT chains.
+
+        Device evaluation of a linear chain with one uniform-size free
+        index per core goes through :func:`ops.packed.evaluate` (the
+        ``lax.ragged_dot`` kernel, ~3.5x the general one-hot einsum at
+        d=50 n=32 r=100 — VALIDATION.md round 3).  This is the hot path
+        of cross approximation against device-resident network targets:
+        every fiber matrix is one such call.  Returns a
+        ``chunk -> (B,)`` callable, or None when the topology/backend
+        does not qualify (the general evaluator handles those).
+
+        The packed cores are cached on the instance, keyed by the node
+        values' identities — ``update_val_size`` replaces the value
+        array, so mutation invalidates the key without any bookkeeping
+        in the mutators.
+        """
+        if jax.default_backend() != "tpu" and not os.environ.get(
+            "TNT_FORCE_PALLAS"
+        ):
+            return None
+        if len(self.network.nodes) < 3:
+            return None
+        from tensor_networks_tpu.ops import packed as _pk
+
+        key = tuple(
+            id(self.node_tensor(n).value) for n in self.network.nodes
+        )
+        cached = getattr(self, "_ragged_cache", None)
+        if cached is not None and cached[0] == key:
+            pk, frees = cached[1], cached[2]
+        else:
+            extracted = _pk.chain_cores(self)
+            if extracted is None:
+                return None
+            frees = extracted[2]
+            pk = _pk.pack_ragged(self)
+            if pk is None:
+                return None
+            self._ragged_cache = (key, pk, frees)
+        try:
+            cols = [list(indices).index(f) for f in frees]
+        except ValueError:  # evaluation over different index set
+            return None
+
+        def run(chunk: np.ndarray) -> jnp.ndarray:
+            idx = jnp.asarray(chunk[:, cols], jnp.int32)
+            return _pk.evaluate(pk, idx, precision="highest")
+
+        return run
 
     def _host_eval_ok(
         self, indices: Sequence[Index], batch: int

@@ -17,22 +17,36 @@ GEMMs (:mod:`tensor_networks_tpu.kernels.ozaki`):
   high-precision factorization needed, quadratic convergence from the
   f32 seed.  Null rows stay null (no ghost directions, unlike the
   jittered f32 CholQR sweeps).
-* **Forward sweep (host-assisted loop).**  Per bond, the Gram of the
-  double-word carry-times-panel matrix is computed on device at
-  TRIPLE-word (~76-bit) resolution — the extra word is what beats the
-  classic Gram-squaring floor — and only the tiny ``(r, r)`` words are
-  fetched.  The rank rule runs in float64 on host (the same
+* **Forward sweep.**  Per bond, the Gram of the double-word
+  carry-times-panel matrix is computed on device at TRIPLE-word
+  (~76-bit) resolution — the extra word is what beats the classic
+  Gram-squaring floor — and only the tiny ``(r, r)`` words are fetched.
+  The rank rule runs in float64 on host (the same
   device-compute/host-rank-rule split as ``kernels.linalg.delta_svd``),
   threading the reference's remaining-budget bookkeeping
-  (``pytens/utils.py:85-100``); the kept projector is pushed back and
-  applied on device.
+  (``pytens/utils.py:85-100``).  Two variants:
 
-Cost model: the backward scan is one device program; the forward loop
-pays ~4 relay round-trips per bond (a few ms each on bare TPU runtimes;
-~25 ms each through this container's relay).  This is the correctness
-mode for tight budgets — use the fused f32 sweeps
-(:func:`tensor_networks_tpu.ops.fast.tt_round_fixed`) for eps above
-their documented floors.
+  - ``sweep="batched"`` (default): ALL bond Grams of the untruncated
+    right-orthogonal train come out of ONE jitted scan (the forward
+    Gram chain is a pure triple-word congruence chain — the carry's
+    Gram equals the previous bond's Gram, so no factorization is
+    needed inside the scan), the host runs every rank rule on the one
+    fetched stack, and every output core is built by ONE batched
+    device program from the uploaded carries/projectors (no
+    sequential dependency: the carries come from the host rule, not
+    from the device).  This is the Al Daas/Ballard projector form
+    (same scheme as ``tt_round_fixed(method="prefix")``): truncation
+    decisions read the *untruncated* spectra, so dropped mass can be
+    double-counted across bonds — strictly conservative (never
+    exceeds the budget, can keep marginally more rank).  3 device
+    programs + 1 Gram fetch + 1 projector upload for the WHOLE train.
+  - ``sweep="sequential"``: the reference's exact truncate-then-carry
+    recursion, ~4 relay round-trips per bond (a few ms each on bare
+    TPU runtimes; ~25 ms each through this container's relay).
+
+This is the correctness mode for tight budgets — use the fused f32
+sweeps (:func:`tensor_networks_tpu.ops.fast.tt_round_fixed`) for eps
+above their documented floors.
 """
 
 from __future__ import annotations
@@ -236,6 +250,85 @@ def _apply_proj(cur_h, cur_l, w):
 
 
 @lru_cache(maxsize=4)
+def _gram_chain_fn():
+    """Jitted forward Gram chain: the triple-word Gram of EVERY bond
+    matricization of the untruncated right-orthogonal train, one scan.
+
+    The carry of an untruncated forward sweep satisfies
+    ``carry^T carry = G_k`` whatever orthogonal factorization produced
+    it, so the chain needs no factorizations at all:
+    ``G_{k+1}[c,e] = sum_{r,x,s} P[r,x,c] G_k[r,s] P[s,x,e]`` — two
+    triple-word GEMMs per step over the double-word panels.
+    """
+
+    def run(f_h, f_l, p_h, p_l):
+        g0 = oz_matmul([f_h, f_l], [f_h, f_l], 76, 3, transpose_a=True)
+
+        def step(g, panel):
+            ph, pl = panel
+            r, n, rc = ph.shape
+            q = oz_matmul(
+                list(g),
+                [ph.reshape(r, n * rc), pl.reshape(r, n * rc)],
+                76,
+                3,
+            )
+            q2 = [w.reshape(r * n, rc) for w in q]
+            g2 = oz_matmul(
+                [ph.reshape(r * n, rc), pl.reshape(r * n, rc)],
+                q2,
+                76,
+                3,
+                transpose_a=True,
+            )
+            return tuple(g2), tuple(g2)
+
+        _, grams = jax.lax.scan(step, tuple(g0), (p_h, p_l))
+        return g0, grams
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=4)
+def _apply_all_fn():
+    """One batched device program building every output core from the
+    uploaded per-bond carries (double-word) and projectors (f32).
+
+    No sequential dependency: core_k = collapse(C_{k-1} @ panel_k) @
+    W_k with C from the host rank rule.  Same per-core numerics as the
+    sequential :func:`_apply_proj` path (double-word product, collapse,
+    full-f32 projector matmul).
+    """
+
+    def run(f_h, f_l, w0, p_h, p_l, c_h, c_l, w_st, ql_h, ql_l, ce_h, ce_l):
+        first_out = jnp.matmul(
+            dw_collapse([f_h, f_l]), w0, precision="highest"
+        )
+
+        def one(ch, cl, ph, pl, w):
+            r, n, rc = ph.shape
+            cur = oz_matmul(
+                [ch, cl],
+                [ph.reshape(r, n * rc), pl.reshape(r, n * rc)],
+                48,
+                2,
+            )
+            cur2 = dw_collapse(cur).reshape(r * n, rc)
+            core = jnp.matmul(cur2, w, precision="highest")
+            return core.reshape(r, n, rc)
+
+        mids_out = jax.vmap(one)(c_h, c_l, p_h, p_l, w_st)
+        last_out = jnp.matmul(
+            dw_collapse([ce_h, ce_l]),
+            dw_collapse([ql_h, ql_l]),
+            precision="highest",
+        )
+        return first_out, mids_out, last_out
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=4)
 def _first_gram_fn():
     """Jitted triple-word Gram of the (n, r) first-bond matrix."""
 
@@ -295,6 +388,7 @@ def tt_round_tight(
     tn: TensorNetwork,
     eps: float,
     relative: bool = True,
+    sweep: str = "batched",
 ) -> Tuple[TensorNetwork, List[int]]:
     """Round a uniform TT at tight budgets (eps down to ~1e-7 in f32).
 
@@ -303,7 +397,10 @@ def tt_round_tight(
     remaining-budget rule of ``delta_svd``
     (``/root/reference/pytens/utils.py:74-100``), at budgets far below
     the f32 sweep noise floor.  See the module docstring for the
-    device/host split and the cost model.
+    device/host split, the two forward-sweep variants
+    (``sweep="batched"`` — default, ~4 relay trips total — vs
+    ``"sequential"`` — the reference's exact recursion, ~4 trips per
+    bond), and the cost model.
     """
     first, mids, last = stack_tt_cores(tn)
     if mids is None:
@@ -311,6 +408,13 @@ def tt_round_tight(
     dt = first.dtype
 
     first_c, mids_q, q_last = _backward_orth_fn()(first, mids, last)
+
+    if sweep == "batched":
+        return _forward_batched(
+            tn, first, mids, last, first_c, mids_q, q_last, eps, relative
+        )
+    if sweep != "sequential":
+        raise ValueError(f"unknown sweep {sweep!r}")
 
     # ---- bond 0: Gram of first_c directly -----------------------------
     g0 = _first_gram_fn()(*first_c)
@@ -373,6 +477,10 @@ def tt_round_tight(
 
     last_out = _last_apply(ch, cl, q_last[0], q_last[1])
 
+    return _emit(tn, first_out, mids_out, last_out, ranks)
+
+
+def _emit(tn, first_out, mids_out, last_out, ranks):
     nodes = list(tn.network.nodes)
     out = tn.__deepcopy__({})
     out.node_tensor(nodes[0]).update_val_size(first_out[:, : ranks[0]])
@@ -382,3 +490,71 @@ def tt_round_tight(
         )
     out.node_tensor(nodes[-1]).update_val_size(last_out[: ranks[-1], :])
     return out, ranks
+
+
+def _forward_batched(
+    tn, first, mids, last, first_c, mids_q, q_last, eps, relative
+):
+    """Batched forward sweep: one Gram-chain scan, one fetch, every
+    rank rule on host, one batched apply.  See the module docstring."""
+    dt = first.dtype
+    r = last.shape[0]
+    nb = mids.shape[0] + 1  # bonds
+    n = mids_q[0].shape[2]
+
+    g0, grams = _gram_chain_fn()(
+        first_c[0], first_c[1], mids_q[0], mids_q[1]
+    )
+    # ONE fetch: every bond's triple-word Gram
+    g0_np = tuple(np.asarray(w, np.float64) for w in g0)
+    grams_np = tuple(np.asarray(w, np.float64) for w in grams)
+
+    norm2 = float(sum(np.trace(w) for w in g0_np))
+    delta2 = (eps**2) * norm2 if relative else float(eps) ** 2
+    remaining = delta2
+
+    def _wc(sigma, v, k, dim):
+        """(W = V Sigma^-1, C = Sigma V^T) padded to (dim, dim) f64."""
+        w64 = np.zeros((dim, dim), np.float64)
+        w64[:, :k] = np.asarray(v) / np.maximum(sigma, 1e-300)[None, :]
+        c64 = np.zeros((dim, dim), np.float64)
+        c64[:k, :] = sigma[:, None] * np.asarray(v).T[:k, :]
+        return w64, c64
+
+    sigma, v, k, used = _host_truncate(
+        g0_np, remaining, nb, min(first.shape[0], first.shape[1])
+    )
+    remaining -= used
+    ranks = [k]
+    w0_64, c64 = _wc(sigma, v, k, r)
+    carries64 = [c64]
+    wmids64 = []
+    for i in range(mids.shape[0]):
+        gi = tuple(w[i] for w in grams_np)
+        sigma, v, k, used = _host_truncate(
+            gi, remaining, nb - 1 - i, min(ranks[-1] * n, r)
+        )
+        remaining -= used
+        ranks.append(k)
+        w64, c64 = _wc(sigma, v, k, r)
+        wmids64.append(w64)
+        carries64.append(c64)
+
+    # ONE upload batch: carries as double words, projectors as f32
+    c_h, c_l = zip(*(_dw_split64(c, dt) for c in carries64[:-1]))
+    ce_h, ce_l = _dw_split64(carries64[-1], dt)
+    first_out, mids_out, last_out = _apply_all_fn()(
+        first_c[0],
+        first_c[1],
+        jnp.asarray(w0_64, dt),
+        mids_q[0],
+        mids_q[1],
+        jnp.asarray(np.stack(c_h)),
+        jnp.asarray(np.stack(c_l)),
+        jnp.asarray(np.stack(wmids64), dt),
+        q_last[0],
+        q_last[1],
+        jnp.asarray(ce_h),
+        jnp.asarray(ce_l),
+    )
+    return _emit(tn, first_out, mids_out, last_out, ranks)

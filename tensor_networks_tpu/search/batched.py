@@ -5,13 +5,22 @@ The BFS/DFS hot loop pays one SVD per candidate action (reference:
 decomposition).  For a *single-node* state — the root of every search,
 and by far its most expensive level — all candidate matricizations are
 views of one dense tensor, so they can be scored together: group the
-actions by the pow2-bucketed shape of their oriented matricization,
-build each group's stacked padded batch with ONE jitted
-transpose/pad/stack program, and run ONE batched SVD per bucket.  Two
-compiled executables per bucket shape regardless of how many actions
-there are — through a ~20-60 s-per-compile TPU relay this is the
-difference between search being device-hosted or not (same trick as
+actions by the EXACT shape of their oriented matricization, build each
+group's stacked batch with ONE jitted transpose/stack program, and run
+ONE batched SVD per shape.  Two compiled executables per group shape
+regardless of how many actions there are — through a ~20-60
+s-per-compile TPU relay this is the difference between search being
+device-hosted or not (same trick as
 :mod:`tensor_networks_tpu.search.spectra`, extended to full U/s/V).
+
+Orientation (m <= n) makes the k-way and (d-k)-way matricizations of a
+uniform-mode tensor share one group, so exact grouping costs no more
+executables than the earlier pow2 bucketing did (d=8 n=6: four groups
+either way) while skipping its padding FLOPs — the dominant pow2
+bucket padded (1296, 1296) matrices to (2048, 2048), ~4x the SVD work
+for zeros (measured: the whole root level 7.2 s padded vs the
+per-action device path's 4.7 s; exact grouping removes that gap's
+cause).
 
 Restricting to single-node states keeps successor semantics *identical*
 to the per-action path: ``network.svd(..., with_orthonormal=True)``
@@ -38,10 +47,6 @@ import numpy as np
 
 from tensor_networks_tpu.network import TensorNetwork
 from tensor_networks_tpu.search.actions import Action, ISplit, OSplit
-
-
-def _pow2(n: int) -> int:
-    return 1 << max(int(n) - 1, 0).bit_length()
 
 
 def device_scoring_eligible(net: TensorNetwork) -> bool:
@@ -186,11 +191,12 @@ def batched_split_svds(
     x = jnp.asarray(val)
     dtype_key = str(x.dtype)
 
-    # group by pow2 bucket of the oriented shape
+    # group by the exact oriented shape (m <= n): no padding FLOPs, and
+    # at uniform mode sizes the k / (d-k) splits collapse into one group
     groups: Dict[Tuple[int, int], List[int]] = {}
     for i, (_, _, trans, dim_l, dim_r) in enumerate(plans):
         m, n = (dim_r, dim_l) if trans else (dim_l, dim_r)
-        groups.setdefault((_pow2(m), _pow2(n)), []).append(i)
+        groups.setdefault((m, n), []).append(i)
 
     from tensor_networks_tpu.kernels.linalg import _trunc_rank
     from tensor_networks_tpu.types import SVDConfig

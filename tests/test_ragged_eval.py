@@ -98,3 +98,53 @@ def test_routed_evaluate_uses_ragged(monkeypatch):
     assert po.PATH_STATS["ragged"] == before["ragged"] + 1
     ref = _ref(first, mids, last, idx)
     assert np.allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_network_evaluate_routes_ragged(monkeypatch):
+    """TensorNetwork.evaluate on a uniform chain routes through the
+    ragged kernel (TNT_FORCE_PALLAS drives the TPU-only gate on CPU),
+    matches the general evaluator, and the packing cache invalidates
+    when a core value is replaced."""
+    from tensor_networks_tpu import Index, TensorNetwork
+    from tensor_networks_tpu.kernels import pallas_ops as po
+
+    np.random.seed(5)
+    inds = [Index(f"x{k}", 6) for k in range(7)]
+    net = TensorNetwork.rand_tt(inds, [4] * 6, dtype=np.float32)
+    rng = np.random.default_rng(6)
+    pts = rng.integers(0, 6, (128, 7))
+
+    ref = net.evaluate(inds, pts)  # CPU backend: general path
+
+    monkeypatch.setenv("TNT_FORCE_PALLAS", "1")
+    before = po.PATH_STATS["ragged"]
+    got = net.evaluate(inds, pts)
+    assert po.PATH_STATS["ragged"] > before
+    tol = 1e-5 * np.abs(ref).max()  # f32 accumulation-order noise
+    assert np.abs(got - ref).max() < tol
+
+    # permuted index argument order must be honored
+    perm = [3, 0, 6, 2, 5, 1, 4]
+    got_p = net.evaluate([inds[p] for p in perm], pts[:, perm])
+    assert np.abs(got_p - ref).max() < tol
+
+    # replacing a core's value invalidates the cached packing
+    t = net.node_tensor(3)
+    t.update_val_size(jnp.asarray(2.0, jnp.float32) * t.value)
+    got2 = net.evaluate(inds, pts)
+    assert np.abs(got2 - 2.0 * ref).max() < 2 * tol
+
+
+def test_network_evaluate_nonchain_falls_through(monkeypatch):
+    """Non-chain topologies skip the ragged route and still evaluate."""
+    from tensor_networks_tpu import Index, TensorNetwork
+
+    monkeypatch.setenv("TNT_FORCE_PALLAS", "1")
+    np.random.seed(7)
+    inds = [Index(f"y{k}", 4) for k in range(4)]
+    net = TensorNetwork.rand_tucker(inds, 3)
+    assert net._ragged_evaluator(inds) is None
+    rng = np.random.default_rng(8)
+    pts = rng.integers(0, 4, (33, 4))
+    got = net.evaluate(inds, pts)
+    assert got.shape == (33,)

@@ -165,3 +165,37 @@ def test_chol_adaptive_rank_deficient_no_nan():
     assert bool(jnp.isfinite(lb).all())
     # the clean matrix must keep the base shift
     assert float(sb[0]) == pytest.approx(float(jb[0]))
+
+
+def test_tight_batched_matches_sequential():
+    """The batched forward sweep (one Gram-chain scan + one batched
+    apply) reproduces the sequential reference recursion: same ranks,
+    same error class, on graded and rank-deficient trains."""
+    from tensor_networks_tpu.ops.packed import norm_exact, pack_ragged
+    from tensor_networks_tpu.ops.tight import tt_round_tight
+
+    s, _ = _graded_train()
+    s64 = _to64(s)
+    nrm = float(norm_exact(pack_ragged(s64)))
+    for eps in (1e-3, 1e-6):
+        out_b, ranks_b = tt_round_tight(
+            s.__deepcopy__({}), eps, sweep="batched"
+        )
+        out_s, ranks_s = tt_round_tight(
+            s.__deepcopy__({}), eps, sweep="sequential"
+        )
+        assert ranks_b == ranks_s, (eps, ranks_b, ranks_s)
+        rel_b = float(norm_exact(pack_ragged(_to64(out_b) - s64))) / nrm
+        rel_s = float(norm_exact(pack_ragged(_to64(out_s) - s64))) / nrm
+        assert rel_b <= 2.0 * eps, (eps, rel_b)
+        assert rel_b <= 4.0 * max(rel_s, eps / 10), (eps, rel_b, rel_s)
+
+
+def test_tight_batched_rejects_unknown_sweep():
+    import pytest as _pytest
+
+    from tensor_networks_tpu.ops.tight import tt_round_tight
+
+    s, _ = _graded_train(d=6)
+    with _pytest.raises(ValueError):
+        tt_round_tight(s, 1e-3, sweep="nope")
