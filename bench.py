@@ -879,6 +879,12 @@ def main():
                 c8 = SearchConfig()
                 c8.engine.eps = 0.5
                 c8.engine.max_ops = 1
+                # save-and-restore rather than pop: an operator may have
+                # exported these tuning knobs for the whole bench run
+                saved = {
+                    k: os.environ.get(k)
+                    for k in ("TNT_SEARCH_DEVICE", "TNT_DEVICE_SVD_MIN")
+                }
                 os.environ["TNT_SEARCH_DEVICE"] = (
                     "1" if mode == "batched" else "0"
                 )
@@ -889,11 +895,15 @@ def main():
                     stats8, best8, _ = run_dfs(net8, c8)
                     return time.perf_counter() - tic, stats8["count"]
                 finally:
-                    os.environ.pop("TNT_SEARCH_DEVICE", None)
-                    if mode == "host":
-                        os.environ.pop("TNT_DEVICE_SVD_MIN", None)
+                    for k, old in saved.items():
+                        if old is None:
+                            os.environ.pop(k, None)
+                        else:
+                            os.environ[k] = old
 
-            _dfs8("batched")  # warm the per-shape executables
+            # warm BOTH device legs' executables before timing them
+            _dfs8("batched")
+            _dfs8("peraction")
             sdev_wall, sdev_count = _dfs8("batched")
             sper_wall, sper_count = _dfs8("peraction")
             shost_wall, shost_count = _dfs8("host")

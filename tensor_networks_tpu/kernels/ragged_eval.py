@@ -47,11 +47,17 @@ def _ragged_eval_fn(precision: str):
         "default": lax.Precision.DEFAULT,
     }[precision]
 
+    # "default" carries bf16 end-to-end: the kernel is HBM-bound (the
+    # per-step (B, r) carry gather plus the (n, r, r) core stream), so
+    # halving the bytes is ~the speedup; accuracy is bf16-level, which
+    # is this mode's documented contract
+    cdt = jnp.bfloat16 if precision == "default" else jnp.float32
+
     def run(first, mids, last, idx):
         b = idx.shape[0]
         d_mid, _, n, _ = mids.shape
         # (d_mid, n, r, r): group dim first, as ragged_dot wants
-        mids_t = jnp.moveaxis(mids, 2, 1).astype(jnp.float32)
+        mids_t = jnp.moveaxis(mids, 2, 1).astype(cdt)
         cols = idx[:, 1:-1].T.astype(jnp.int32)  # (d_mid, B)
         perms = jnp.argsort(cols, axis=1, stable=True).astype(jnp.int32)
         inv = jnp.argsort(perms, axis=1, stable=True).astype(jnp.int32)
@@ -70,7 +76,7 @@ def _ragged_eval_fn(precision: str):
         else:
             q = perms[:1]
 
-        carry = first[idx[:, 0], :].astype(jnp.float32)  # (B, r)
+        carry = first[idx[:, 0], :].astype(cdt)  # (B, r)
 
         def step(c, xs):
             qk, cnt, core = xs
@@ -80,7 +86,7 @@ def _ragged_eval_fn(precision: str):
                 core,
                 cnt,
                 precision=prec,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=cdt,
             )
             return out, None
 
@@ -89,8 +95,10 @@ def _ragged_eval_fn(precision: str):
         # carry is in perms[-1] order; contract with the matching last
         # fibers, then one gather back to original point order
         lastcols = jnp.take(idx[:, -1].astype(jnp.int32), perms[-1])
-        lvec = last.astype(jnp.float32).T[lastcols]  # (B, r)
-        vals = jnp.sum(carry * lvec, axis=1)
+        lvec = last.astype(cdt).T[lastcols]  # (B, r)
+        vals = jnp.sum(
+            carry.astype(jnp.float32) * lvec.astype(jnp.float32), axis=1
+        )
         return jnp.take(vals, inv[-1])
 
     return jax.jit(run)

@@ -768,12 +768,13 @@ class TensorNetwork:
         does not qualify (the general evaluator handles those).
 
         The packed cores are cached on the instance, keyed by the node
-        values' identities — ``update_val_size`` replaces the value
-        array, so mutation invalidates the key without any bookkeeping
-        in the mutators.
+        value OBJECTS (held, and compared by identity — holding them is
+        what makes ``is`` sound against CPython id reuse) —
+        ``update_val_size`` replaces the value array, so mutation
+        invalidates the cache without any bookkeeping in the mutators.
         """
-        if jax.default_backend() != "tpu" and not os.environ.get(
-            "TNT_FORCE_PALLAS"
+        if jax.default_backend() != "tpu" and (
+            os.environ.get("TNT_FORCE_PALLAS") != "1"
         ):
             return None
         if len(self.network.nodes) < 3:
@@ -781,10 +782,14 @@ class TensorNetwork:
         from tensor_networks_tpu.ops import packed as _pk
 
         key = tuple(
-            id(self.node_tensor(n).value) for n in self.network.nodes
+            self.node_tensor(n).value for n in self.network.nodes
         )
         cached = getattr(self, "_ragged_cache", None)
-        if cached is not None and cached[0] == key:
+        if (
+            cached is not None
+            and len(cached[0]) == len(key)
+            and all(a is b for a, b in zip(cached[0], key))
+        ):
             pk, frees = cached[1], cached[2]
         else:
             extracted = _pk.chain_cores(self)
@@ -800,8 +805,16 @@ class TensorNetwork:
         except ValueError:  # evaluation over different index set
             return None
 
+        n_mode = frees[0].size
+
         def run(chunk: np.ndarray) -> jnp.ndarray:
-            idx = jnp.asarray(chunk[:, cols], jnp.int32)
+            # clamp like XLA's gather so out-of-range points keep the
+            # device path's documented semantics (see the routing
+            # comment in :meth:`evaluate`); the ragged kernel's sorted
+            # groups would otherwise drop them to garbage
+            idx = jnp.clip(
+                jnp.asarray(chunk[:, cols], jnp.int32), 0, n_mode - 1
+            )
             return _pk.evaluate(pk, idx, precision="highest")
 
         return run

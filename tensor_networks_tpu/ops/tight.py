@@ -384,6 +384,20 @@ def _dw_split64(a64: np.ndarray, dtype) -> Tuple[np.ndarray, np.ndarray]:
     return (np.asarray(hi, dtype), np.asarray(lo, dtype))
 
 
+def _wc(sigma, v, k, dim):
+    """(W = V Sigma^-1, C = Sigma V^T) zero-padded to (dim, dim) f64.
+
+    The shared per-bond construction of both forward sweeps: W maps the
+    current matricization to its orthonormal-U core, C is the carry
+    into the next bond.
+    """
+    w64 = np.zeros((dim, dim), np.float64)
+    w64[:, :k] = np.asarray(v) / np.maximum(sigma, 1e-300)[None, :]
+    c64 = np.zeros((dim, dim), np.float64)
+    c64[:k, :] = sigma[:, None] * np.asarray(v).T[:k, :]
+    return w64, c64
+
+
 def tt_round_tight(
     tn: TensorNetwork,
     eps: float,
@@ -402,6 +416,8 @@ def tt_round_tight(
     ``"sequential"`` — the reference's exact recursion, ~4 trips per
     bond), and the cost model.
     """
+    if sweep not in ("batched", "sequential"):
+        raise ValueError(f"unknown sweep {sweep!r}")
     first, mids, last = stack_tt_cores(tn)
     if mids is None:
         raise ValueError("tt_round_tight needs d >= 3")
@@ -413,8 +429,6 @@ def tt_round_tight(
         return _forward_batched(
             tn, first, mids, last, first_c, mids_q, q_last, eps, relative
         )
-    if sweep != "sequential":
-        raise ValueError(f"unknown sweep {sweep!r}")
 
     # ---- bond 0: Gram of first_c directly -----------------------------
     g0 = _first_gram_fn()(*first_c)
@@ -435,15 +449,9 @@ def tt_round_tight(
     ranks = [k]
     # first core = first_c V Sigma^-1 (orthonormal U); carry = Sigma V^T
     # — same split as the mid-bond step, so the chain reproduces first_c
-    vs = np.zeros((v.shape[0], r), np.float64)
-    vs[:, :k] = v / np.maximum(sigma, 1e-300)[None, :]
-    first_out = _apply_proj(*first_c, jnp.asarray(vs, dt))
-    vs = np.zeros((v.shape[0], r), np.float64)
-    vs[:, :k] = v
-
-    # carry = Sigma V^T, exactly split to a double word on host
-    carry64 = np.zeros((r, r), np.float64)
-    carry64[:k, :] = sigma[:, None] * vs.T[:k, :]
+    w64, carry64 = _wc(sigma, v, k, r)
+    first_out = _apply_proj(*first_c, jnp.asarray(w64, dt))
+    # carry exactly split to a double word on host
     ch, cl = _dw_split64(carry64, dt)
     ch, cl = jnp.asarray(ch), jnp.asarray(cl)
 
@@ -464,14 +472,11 @@ def tt_round_tight(
         ranks.append(k)
         rc = mids_q[0][i].shape[2]
         # core = cur @ V Sigma^-1 (orthonormal U), carry = Sigma V^T
-        w64 = np.zeros((rc, rc), np.float64)
-        w64[:, :k] = np.asarray(v) / np.maximum(sigma, 1e-300)[None, :]
+        w64, carry64 = _wc(sigma, v, k, rc)
         core = _apply_proj(cur_h, cur_l, jnp.asarray(w64, dt))
         rr = mids_q[0][i].shape[0]
         n = mids_q[0][i].shape[1]
         mids_out.append(core.reshape(rr, n, rc))
-        carry64 = np.zeros((rc, rc), np.float64)
-        carry64[:k, :] = np.diag(sigma) @ np.asarray(v).T
         ch_np, cl_np = _dw_split64(carry64, dt)
         ch, cl = jnp.asarray(ch_np), jnp.asarray(cl_np)
 
@@ -512,14 +517,6 @@ def _forward_batched(
     norm2 = float(sum(np.trace(w) for w in g0_np))
     delta2 = (eps**2) * norm2 if relative else float(eps) ** 2
     remaining = delta2
-
-    def _wc(sigma, v, k, dim):
-        """(W = V Sigma^-1, C = Sigma V^T) padded to (dim, dim) f64."""
-        w64 = np.zeros((dim, dim), np.float64)
-        w64[:, :k] = np.asarray(v) / np.maximum(sigma, 1e-300)[None, :]
-        c64 = np.zeros((dim, dim), np.float64)
-        c64[:k, :] = sigma[:, None] * np.asarray(v).T[:k, :]
-        return w64, c64
 
     sigma, v, k, used = _host_truncate(
         g0_np, remaining, nb, min(first.shape[0], first.shape[1])

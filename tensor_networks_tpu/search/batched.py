@@ -20,7 +20,9 @@ either way) while skipping its padding FLOPs — the dominant pow2
 bucket padded (1296, 1296) matrices to (2048, 2048), ~4x the SVD work
 for zeros (measured: the whole root level 7.2 s padded vs the
 per-action device path's 4.7 s; exact grouping removes that gap's
-cause).
+cause).  Non-uniform mode sizes, where exact shapes would multiply
+compiles instead, fall back to pow2 bucketing (see
+:func:`batched_split_svds`).
 
 Restricting to single-node states keeps successor semantics *identical*
 to the per-action path: ``network.svd(..., with_orthonormal=True)``
@@ -47,6 +49,10 @@ import numpy as np
 
 from tensor_networks_tpu.network import TensorNetwork
 from tensor_networks_tpu.search.actions import Action, ISplit, OSplit
+
+
+def _pow2_shape(mn: Tuple[int, int]) -> Tuple[int, int]:
+    return tuple(1 << max(int(v) - 1, 0).bit_length() for v in mn)
 
 
 def device_scoring_eligible(net: TensorNetwork) -> bool:
@@ -192,11 +198,21 @@ def batched_split_svds(
     dtype_key = str(x.dtype)
 
     # group by the exact oriented shape (m <= n): no padding FLOPs, and
-    # at uniform mode sizes the k / (d-k) splits collapse into one group
+    # at uniform mode sizes the k / (d-k) splits collapse into one
+    # group.  Non-uniform modes can explode the number of distinct
+    # shapes — every extra shape is a fresh 20-60 s batched-SVD compile
+    # through the relay — so above a small cap fall back to pow2
+    # bucketing, which bounds executables at the cost of padding FLOPs.
+    oriented = []
+    for _, _, trans, dim_l, dim_r in plans:
+        oriented.append((dim_r, dim_l) if trans else (dim_l, dim_r))
+    exact = len(set(oriented))
+    use_exact = exact <= max(8, len(set(map(_pow2_shape, oriented))))
     groups: Dict[Tuple[int, int], List[int]] = {}
-    for i, (_, _, trans, dim_l, dim_r) in enumerate(plans):
-        m, n = (dim_r, dim_l) if trans else (dim_l, dim_r)
-        groups.setdefault((m, n), []).append(i)
+    for i, mn in enumerate(oriented):
+        groups.setdefault(mn if use_exact else _pow2_shape(mn), []).append(
+            i
+        )
 
     from tensor_networks_tpu.kernels.linalg import _trunc_rank
     from tensor_networks_tpu.types import SVDConfig

@@ -95,3 +95,27 @@ def test_eligibility_gates(monkeypatch):
     assert not device_scoring_eligible(net)
     state = SearchState(net, 0.5)
     assert maybe_batched_svds(state, state.get_legal_actions()) == {}
+
+
+def test_shape_diverse_tensor_uses_pow2_fallback(monkeypatch):
+    """Many distinct oriented matricization shapes (distinct mode
+    sizes) fall back to pow2 bucketing — bounded executables — and the
+    factors still reconstruct each matricization exactly."""
+    monkeypatch.setenv("TNT_SEARCH_DEVICE", "1")
+    shape = (2, 3, 5, 7, 11)
+    net = _net(shape=shape, seed=11)
+    state = SearchState(net, 0.5)
+    actions = state.get_legal_actions(True)
+    assert len(actions) > 8  # enough bipartitions to trip the cap
+    svds = batched_split_svds(net, actions)
+    assert len(svds) == len(actions)
+    data = np.asarray(net.node_tensor("G").value)
+    free = net.free_indices()
+    for action, (u, s, v) in svds.items():
+        axes = [free.index(i) for i in action.indices]
+        rest = [k for k in range(len(shape)) if k not in axes]
+        mat = np.transpose(data, axes + rest).reshape(
+            int(np.prod([data.shape[a] for a in axes])), -1
+        )
+        got = np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(v)
+        assert np.allclose(got, mat, atol=1e-10)

@@ -148,3 +148,22 @@ def test_network_evaluate_nonchain_falls_through(monkeypatch):
     pts = rng.integers(0, 4, (33, 4))
     got = net.evaluate(inds, pts)
     assert got.shape == (33,)
+
+
+def test_network_evaluate_ragged_clamps_like_xla(monkeypatch):
+    """Out-of-range indices follow the device path's gather-clamp
+    semantics on the ragged route too."""
+    from tensor_networks_tpu import Index, TensorNetwork
+
+    np.random.seed(9)
+    inds = [Index(f"z{k}", 5) for k in range(6)]
+    net = TensorNetwork.rand_tt(inds, [3] * 5, dtype=np.float32)
+    rng = np.random.default_rng(10)
+    pts = rng.integers(0, 5, (64, 6))
+    pts[7, 2] = 99  # out of range: clamps to 4
+    pts[11, 0] = -3  # clamps to 0
+
+    monkeypatch.setenv("TNT_FORCE_PALLAS", "1")
+    got = net.evaluate(inds, pts)
+    ref = net.evaluate(inds, np.clip(pts, 0, 4))
+    assert np.abs(got - ref).max() < 1e-5 * np.abs(ref).max()
