@@ -176,7 +176,47 @@ def numpy_evaluate_reference_style(cores, idx) -> np.ndarray:
 # ---------------------------- device paths ----------------------------
 
 
+def _backend_reachable(timeout_s: int = 240) -> bool:
+    """Probe jax backend init in a CHILD with a hard timeout.
+
+    When the axon relay is unreachable, ``jax.devices()`` HANGS forever
+    in-process (observed 2026-08-17, multi-hour outage) — it does not
+    raise.  A benchmark that hangs violates the one-JSON-line driver
+    contract, so the probe runs in a killable subprocess.
+    """
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            capture_output=True,
+            timeout=timeout_s,
+            text=True,
+        )
+        return proc.returncode == 0 and "ok" in proc.stdout
+    except Exception:
+        return False
+
+
 def main():
+    if not _backend_reachable():
+        print(
+            "[bench] jax backend unreachable (relay down?) — emitting "
+            "NaN record instead of hanging",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "tt_d50_n32_r100_speedup_vs_numpy_geomean",
+                    "value": float("nan"),
+                    "unit": "x",
+                    "vs_baseline": float("nan"),
+                    "extra": {"status": "backend_unreachable"},
+                }
+            )
+        )
+        return
     from functools import partial
 
     import jax
@@ -1006,7 +1046,11 @@ def main():
             "evaluate_mpts_per_s_bf16": round(eval_mpts_bf16, 2),
             # per-point speedup vs numpy MEASURED on 512 points (full-
             # batch numpy would take minutes; labeled, not hidden)
-            "evaluate_speedup_x_per_point": round(eval_speedup, 1),
+            # per-point ratio: numpy measured on 512 pts, TPU rate
+            # extrapolated from its 8192-pt throughput — the name says so
+            "evaluate_speedup_x_per_point_extrapolated": round(
+                eval_speedup, 1
+            ),
             "numpy_eval_pts_measured": numpy_eval_pts,
             "cross_d8_wall_s": round(cross_wall, 2),
             "cross_d8_rel_err": float(f"{cross_err:.2e}"),
