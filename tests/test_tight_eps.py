@@ -199,3 +199,20 @@ def test_tight_batched_rejects_unknown_sweep():
     s, _ = _graded_train(d=6)
     with _pytest.raises(ValueError):
         tt_round_tight(s, 1e-3, sweep="nope")
+
+
+def test_tight_batched_minimum_train():
+    """d=3 (single mid core): the Gram-chain scan and batched apply
+    handle length-1 stacks."""
+    from tensor_networks_tpu.ops.tight import tt_round_tight
+
+    s, _ = _graded_train(d=3, scales=(1.0, 1e-3))
+    s64 = _to64(s)
+    out, ranks = tt_round_tight(s, 1e-2, sweep="batched")
+    assert len(ranks) == 2 and max(ranks) == 1
+    from tensor_networks_tpu.ops.packed import norm_exact, pack_ragged
+
+    rel = float(
+        norm_exact(pack_ragged(_to64(out) - s64))
+    ) / float(norm_exact(pack_ragged(s64)))
+    assert rel <= 2e-2, rel
