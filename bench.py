@@ -41,6 +41,18 @@ def _round_stats_snapshot() -> dict:
         return {}
 
 
+def _eval_path_snapshot() -> dict:
+    """Kernel-routing counters (ragged / pallas / fallback) so the JSON
+    records which evaluate path actually ran — same machine-readable
+    contract as ``round_fallbacks``."""
+    try:
+        from tensor_networks_tpu.kernels.pallas_ops import PATH_STATS
+
+        return dict(PATH_STATS)
+    except Exception:
+        return {}
+
+
 def _time(fn, reps: int, warmup: int = 1) -> float:
     for _ in range(warmup):
         fn()
@@ -1087,6 +1099,7 @@ def main():
             # twosided/prefix headline is only honest if this is 0; the
             # bench additionally NaN-guards its own direct sweep calls)
             "round_fallbacks": _round_stats_snapshot(),
+            "eval_path_stats": _eval_path_snapshot(),
             "device": str(dev),
         },
     }
