@@ -805,16 +805,18 @@ class TensorNetwork:
         except ValueError:  # evaluation over different index set
             return None
 
-        n_mode = frees[0].size
+        # per-dimension upper bounds: mixed mode sizes are padded to the
+        # max inside the pack, so each column clamps at its TRUE size
+        ub = jnp.asarray(
+            [f.size - 1 for f in frees], jnp.int32
+        )[None, :]
 
         def run(chunk: np.ndarray) -> jnp.ndarray:
             # clamp like XLA's gather so out-of-range points keep the
             # device path's documented semantics (see the routing
             # comment in :meth:`evaluate`); the ragged kernel's sorted
             # groups would otherwise drop them to garbage
-            idx = jnp.clip(
-                jnp.asarray(chunk[:, cols], jnp.int32), 0, n_mode - 1
-            )
+            idx = jnp.clip(jnp.asarray(chunk[:, cols], jnp.int32), 0, ub)
             return _pk.evaluate(pk, idx, precision="highest")
 
         return run

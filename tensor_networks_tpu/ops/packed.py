@@ -73,7 +73,13 @@ def pack(tn: TensorNetwork, dtype=None) -> PackedTT:
 
 
 def unpack(p: PackedTT, index_names: Optional[List[str]] = None) -> TensorNetwork:
-    """Materialize a PackedTT as a graph network."""
+    """Materialize a PackedTT as a graph network.
+
+    Mode sizes come from the packed arrays: a mixed-mode train packed
+    by :func:`pack_ragged` unpacks with every mode at the padded
+    maximum (the padded slices are zero) — slice afterwards if the
+    original sizes matter.
+    """
     d = p.d
     n = p.mode
     if index_names is None:
@@ -177,21 +183,23 @@ def pack_ragged(tn: TensorNetwork, dtype=None) -> Optional[PackedTT]:
     """Pack a linear-chain TT with *ragged* bond ranks into a PackedTT.
 
     Every bond is zero-padded to the largest rank rounded up to a
-    power of two (>= 8) so executables are reused while ranks grow —
-    padding is numerically inert for inner/norm/add/norm_exact.  Axes
-    are put in canonical (left bond, mode, right bond) order from the
-    index metadata, so any core layout is accepted.
+    power of two (>= 8) so executables are reused while ranks grow;
+    mixed mode sizes are zero-padded to the largest mode.  Both
+    paddings are numerically inert for inner/norm/add/norm_exact (zero
+    mode slices contribute zero to every mode contraction) and for
+    evaluation (indices only address the true range; the network-level
+    route clamps per dimension).  Axes are put in canonical (left bond,
+    mode, right bond) order from the index metadata, so any core layout
+    is accepted.
 
     Returns None when the network is not a chain of >= 3 cores with one
-    free index per core and a single uniform mode size — callers fall
-    back to the graph path.
+    free index per core — callers fall back to the graph path.
     """
     extracted = chain_cores(tn)
     if extracted is None:
         return None
     _, cores, frees, _ = extracted
-    if len({f.size for f in frees}) != 1:
-        return None
+    nmax = max(f.size for f in frees)
 
     # bucket floor 32: through the TPU relay every new (d, rank) shape
     # is a ~30-60 s remote compile, so one bucket covering the usual
@@ -202,21 +210,27 @@ def pack_ragged(tn: TensorNetwork, dtype=None) -> Optional[PackedTT]:
         + [c.shape[0] for c in cores[1:]]
     )
     r = max(32, 1 << (rmax - 1).bit_length())
-    first = jnp.pad(cores[0], ((0, 0), (0, r - cores[0].shape[1])))
+    first = jnp.pad(
+        cores[0],
+        ((0, nmax - cores[0].shape[0]), (0, r - cores[0].shape[1])),
+    )
     mids = jnp.stack(
         [
             jnp.pad(
                 c,
                 (
                     (0, r - c.shape[0]),
-                    (0, 0),
+                    (0, nmax - c.shape[1]),
                     (0, r - c.shape[2]),
                 ),
             )
             for c in cores[1:-1]
         ]
     )
-    last = jnp.pad(cores[-1], ((0, r - cores[-1].shape[0]), (0, 0)))
+    last = jnp.pad(
+        cores[-1],
+        ((0, r - cores[-1].shape[0]), (0, nmax - cores[-1].shape[1])),
+    )
     if dtype is not None:
         first, mids, last = (x.astype(dtype) for x in (first, mids, last))
     return PackedTT(first, mids, last)

@@ -171,3 +171,23 @@ def test_cross_norm_check_uses_packed_path():
     assert fast is not None
     graph = float((a - b).norm() / a.norm())
     assert np.isclose(fast, graph, rtol=1e-10)
+
+
+def test_pack_ragged_mixed_modes_norm():
+    """Mode-axis padding is numerically inert: norm_exact of a
+    mixed-mode chain equals the densified f64 norm."""
+    import numpy as np
+
+    from tensor_networks_tpu import Index, TensorNetwork
+    from tensor_networks_tpu.ops.packed import norm_exact, pack_ragged
+
+    np.random.seed(21)
+    sizes = [2, 5, 3, 4]
+    inds = [Index(f"q{k}", s) for k, s in enumerate(sizes)]
+    net = TensorNetwork.rand_tt(inds, [2, 3, 2])
+    pk = pack_ragged(net)
+    assert pk is not None and pk.mode == 5
+    dense = np.asarray(net.contract().value, np.float64)
+    assert np.isclose(
+        float(norm_exact(pk)), np.linalg.norm(dense), rtol=1e-6
+    )

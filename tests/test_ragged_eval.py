@@ -167,3 +167,33 @@ def test_network_evaluate_ragged_clamps_like_xla(monkeypatch):
     got = net.evaluate(inds, pts)
     ref = net.evaluate(inds, np.clip(pts, 0, 4))
     assert np.abs(got - ref).max() < 1e-5 * np.abs(ref).max()
+
+
+def test_network_evaluate_mixed_modes(monkeypatch):
+    """Mixed mode sizes pack with mode-axis zero padding: the ragged
+    route still matches the general evaluator, clamping per dimension."""
+    from tensor_networks_tpu import Index, TensorNetwork
+
+    np.random.seed(13)
+    sizes = [3, 7, 4, 6, 5]
+    inds = [Index(f"m{k}", s) for k, s in enumerate(sizes)]
+    net = TensorNetwork.rand_tt(inds, [3] * 4, dtype=np.float32)
+    rng = np.random.default_rng(14)
+    pts = np.stack(
+        [rng.integers(0, s, 200) for s in sizes], axis=1
+    )
+    ref = net.evaluate(inds, pts)  # CPU: general path
+
+    monkeypatch.setenv("TNT_FORCE_PALLAS", "1")
+    got = net.evaluate(inds, pts)
+    assert np.abs(got - ref).max() < 1e-5 * np.abs(ref).max()
+
+    # per-dimension clamp: an index valid for the largest mode but out
+    # of range for a smaller one must clamp at THAT dimension's bound
+    pts2 = pts.copy()
+    pts2[0, 0] = 6  # mode size 3 -> clamps to 2 (but < nmax=7)
+    got2 = net.evaluate(inds, pts2)
+    pts2c = pts2.copy()
+    pts2c[0, 0] = 2
+    ref2 = net.evaluate(inds, pts2c)
+    assert abs(got2[0] - ref2[0]) < 1e-5 * np.abs(ref).max()
