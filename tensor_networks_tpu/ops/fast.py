@@ -47,6 +47,57 @@ def stack_tt_cores(
     return first, None, last
 
 
+def _chain_padded(tn: TensorNetwork):
+    """Canonicalize + zero-pad ANY linear chain for the fused sweeps.
+
+    ``chain_cores`` handles arbitrary node layouts (axes are permuted
+    into (left bond, mode, right bond) from the index metadata); ragged
+    bond ranks pad to the largest rank and mixed mode sizes to the
+    largest mode.  Zero padding is numerically inert for every sweep
+    (zero directions carry zero spectral mass; the Cholesky modes'
+    adaptive shifts tolerate the exact rank deficiency it introduces).
+
+    Returns ``(first, mids, last, emit)`` where ``emit`` carries what
+    :func:`tt_round_fixed` needs to write results back into the
+    original layout: ``(order, true core shapes, perms)``.  None when
+    the network is not a chain of >= 3 single-free-index cores.
+    """
+    from tensor_networks_tpu.ops.packed import chain_cores
+
+    extracted = chain_cores(tn)
+    if extracted is None:
+        return None
+    order, cores, frees, perms = extracted
+    nmax = max(f.size for f in frees)
+    rmax = max(
+        [c.shape[-1] for c in cores[:-1]]
+        + [c.shape[0] for c in cores[1:]]
+    )
+    first = jnp.pad(
+        cores[0],
+        ((0, nmax - cores[0].shape[0]), (0, rmax - cores[0].shape[1])),
+    )
+    mids = jnp.stack(
+        [
+            jnp.pad(
+                c,
+                (
+                    (0, rmax - c.shape[0]),
+                    (0, nmax - c.shape[1]),
+                    (0, rmax - c.shape[2]),
+                ),
+            )
+            for c in cores[1:-1]
+        ]
+    )
+    last = jnp.pad(
+        cores[-1],
+        ((0, rmax - cores[-1].shape[0]), (0, nmax - cores[-1].shape[1])),
+    )
+    shapes = [c.shape for c in cores]
+    return first, mids, last, (order, shapes, perms)
+
+
 @lru_cache(maxsize=64)
 def tt_inner_fn(has_mids: bool, precision: str = "highest"):
     """The jitted TT inner-product zipper.
@@ -994,12 +1045,27 @@ def tt_round_fixed(
     network (bonds compacted to the discovered ranks on host) and the
     kept rank per bond.
 
+    Any linear chain qualifies: ragged bond ranks, mixed mode sizes,
+    and non-canonical core layouts are zero-padded into the uniform
+    sweep (:func:`_chain_padded`) and sliced/un-permuted on emit; only
+    non-chain topologies raise (use the graph ``round`` /
+    ``tt_svd_round`` for those).
+
     Resilience: the Cholesky-based modes can break down (NaN) on
     heavily rank-deficient trains in f32 on TPU (observed at ~6x
     rank deficiency); a NaN result is detected and the call falls back
     to the Householder sweep with a warning.
     """
-    first, mids, last = stack_tt_cores(tn)
+    emit = None
+    try:
+        first, mids, last = stack_tt_cores(tn)
+    except ValueError:
+        # ragged ranks / mixed modes / non-canonical layouts: pad into
+        # the uniform sweep and slice + unpermute on the way out
+        packed = _chain_padded(tn)
+        if packed is None:
+            raise
+        first, mids, last, emit = packed
     if mids is None:
         raise ValueError("tt_round_fixed needs d >= 3")
 
@@ -1052,8 +1118,29 @@ def tt_round_fixed(
         )
 
     ranks = [int(k0)] + [int(x) for x in np.asarray(mid_ranks)]
-    nodes = list(tn.network.nodes)
     out = tn.__deepcopy__({})
+    if emit is not None:
+        # padded entry: slice true modes + kept ranks, un-permute into
+        # each node's original axis layout
+        order, shapes, perms = emit
+
+        def put(node, core, perm):
+            out.node_tensor(node).update_val_size(
+                jnp.transpose(
+                    core, tuple(int(a) for a in np.argsort(perm))
+                )
+            )
+
+        put(order[0], f[: shapes[0][0], : ranks[0]], perms[0])
+        for k in range(1, len(order) - 1):
+            put(
+                order[k],
+                m[k - 1][: ranks[k - 1], : shapes[k][1], : ranks[k]],
+                perms[k],
+            )
+        put(order[-1], l[: ranks[-1], : shapes[-1][1]], perms[-1])
+        return out, ranks
+    nodes = list(tn.network.nodes)
     out.node_tensor(nodes[0]).update_val_size(f[:, : ranks[0]])
     for i, node in enumerate(nodes[1:-1]):
         out.node_tensor(node).update_val_size(

@@ -418,7 +418,19 @@ def tt_round_tight(
     """
     if sweep not in ("batched", "sequential"):
         raise ValueError(f"unknown sweep {sweep!r}")
-    first, mids, last = stack_tt_cores(tn)
+    emit = None
+    try:
+        first, mids, last = stack_tt_cores(tn)
+    except ValueError:
+        # ragged ranks / mixed modes / non-canonical layouts: same
+        # chain padding as tt_round_fixed (zero padding is inert for
+        # the multiword sweeps too)
+        from tensor_networks_tpu.ops.fast import _chain_padded
+
+        packed = _chain_padded(tn)
+        if packed is None:
+            raise
+        first, mids, last, emit = packed
     if mids is None:
         raise ValueError("tt_round_tight needs d >= 3")
     dt = first.dtype
@@ -427,7 +439,16 @@ def tt_round_tight(
 
     if sweep == "batched":
         return _forward_batched(
-            tn, first, mids, last, first_c, mids_q, q_last, eps, relative
+            tn,
+            first,
+            mids,
+            last,
+            first_c,
+            mids_q,
+            q_last,
+            eps,
+            relative,
+            emit=emit,
         )
 
     # ---- bond 0: Gram of first_c directly -----------------------------
@@ -482,12 +503,33 @@ def tt_round_tight(
 
     last_out = _last_apply(ch, cl, q_last[0], q_last[1])
 
-    return _emit(tn, first_out, mids_out, last_out, ranks)
+    return _emit(tn, first_out, mids_out, last_out, ranks, emit)
 
 
-def _emit(tn, first_out, mids_out, last_out, ranks):
-    nodes = list(tn.network.nodes)
+def _emit(tn, first_out, mids_out, last_out, ranks, emit=None):
     out = tn.__deepcopy__({})
+    if emit is not None:
+        # padded entry (see ops.fast._chain_padded): slice true modes +
+        # kept ranks, un-permute into each node's original axis layout
+        order, shapes, perms = emit
+
+        def put(node, core, perm):
+            out.node_tensor(node).update_val_size(
+                jnp.transpose(
+                    core, tuple(int(a) for a in np.argsort(perm))
+                )
+            )
+
+        put(order[0], first_out[: shapes[0][0], : ranks[0]], perms[0])
+        for k in range(1, len(order) - 1):
+            put(
+                order[k],
+                mids_out[k - 1][: ranks[k - 1], : shapes[k][1], : ranks[k]],
+                perms[k],
+            )
+        put(order[-1], last_out[: ranks[-1], : shapes[-1][1]], perms[-1])
+        return out, ranks
+    nodes = list(tn.network.nodes)
     out.node_tensor(nodes[0]).update_val_size(first_out[:, : ranks[0]])
     for i, node in enumerate(nodes[1:-1]):
         out.node_tensor(node).update_val_size(
@@ -498,7 +540,7 @@ def _emit(tn, first_out, mids_out, last_out, ranks):
 
 
 def _forward_batched(
-    tn, first, mids, last, first_c, mids_q, q_last, eps, relative
+    tn, first, mids, last, first_c, mids_q, q_last, eps, relative, emit=None
 ):
     """Batched forward sweep: one Gram-chain scan, one fetch, every
     rank rule on host, one batched apply.  See the module docstring."""
@@ -554,4 +596,4 @@ def _forward_batched(
         jnp.asarray(ce_h),
         jnp.asarray(ce_l),
     )
-    return _emit(tn, first_out, mids_out, last_out, ranks)
+    return _emit(tn, first_out, mids_out, last_out, ranks, emit)

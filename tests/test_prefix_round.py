@@ -101,3 +101,33 @@ def test_round_stats_counters():
         fast_mod._tt_round_prefix_sweep_fn = real
     assert ROUND_STATS["fallback_nan"] == before["fallback_nan"] + 1
     assert ranks == [3] * 6
+
+
+def test_round_fixed_ragged_mixed_chain():
+    """Ragged bond ranks + mixed mode sizes + summed (block) layouts go
+    through the fused sweep via chain padding: exact rank recovery on a
+    doubled train and dense parity with 2x the original."""
+    np.random.seed(31)
+    sizes = [3, 5, 4, 6]
+    inds = [Index(f"w{k}", s) for k, s in enumerate(sizes)]
+    a = TensorNetwork.rand_tt(inds, [2, 4, 3])
+    s = a + a  # ranks double to [4, 8, 6]
+    dense = 2.0 * np.asarray(a.contract().value, np.float64)
+
+    for method in ("svd", "prefix"):
+        out, ranks = tt_round_fixed(s.__deepcopy__({}), 1e-10, method=method)
+        assert ranks == [2, 4, 3], (method, ranks)
+        got = np.asarray(out.contract().value, np.float64)
+        # match free-index order before comparing
+        perm = [out.free_indices().index(i) for i in a.free_indices()]
+        got = np.transpose(got, np.argsort(perm)) if perm != sorted(perm) else got
+        assert np.allclose(got, dense, atol=1e-8), method
+
+
+def test_round_fixed_nonchain_still_raises():
+    """Non-chain topologies keep the loud ValueError."""
+    np.random.seed(32)
+    inds = [Index(f"v{k}", 3) for k in range(4)]
+    tucker = TensorNetwork.rand_tucker(inds, 2)
+    with pytest.raises(ValueError):
+        tt_round_fixed(tucker, 1e-6)

@@ -216,3 +216,22 @@ def test_tight_batched_minimum_train():
         norm_exact(pack_ragged(_to64(out) - s64))
     ) / float(norm_exact(pack_ragged(s64)))
     assert rel <= 2e-2, rel
+
+
+def test_tight_ragged_mixed_chain():
+    """Ragged ranks + mixed mode sizes route through chain padding in
+    the tight sweep too: exact rank recovery on a doubled f32 train."""
+    from tensor_networks_tpu.ops.tight import tt_round_tight
+
+    np.random.seed(33)
+    sizes = [3, 5, 4, 6]
+    ins = [tnt.Index(f"u{k}", s) for k, s in enumerate(sizes)]
+    a = tnt.TensorNetwork.rand_tt(ins, [2, 4, 3], dtype=np.float32)
+    s = a + a  # ragged doubled ranks [4, 8, 6]
+    dense = 2.0 * np.asarray(a.contract().value, np.float64)
+    for sweep in ("batched", "sequential"):
+        out, ranks = tt_round_tight(s.__deepcopy__({}), 1e-5, sweep=sweep)
+        assert ranks == [2, 4, 3], (sweep, ranks)
+        got = np.asarray(out.contract().value, np.float64)
+        rel = np.linalg.norm(got - dense) / np.linalg.norm(dense)
+        assert rel < 2e-5, (sweep, rel)
