@@ -69,10 +69,15 @@ def _chain_padded(tn: TensorNetwork):
         return None
     order, cores, frees, perms = extracted
     nmax = max(f.size for f in frees)
+    # pow2 rank bucket (same economics as packed.pack_ragged): adaptive
+    # loops round at ever-growing ranks, and each distinct padded shape
+    # is a fresh multi-10s sweep compile through the relay — a bucket
+    # costs a little zero-padded GEMM work and buys executable reuse
     rmax = max(
         [c.shape[-1] for c in cores[:-1]]
         + [c.shape[0] for c in cores[1:]]
     )
+    rmax = max(8, 1 << (rmax - 1).bit_length())
     first = jnp.pad(
         cores[0],
         ((0, nmax - cores[0].shape[0]), (0, rmax - cores[0].shape[1])),
