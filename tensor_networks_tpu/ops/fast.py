@@ -36,6 +36,17 @@ def stack_tt_cores(
     ``last`` is (r, n).  Raises ValueError if the train is not uniform.
     """
     nodes = list(tn.network.nodes)
+    # insertion order must BE chain order: consecutive cores share a
+    # bond index.  A shuffled uniform train would pass the shape check
+    # and stack silently wrong — raise so callers take the
+    # order-discovering padded path (:func:`_chain_padded`) instead.
+    tensors = [tn.node_tensor(n) for n in nodes]
+    for a, b in zip(tensors, tensors[1:]):
+        if len(set(a.indices) & set(b.indices)) != 1:
+            raise ValueError(
+                "node insertion order is not chain order (consecutive "
+                "cores share no unique bond)"
+            )
     first = tn.value(nodes[0])
     last = tn.value(nodes[-1])
     mids = [tn.value(n) for n in nodes[1:-1]]

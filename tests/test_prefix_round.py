@@ -118,9 +118,10 @@ def test_round_fixed_ragged_mixed_chain():
         out, ranks = tt_round_fixed(s.__deepcopy__({}), 1e-10, method=method)
         assert ranks == [2, 4, 3], (method, ranks)
         got = np.asarray(out.contract().value, np.float64)
-        # match free-index order before comparing
+        # align axes by index identity: axis j of the reference is
+        # a.free_indices()[j]; find it among out's free indices
         perm = [out.free_indices().index(i) for i in a.free_indices()]
-        got = np.transpose(got, np.argsort(perm)) if perm != sorted(perm) else got
+        got = np.transpose(got, perm)
         assert np.allclose(got, dense, atol=1e-8), method
 
 
@@ -131,3 +132,24 @@ def test_round_fixed_nonchain_still_raises():
     tucker = TensorNetwork.rand_tucker(inds, 2)
     with pytest.raises(ValueError):
         tt_round_fixed(tucker, 1e-6)
+
+
+def test_round_fixed_shuffled_node_order():
+    """Nodes added out of chain order must not stack silently wrong —
+    the padded path re-discovers the chain from the bond metadata."""
+    np.random.seed(34)
+    inds = [Index(f"s{k}", 4) for k in range(5)]
+    a = TensorNetwork.rand_tt(inds, [3] * 4)
+    # rebuild with shuffled insertion order
+    sh = TensorNetwork()
+    names = list(a.network.nodes)
+    for n in [names[2], names[0], names[4], names[1], names[3]]:
+        sh.add_node(n, a.node_tensor(n))
+    for u, v in a.network.edges():
+        sh.add_edge(u, v)
+    dense = np.asarray(a.contract().value, np.float64)
+    out, ranks = tt_round_fixed(sh, 1e-10)
+    got = np.asarray(out.contract().value, np.float64)
+    perm = [out.free_indices().index(i) for i in a.free_indices()]
+    got = np.transpose(got, perm)
+    assert np.allclose(got, dense, atol=1e-8)
