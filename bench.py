@@ -210,8 +210,33 @@ def _backend_reachable(timeout_s: int = 240) -> bool:
         return False
 
 
+def _backend_reachable_retry() -> bool:
+    """Reachability with a bounded retry window.
+
+    Relay outages are often transient (minutes); a single failed probe
+    at the moment the driver happens to run bench would zero the whole
+    round's record.  Retry a few times (each probe is itself
+    timeout-bounded) before giving up.  Tunables:
+    ``TNT_BENCH_PROBE_ATTEMPTS`` (default 4) and
+    ``TNT_BENCH_PROBE_SLEEP`` seconds between attempts (default 60) —
+    worst case ~20 min, still far under a driver round.
+    """
+    attempts = int(os.environ.get("TNT_BENCH_PROBE_ATTEMPTS", "4"))
+    sleep_s = float(os.environ.get("TNT_BENCH_PROBE_SLEEP", "60"))
+    for i in range(max(1, attempts)):
+        if _backend_reachable():
+            return True
+        print(
+            f"[bench] backend probe {i + 1}/{attempts} failed",
+            file=sys.stderr,
+        )
+        if i + 1 < attempts:
+            time.sleep(sleep_s)
+    return False
+
+
 def main():
-    if not _backend_reachable():
+    if not _backend_reachable_retry():
         print(
             "[bench] jax backend unreachable (relay down?) — emitting "
             "NaN record instead of hanging",
