@@ -16,6 +16,7 @@ These are the kernels the multi-chip sharded paths in
 
 from __future__ import annotations
 
+import os
 import warnings
 from functools import lru_cache
 from typing import List, Optional, Tuple
@@ -741,7 +742,9 @@ def _tt_round_twosided_sweep_fn(relative: bool, sign_iters: int = 100):
 
 
 @lru_cache(maxsize=8)
-def _tt_round_prefix_sweep_fn(relative: bool, sign_iters: int = 100):
+def _tt_round_prefix_sweep_fn(
+    relative: bool, sign_iters: int = 100, unroll: int = 1
+):
     """Batched two-sided Gram rounding: the parallel-prefix mode.
 
     Every other sweep in this module threads a Cholesky/QR/SVD through
@@ -824,7 +827,9 @@ def _tt_round_prefix_sweep_fn(relative: bool, sign_iters: int = 100):
             return m2, (m2, s)
 
         m0 = jnp.stack([h0n, g0n])
-        _, (m_seq, s_seq) = jax.lax.scan(chain_step, m0, xs)
+        _, (m_seq, s_seq) = jax.lax.scan(
+            chain_step, m0, xs, unroll=unroll
+        )
         ls_seq = jnp.cumsum(jnp.log(s_seq), axis=0)  # (d-2, 2)
         h_seq, g_seq = m_seq[:, 0], m_seq[:, 1]
         lh_seq, lg_seq = ls_seq[:, 0], ls_seq[:, 1]
@@ -1112,7 +1117,13 @@ def tt_round_fixed(
     elif method == "twosided":
         fn = _tt_round_twosided_sweep_fn(relative)
     elif method == "prefix":
-        fn = _tt_round_prefix_sweep_fn(relative)
+        # chain-scan unroll: trades a longer compile for fewer per-step
+        # scan-boundary syncs; probe on real hardware before changing
+        # the default (TNT_PREFIX_UNROLL)
+        fn = _tt_round_prefix_sweep_fn(
+            relative,
+            unroll=int(os.environ.get("TNT_PREFIX_UNROLL", "1")),
+        )
     else:
         fn = _tt_round_sweep_fn(relative, reorth)
     f, m, l, k0, mid_ranks = fn(first, mids, last, eps)

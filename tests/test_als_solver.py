@@ -4,6 +4,7 @@ only); the dense oracle is the ground truth."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import tensor_networks_tpu as tnt
 from tensor_networks_tpu.ops import packed as pk
@@ -42,6 +43,7 @@ def _setup(seed=3, d=4, n=6, spd=True):
     return op, packed_op, rhs, x0, ins, outs
 
 
+@pytest.mark.slow
 def test_als_solve_matches_dense_oracle():
     """On an SPD-dominant operator the Galerkin ALS at sufficient rank
     must reproduce the dense solve."""

@@ -317,6 +317,7 @@ class TestTT:
         check2 = A(out.contract().value)
         assert np.allclose(check2, should_be, atol=1e-13, rtol=1e-13)
 
+    @pytest.mark.slow
     def test_gmres(self):
         x = Index("x", 10)
         xp = Index("xp", 10)

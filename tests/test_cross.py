@@ -166,6 +166,7 @@ def test_cross_tt_deim_valid_error():
     _check(func, res, _sampled_grid(INDICES_8D))
 
 
+@pytest.mark.slow
 def test_cross_tt_maxvol_valid_error():
     func = FuncPathological(INDICES_8D)
     net = TensorNetwork.rand_tt(func.indices, [1] * 7)

@@ -9,6 +9,7 @@ norms measured without catastrophic cancellation.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import tensor_networks_tpu as tnt
 from tensor_networks_tpu.ops import packed as pk
@@ -91,6 +92,7 @@ def test_gmres_packed_f32_hits_reference_bar():
     assert truth <= resid * 3 + 1e-12 * rhs_norm
 
 
+@pytest.mark.slow
 def test_gmres_graph_residual_not_inflated_by_cancellation():
     """The host-path solver's reported residual is measured on the
     rounded difference train (backward stable)."""

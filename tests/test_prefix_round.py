@@ -84,8 +84,8 @@ def test_round_stats_counters():
 
     real = fast_mod._tt_round_prefix_sweep_fn
 
-    def poisoned(relative):
-        fn = real(relative)
+    def poisoned(relative, **kw):
+        fn = real(relative, **kw)
 
         def wrapper(first, mids, last, eps):
             f, m, l, k0, ks = fn(first, mids, last, eps)

@@ -102,6 +102,7 @@ def _to64(tn):
     return out
 
 
+@pytest.mark.slow
 def test_tight_round_tracks_eps_below_f32_floor():
     """eps=1e-6 on an f32 train: correct ranks AND error <= eps.
 
@@ -123,6 +124,7 @@ def test_tight_round_tracks_eps_below_f32_floor():
         assert rel <= 2.0 * eps, (eps, rel)
 
 
+@pytest.mark.slow
 def test_tight_round_rank_deficient_last_core():
     """Structural deficiency (bond rank > mode size) must not produce
     ghost directions or NaNs — the round-2 failure mode."""
@@ -201,6 +203,7 @@ def test_tight_batched_rejects_unknown_sweep():
         tt_round_tight(s, 1e-3, sweep="nope")
 
 
+@pytest.mark.slow
 def test_tight_batched_minimum_train():
     """d=3 (single mid core): the Gram-chain scan and batched apply
     handle length-1 stacks."""
@@ -218,6 +221,7 @@ def test_tight_batched_minimum_train():
     assert rel <= 2e-2, rel
 
 
+@pytest.mark.slow
 def test_tight_ragged_mixed_chain():
     """Ragged ranks + mixed mode sizes route through chain padding in
     the tight sweep too: exact rank recovery on a doubled f32 train."""
