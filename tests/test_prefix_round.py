@@ -153,3 +153,19 @@ def test_round_fixed_shuffled_node_order():
     perm = [out.free_indices().index(i) for i in a.free_indices()]
     got = np.transpose(got, perm)
     assert np.allclose(got, dense, atol=1e-8)
+
+
+def test_prefix_unroll_env_parity(monkeypatch):
+    """TNT_PREFIX_UNROLL changes XLA scheduling only — ranks and values
+    must match the unroll=1 default bit-for-bit semantics-wise."""
+    tt, _ = _train(seed=9)
+    tt2 = tt + tt
+    out0, ranks0 = tt_round_fixed(tt2.__deepcopy__({}), 1e-8, method="prefix")
+    monkeypatch.setenv("TNT_PREFIX_UNROLL", "4")
+    out4, ranks4 = tt_round_fixed(tt2.__deepcopy__({}), 1e-8, method="prefix")
+    assert ranks4 == ranks0 == [3] * 6
+    d0 = np.asarray(out0.contract().value)
+    # axis j of the comparison target is out0.free_indices()[j]
+    perm = [out4.free_indices().index(i) for i in out0.free_indices()]
+    d4 = np.transpose(np.asarray(out4.contract().value), perm)
+    assert np.allclose(d4, d0, atol=1e-12)
