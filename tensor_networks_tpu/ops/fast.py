@@ -115,6 +115,37 @@ def _chain_padded(tn: TensorNetwork):
     return first, mids, last, (order, shapes, perms)
 
 
+def _bond_bounds(modes, bonds, r_pad: int) -> np.ndarray:
+    """Static per-bond structural rank bounds of a (possibly padded) chain.
+
+    ``bound_k = min(prod of true modes left of bond k, prod of true
+    modes right of it, true bond dim)`` — the rank the exact bond
+    matricization cannot exceed (a host SVD structurally cannot return
+    more; reference semantics ``pytens/utils.py:74-84``).  The Gram
+    modes' squaring noise can inflate spectra past this on padded or
+    thin-ended chains, so the fast sweeps clamp kept ranks here.
+    Products are capped at ``r_pad`` (where the clamp is a no-op).
+    """
+    nb = len(bonds)
+    left = []
+    p = 1
+    for k in range(nb):
+        p = min(p * int(modes[k]), r_pad)
+        left.append(p)
+    right = [0] * nb
+    p = 1
+    for k in range(nb - 1, -1, -1):
+        p = min(p * int(modes[k + 1]), r_pad)
+        right[k] = p
+    return np.asarray(
+        [
+            min(left[k], right[k], int(bonds[k]), r_pad)
+            for k in range(nb)
+        ],
+        np.int32,
+    )
+
+
 @lru_cache(maxsize=64)
 def tt_inner_fn(has_mids: bool, precision: str = "highest"):
     """The jitted TT inner-product zipper.
@@ -374,9 +405,11 @@ def _tt_round_gram_sweep_fn(relative: bool):
     f64: eps >= ~1e-7); otherwise use the SVD sweep.
     """
 
-    def sweep(first, mids, last, eps):
+    def sweep(first, mids, last, eps, bounds=None):
         d = mids.shape[0] + 2
         r = last.shape[0]
+        if bounds is None:
+            bounds = jnp.full((d - 1,), r, jnp.int32)
         eps_floor = jnp.asarray(1e-30, first.dtype)
 
         def chol_right_orth(cur):
@@ -437,7 +470,11 @@ def _tt_round_gram_sweep_fn(relative: bool):
             return u, carry_next, k
 
         u0, carry_sv, k0 = gram_trunc(
-            first_c, jnp.int32(min(first.shape[0], first_c.shape[1]))
+            first_c,
+            jnp.minimum(
+                jnp.int32(min(first.shape[0], first_c.shape[1])),
+                bounds[0],
+            ),
         )
         if u0.shape[1] < r:  # first bond can be thinner than r
             pad = r - u0.shape[1]
@@ -445,7 +482,8 @@ def _tt_round_gram_sweep_fn(relative: bool):
             carry_sv = jnp.pad(carry_sv, ((0, pad), (0, 0)))
         first_out = u0
 
-        def fwd_step(carry, core):
+        def fwd_step(carry, inputs):
+            core, bound = inputs
             carry_sv, kprev = carry
             rr, n, rc = core.shape
             cur = jnp.einsum(
@@ -453,12 +491,12 @@ def _tt_round_gram_sweep_fn(relative: bool):
             )
             u, nxt, k = gram_trunc(
                 cur.reshape(rr * n, rc),
-                jnp.minimum(kprev * n, jnp.int32(rc)),
+                jnp.minimum(jnp.minimum(kprev * n, jnp.int32(rc)), bound),
             )
             return (nxt, k), (u.reshape(rr, n, -1), k)
 
         (carry_sv, _), (mids_out, mid_ranks) = jax.lax.scan(
-            fwd_step, (carry_sv, k0), mids_q
+            fwd_step, (carry_sv, k0), (mids_q, bounds[1:])
         )
         last_out = carry_sv @ last_q
         return first_out, mids_out, last_out, k0, mid_ranks
@@ -514,9 +552,11 @@ def _tt_round_cholqr2_sweep_fn(relative: bool):
         scale1 = jnp.trace(l1 @ l1.T) / l1.shape[0]
         return l1 @ l2, q2, j1 + j2 * scale1
 
-    def sweep(first, mids, last, eps):
+    def sweep(first, mids, last, eps, bounds=None):
         d = mids.shape[0] + 2
         r = last.shape[0]
+        if bounds is None:
+            bounds = jnp.full((d - 1,), r, jnp.int32)
 
         # ---- backward CholQR2 sweep --------------------------------
         carry, last_q, _ = chol2_rows(last)
@@ -539,17 +579,18 @@ def _tt_round_cholqr2_sweep_fn(relative: bool):
             jnp.asarray(d - 1.0, first.dtype)
         )
 
-        def trunc_cols(cur):
+        def trunc_cols(cur, bound):
             """cur (m, rc): orthonormalize columns by CholQR2, SVD the
             R factor, mask by the budget.  The truncation decision uses
             jitter-deflated singular values (sqrt(s^2 - j)) so the
             ghost directions the regularization injects on
             rank-deficient bonds are compacted away; the kept factors
-            use the exact s (the representation stays exact)."""
+            use the exact s (the representation stays exact).  ``bound``
+            is the static structural rank cap (see _bond_bounds)."""
             r_tot, qt, j_tot = chol2_rows(cur.T)  # cur = q @ r_tot.T
             u_s, s, vt = jnp.linalg.svd(r_tot.T, full_matrices=False)
             s_true = jnp.sqrt(jnp.maximum(s * s - j_tot, 0.0))
-            k = _trunc_count(s_true, budget)
+            k = jnp.minimum(_trunc_count(s_true, budget), bound)
             m = (
                 jnp.arange(s.shape[0], dtype=jnp.int32) < k
             ).astype(s.dtype)
@@ -558,23 +599,24 @@ def _tt_round_cholqr2_sweep_fn(relative: bool):
             )
             return left, (m * s)[:, None] * vt, k
 
-        u0, carry_sv, k0 = trunc_cols(first_c)
+        u0, carry_sv, k0 = trunc_cols(first_c, bounds[0])
         if u0.shape[1] < r:
             pad = r - u0.shape[1]
             u0 = jnp.pad(u0, ((0, 0), (0, pad)))
             carry_sv = jnp.pad(carry_sv, ((0, pad), (0, 0)))
         first_out = u0
 
-        def fwd_step(carry_sv, core):
+        def fwd_step(carry_sv, inputs):
+            core, bound = inputs
             rr, n, rc = core.shape
             cur = jnp.einsum(
                 "ak,knc->anc", carry_sv, core, precision="highest"
             )
-            left, nxt, k = trunc_cols(cur.reshape(rr * n, rc))
+            left, nxt, k = trunc_cols(cur.reshape(rr * n, rc), bound)
             return nxt, (left.reshape(rr, n, -1), k)
 
         carry_sv, (mids_out, mid_ranks) = jax.lax.scan(
-            fwd_step, carry_sv, mids_q
+            fwd_step, carry_sv, (mids_q, bounds[1:])
         )
         last_out = carry_sv @ last_q
         return first_out, mids_out, last_out, k0, mid_ranks
@@ -630,9 +672,11 @@ def _tt_round_twosided_sweep_fn(relative: bool, sign_iters: int = 100):
         scale1 = jnp.trace(l1 @ l1.T) / l1.shape[0]
         return l1 @ l2, q2, j1 + j2 * scale1
 
-    def sweep(first, mids, last, eps):
+    def sweep(first, mids, last, eps, bounds=None):
         d = mids.shape[0] + 2
         r = last.shape[0]
+        if bounds is None:
+            bounds = jnp.full((d - 1,), r, jnp.int32)
 
         # ---- backward CholQR2: right-orthogonalize ------------------
         carry, last_q, _ = chol2_rows(last)
@@ -705,10 +749,13 @@ def _tt_round_twosided_sweep_fn(relative: bool, sign_iters: int = 100):
         sign = _sign_newton_schulz(a0, alpha, sign_iters)
         proj = 0.5 * (eye[None] + sign)  # (d-1, r, r)
 
-        ks = jnp.clip(
-            jnp.round(jnp.einsum("kaa->k", proj)).astype(jnp.int32),
-            1,
-            r,
+        ks = jnp.minimum(
+            jnp.clip(
+                jnp.round(jnp.einsum("kaa->k", proj)).astype(jnp.int32),
+                1,
+                r,
+            ),
+            bounds,
         )
         masks = (
             jnp.arange(r, dtype=jnp.int32)[None, :] < ks[:, None]
@@ -789,12 +836,14 @@ def _tt_round_prefix_sweep_fn(
     the accurate sweeps.
     """
 
-    def sweep(first, mids, last, eps):
+    def sweep(first, mids, last, eps, bounds=None):
         d = mids.shape[0] + 2
         r = last.shape[0]
         dt = first.dtype
         mach = jnp.asarray(jnp.finfo(dt).eps, dt)
         nb = d - 1  # bonds
+        if bounds is None:
+            bounds = jnp.full((nb,), r, jnp.int32)
 
         # ---- fused H/G chains: GEMM-only scan -----------------------
         h0 = jnp.matmul(first.T, first, precision="highest")
@@ -889,8 +938,16 @@ def _tt_round_prefix_sweep_fn(
 
         sign = _sign_newton_schulz(a0, alpha, sign_iters)
         proj = 0.5 * (eye[None] + sign)  # (nb, r, r)
-        ks = jnp.clip(
-            jnp.round(jnp.einsum("kaa->k", proj)).astype(jnp.int32), 1, r
+        # static structural clamp: Gram-squaring noise on padded /
+        # thin-ended chains can push the projector trace past the rank
+        # the exact matricization can hold (see _bond_bounds)
+        ks = jnp.minimum(
+            jnp.clip(
+                jnp.round(jnp.einsum("kaa->k", proj)).astype(jnp.int32),
+                1,
+                r,
+            ),
+            bounds,
         )
         masks = (
             jnp.arange(r, dtype=jnp.int32)[None, :] < ks[:, None]
@@ -1100,12 +1157,23 @@ def tt_round_fixed(
             2.0 if reorth else 1.0
         )
     if relative and eps < floor:
+        if method in ("gram", "prefix"):
+            # the Gram floor is sqrt(mach eps) — independent of dtype
+            # upgrades within the mode and of reorth; only an accurate
+            # method (or f64 + an accurate method for eps < ~1e-7) helps
+            remedy = (
+                "Use an accurate method (svd/cholqr2/twosided), or "
+                "ops.tight.tt_round_tight for tight budgets on device."
+            )
+        else:
+            remedy = (
+                "Use float64, reorth=True for a ~2x-cost sweep with an "
+                "eps-level floor, or ops.tight.tt_round_tight on device."
+            )
         warnings.warn(
             f"requested relative eps={eps:.1e} is below the ~{floor:.1e} "
             f"noise floor of a {d}-core {first.dtype} {method} rounding "
-            "sweep; truncation may not engage. Use float64, an accurate "
-            "method (svd/cholqr2/twosided), or reorth=True for a "
-            "~2x-cost sweep with an eps-level floor.",
+            f"sweep; truncation may not engage. {remedy}",
             RuntimeWarning,
             stacklevel=2,
         )
@@ -1126,11 +1194,41 @@ def tt_round_fixed(
         )
     else:
         fn = _tt_round_sweep_fn(relative, reorth)
-    f, m, l, k0, mid_ranks = fn(first, mids, last, eps)
+
+    if method in ("gram", "cholqr2", "twosided", "prefix"):
+        # static structural rank caps from the TRUE shapes: on padded
+        # or thin-ended chains the Gram/jitter noise of these modes can
+        # inflate spectra past the rank the exact matricization holds
+        if emit is not None:
+            _, true_shapes, _ = emit
+            modes = (
+                [true_shapes[0][0]]
+                + [s[1] for s in true_shapes[1:-1]]
+                + [true_shapes[-1][1]]
+            )
+            bond_dims = [true_shapes[0][1]] + [
+                s[2] for s in true_shapes[1:-1]
+            ]
+        else:
+            modes = (
+                [first.shape[0]]
+                + [mids.shape[2]] * (d - 2)
+                + [last.shape[1]]
+            )
+            bond_dims = [last.shape[0]] * (d - 1)
+        bounds = jnp.asarray(
+            _bond_bounds(modes, bond_dims, int(last.shape[0]))
+        )
+        f, m, l, k0, mid_ranks = fn(first, mids, last, eps, bounds)
+    else:
+        f, m, l, k0, mid_ranks = fn(first, mids, last, eps)
     ROUND_STATS[method if method in ROUND_STATS else "svd"] += 1
 
-    if method in ("gram", "cholqr2", "twosided", "prefix") and bool(
-        jnp.isnan(jnp.sum(l))
+    # breakdown detection must cover EVERY core: a NaN confined to a
+    # middle bond never reaches the last core's projection, and the
+    # sign iteration exits early on NaN leaving other bonds unconverged
+    if method in ("gram", "cholqr2", "twosided", "prefix") and not bool(
+        jnp.isfinite(jnp.sum(f) + jnp.sum(m) + jnp.sum(l))
     ):
         ROUND_STATS["fallback_nan"] += 1
         warnings.warn(
@@ -1145,10 +1243,18 @@ def tt_round_fixed(
         )
 
     ranks = [int(k0)] + [int(x) for x in np.asarray(mid_ranks)]
+    return emit_chain(tn, f, m, l, ranks, emit)
+
+
+def emit_chain(tn, first_out, mids_out, last_out, ranks, emit=None):
+    """Write swept cores back into a copy of ``tn``: slice the kept
+    ranks (and, for padded entries, the true modes) and un-permute into
+    each node's original axis layout.  The single emit path shared by
+    :func:`tt_round_fixed` and :mod:`tensor_networks_tpu.ops.tight`."""
     out = tn.__deepcopy__({})
     if emit is not None:
-        # padded entry: slice true modes + kept ranks, un-permute into
-        # each node's original axis layout
+        # padded entry (see _chain_padded): slice true modes + kept
+        # ranks, un-permute into each node's original axis layout
         order, shapes, perms = emit
 
         def put(node, core, perm):
@@ -1158,20 +1264,22 @@ def tt_round_fixed(
                 )
             )
 
-        put(order[0], f[: shapes[0][0], : ranks[0]], perms[0])
+        put(order[0], first_out[: shapes[0][0], : ranks[0]], perms[0])
         for k in range(1, len(order) - 1):
             put(
                 order[k],
-                m[k - 1][: ranks[k - 1], : shapes[k][1], : ranks[k]],
+                mids_out[k - 1][
+                    : ranks[k - 1], : shapes[k][1], : ranks[k]
+                ],
                 perms[k],
             )
-        put(order[-1], l[: ranks[-1], : shapes[-1][1]], perms[-1])
+        put(order[-1], last_out[: ranks[-1], : shapes[-1][1]], perms[-1])
         return out, ranks
     nodes = list(tn.network.nodes)
-    out.node_tensor(nodes[0]).update_val_size(f[:, : ranks[0]])
+    out.node_tensor(nodes[0]).update_val_size(first_out[:, : ranks[0]])
     for i, node in enumerate(nodes[1:-1]):
         out.node_tensor(node).update_val_size(
-            m[i][: ranks[i], :, : ranks[i + 1]]
+            mids_out[i][: ranks[i], :, : ranks[i + 1]]
         )
-    out.node_tensor(nodes[-1]).update_val_size(l[: ranks[-1], :])
+    out.node_tensor(nodes[-1]).update_val_size(last_out[: ranks[-1], :])
     return out, ranks

@@ -320,6 +320,18 @@ def _eval_routed(first, mids, last, idx, precision: str) -> jnp.ndarray:
 
     from tensor_networks_tpu.parallel.sharded import tt_evaluate_batched
 
+    # uniform out-of-range semantics at THIS public boundary: XLA
+    # gathers clamp, the one-hot pallas kernel zeroes, and the ragged
+    # kernel's group partition leaves unmatched rows undefined — clamp
+    # once here so every path behaves like the XLA form (and like
+    # TensorNetwork.evaluate, which clamps in run())
+    d_modes = idx.shape[1]
+    mid_caps = [] if mids is None else [mids.shape[2]] * (d_modes - 2)
+    caps = [first.shape[0]] + mid_caps + [last.shape[1]]
+    idx = jnp.clip(
+        idx, 0, jnp.asarray(caps, idx.dtype)[None, :] - 1
+    )
+
     use_fast = (
         jax.default_backend() == "tpu"
         or os.environ.get("TNT_FORCE_PALLAS") == "1"

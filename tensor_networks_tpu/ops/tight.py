@@ -507,36 +507,9 @@ def tt_round_tight(
 
 
 def _emit(tn, first_out, mids_out, last_out, ranks, emit=None):
-    out = tn.__deepcopy__({})
-    if emit is not None:
-        # padded entry (see ops.fast._chain_padded): slice true modes +
-        # kept ranks, un-permute into each node's original axis layout
-        order, shapes, perms = emit
+    from tensor_networks_tpu.ops.fast import emit_chain
 
-        def put(node, core, perm):
-            out.node_tensor(node).update_val_size(
-                jnp.transpose(
-                    core, tuple(int(a) for a in np.argsort(perm))
-                )
-            )
-
-        put(order[0], first_out[: shapes[0][0], : ranks[0]], perms[0])
-        for k in range(1, len(order) - 1):
-            put(
-                order[k],
-                mids_out[k - 1][: ranks[k - 1], : shapes[k][1], : ranks[k]],
-                perms[k],
-            )
-        put(order[-1], last_out[: ranks[-1], : shapes[-1][1]], perms[-1])
-        return out, ranks
-    nodes = list(tn.network.nodes)
-    out.node_tensor(nodes[0]).update_val_size(first_out[:, : ranks[0]])
-    for i, node in enumerate(nodes[1:-1]):
-        out.node_tensor(node).update_val_size(
-            mids_out[i][: ranks[i], :, : ranks[i + 1]]
-        )
-    out.node_tensor(nodes[-1]).update_val_size(last_out[: ranks[-1], :])
-    return out, ranks
+    return emit_chain(tn, first_out, mids_out, last_out, ranks, emit)
 
 
 def _forward_batched(

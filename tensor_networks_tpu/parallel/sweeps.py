@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -207,11 +208,15 @@ def _trunc_count(s: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _gram_truncate(gl, gr, budget):
+def _gram_truncate(gl, gr, budget, kmax):
     """Masked static-shape Gram-SVD bond truncation (IPDPS'22 step).
 
-    Returns (curr (r, r) to fold into the left core, nxt (r, r) to fold
-    into the right core, kept rank)."""
+    ``kmax`` is the structural rank cap of the bond (dynamic
+    ``kprev * n`` plus the static :func:`ops.fast._bond_bounds` cap) —
+    Gram-squaring noise past it must never be kept, matching the
+    single-device gram sweep's clamp exactly (rank parity is asserted
+    by the driver dryrun).  Returns (curr (r, r) to fold into the left
+    core, nxt (r, r) to fold into the right core, kept rank)."""
     eigl, vl = jnp.linalg.eigh(gl)
     eigr, vr = jnp.linalg.eigh(gr)
     l12 = jnp.sqrt(jnp.abs(eigl))
@@ -222,7 +227,7 @@ def _gram_truncate(gl, gr, budget):
     rm12 = jnp.where(r12 == 0.0, 0.0, 1.0 / jnp.where(r12 == 0.0, 1.0, r12))
     cross = (l12[:, None] * vl.T) @ (vr * r12[None, :])
     u, s, vt = jnp.linalg.svd(cross, full_matrices=False)
-    k = _trunc_count(s, budget)
+    k = jnp.minimum(_trunc_count(s, budget), kmax)
     m = (jnp.arange(s.shape[0], dtype=jnp.int32) < k).astype(s.dtype)
     curr = vl @ (lm12[:, None] * (u * m[None, :]))
     nxt = ((m * s)[:, None] * vt * rm12[None, :]) @ vr.T
@@ -235,6 +240,7 @@ def tt_gram_round_sharded(
     mids: jnp.ndarray,
     last: jnp.ndarray,
     eps: float,
+    bounds=None,
 ):
     """Distributed TT rounding (Gram-SVD, IPDPS'22) with the train sharded
     along the mesh's ``model`` axis.
@@ -249,8 +255,20 @@ def tt_gram_round_sharded(
     n_stages = mesh.shape["model"]
     r = last.shape[0]
     d_total = mids.shape[0] + 2
+    if bounds is None:
+        from tensor_networks_tpu.ops.fast import _bond_bounds
 
-    def body(first_rep, mids_local, last_rep):
+        modes = (
+            [first.shape[0]]
+            + [mids.shape[2]] * (d_total - 2)
+            + [last.shape[1]]
+        )
+        bounds = _bond_bounds(modes, [r] * (d_total - 1), r)
+    bounds = np.asarray(bounds, np.int32)
+    bounds_mid = jnp.asarray(bounds[1:])  # sharded like mids' lead axis
+    bound0 = int(bounds[0])
+
+    def body(first_rep, mids_local, last_rep, bounds_local):
         my = jax.lax.axis_index("model")
 
         # ---- stage A (right-to-left): local gram chains ----------------
@@ -309,50 +327,58 @@ def tt_gram_round_sharded(
 
         # ---- stage B (left-to-right): truncation sweep ------------------
         gl0 = jnp.matmul(first_rep.T, first_rep, precision="highest")
-        curr0, nxt0, k0 = _gram_truncate(gl0, g_bond0, budget)
+        kmax0 = jnp.int32(min(first_rep.shape[0], r, bound0))
+        curr0, nxt0, k0 = _gram_truncate(gl0, g_bond0, budget, kmax0)
         first_out = first_rep @ curr0
 
-        def fwd_step(carry_nxt, inputs):
-            core, gr = inputs
+        def fwd_step(carry, inputs):
+            carry_nxt, kprev = carry
+            core, gr, bound = inputs
             rr, n, rc = core.shape
             cur = jnp.einsum("ak,knc->anc", carry_nxt, core)
             mat = cur.reshape(-1, rc)
             gl = jnp.matmul(mat.T, mat, precision="highest")
-            curr, nxt, k = _gram_truncate(gl, gr, budget)
+            kmax = jnp.minimum(
+                jnp.minimum(kprev * n, jnp.int32(rc)), bound
+            )
+            curr, nxt, k = _gram_truncate(gl, gr, budget, kmax)
             core_out = (mat @ curr).reshape(rr, n, rc)
-            return nxt, (core_out, k)
+            return (nxt, k), (core_out, k)
 
         carry_fwd = jax.lax.pcast(nxt0, ("model",), to="varying")
+        carry_k = jax.lax.pcast(k0, ("model",), to="varying")
         mids_out = jnp.zeros_like(mids_local)
         ranks_local = jnp.zeros(
             (mids_local.shape[0],), dtype=jnp.int32
         )
         for stage in range(n_stages):
             def active_f(args):
-                c, blk, grs = args
-                c_out, (cores, ks) = jax.lax.scan(
-                    fwd_step, c, (blk, grs)
+                c, ck, blk, grs, bnds = args
+                (c_out, ck_out), (cores, ks) = jax.lax.scan(
+                    fwd_step, (c, ck), (blk, grs, bnds)
                 )
-                return c_out, cores, ks
+                return c_out, ck_out, cores, ks
 
             def passive_f(args):
-                c, blk, _ = args
+                c, ck, blk, _, _ = args
                 ks = (blk[:, 0, 0, 0] * 0).astype(jnp.int32)
-                return c, blk * 0.0, ks
+                return c, ck, blk * 0.0, ks
 
-            new_carry, cores, ks = jax.lax.cond(
+            new_carry, new_k, cores, ks = jax.lax.cond(
                 my == stage,
                 active_f,
                 passive_f,
-                (carry_fwd, mids_local, gr_local),
+                (carry_fwd, carry_k, mids_local, gr_local, bounds_local),
             )
             mids_out = jnp.where(my == stage, cores, mids_out)
             ranks_local = jnp.where(my == stage, ks, ranks_local)
             if stage < n_stages - 1:
                 perm = [(s, (s + 1) % n_stages) for s in range(n_stages)]
                 carry_fwd = jax.lax.ppermute(new_carry, "model", perm)
+                carry_k = jax.lax.ppermute(new_k, "model", perm)
             else:
                 carry_fwd = new_carry
+                carry_k = new_k
 
         nxt_last = jax.lax.psum(
             jnp.where(
@@ -368,7 +394,12 @@ def tt_gram_round_sharded(
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(None, None), P("model", None, None, None), P(None, None)),
+        in_specs=(
+            P(None, None),
+            P("model", None, None, None),
+            P(None, None),
+            P("model"),
+        ),
         out_specs=(
             P(None, None),
             P("model", None, None, None),
@@ -377,4 +408,4 @@ def tt_gram_round_sharded(
             P("model"),
         ),
     )
-    return jax.jit(fn)(first, mids, last)
+    return jax.jit(fn)(first, mids, last, bounds_mid)

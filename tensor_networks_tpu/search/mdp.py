@@ -184,6 +184,15 @@ class SearchState:
             if config.heuristics.prune_full_rank and cap == len(spectrum):
                 return
             kept = copy.deepcopy(net)
+            # the batched root scorer installs DEVICE factors; children
+            # score per-action on the host-routed path (batched.py
+            # contract), so device residency must not leak into them —
+            # it would force every descendant matricization through a
+            # fresh device-SVD compile.  Fetch once at commit.
+            for nm in (u, s, v):
+                val = kept.value(nm)
+                if not isinstance(val, np.ndarray):
+                    kept.node_tensor(nm).update_val_size(np.asarray(val))
             kept.merge(v, s)
             child = self._child(kept, self.curr_delta)
             child.links.append(kept.get_contraction_index(u, v)[0].name)
@@ -192,6 +201,14 @@ class SearchState:
 
         u_val = net.value(u)
         v_val = net.value(v)
+        if not isinstance(u_val, np.ndarray):
+            # device factors from the batched scorer: fetch the
+            # TRUNCATED slices once per action (not the full U/V, and
+            # not once per rank candidate) so descendants stay on the
+            # host-routed path
+            rmax = int(max(ranks))
+            u_val = np.asarray(u_val[..., :rmax])
+            v_val = np.asarray(v_val[:rmax, ...])
         left = float(np.sqrt(budget_sq - spent))
         for rank in ranks:
             cand = copy.deepcopy(net)

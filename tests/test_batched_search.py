@@ -119,3 +119,36 @@ def test_shape_diverse_tensor_uses_pow2_fallback(monkeypatch):
         )
         got = np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(v)
         assert np.allclose(got, mat, atol=1e-10)
+
+
+def test_device_scored_children_are_host_resident(monkeypatch):
+    """Children committed from a device-scored root must carry HOST
+    (numpy) node values: the batched path covers only the root state,
+    and a leaked jnp factor would force every descendant matricization
+    through svd_full's device branch (a fresh multi-second compile per
+    shape through the relay) instead of the host-routed path."""
+    import jax
+
+    monkeypatch.setenv("TNT_SEARCH_DEVICE", "1")
+    net = _net(shape=(4, 3, 6), seed=9)
+    state = SearchState(net, 0.5)
+    actions = state.get_legal_actions(True)
+    svds = maybe_batched_svds(state, actions)
+    # the host-keep branch in update_val_size is TPU-backend-gated;
+    # fake it AFTER scoring so the commit path sees "tpu"
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert svds  # batched path engaged
+    from tensor_networks_tpu.search.configuration import SearchConfig
+
+    config = SearchConfig()
+    children = list(
+        state.take_action(actions[0], config, svd=svds[actions[0]])
+    )
+    assert children
+    for child in children:
+        for node in child.network.network.nodes:
+            val = child.network.value(node)
+            assert isinstance(val, np.ndarray), (
+                f"device residency leaked into child node {node}: "
+                f"{type(val)}"
+            )

@@ -2,6 +2,8 @@
 factorizations): parity with the Householder sweep, the error contract,
 and the machine-readable fallback counter."""
 
+import warnings
+
 import numpy as np
 import pytest
 
@@ -87,9 +89,12 @@ def test_round_stats_counters():
     def poisoned(relative, **kw):
         fn = real(relative, **kw)
 
-        def wrapper(first, mids, last, eps):
-            f, m, l, k0, ks = fn(first, mids, last, eps)
-            return f, m, l * np.nan, k0, ks
+        def wrapper(first, mids, last, eps, *a, **k):
+            f, m, l, k0, ks = fn(first, mids, last, eps, *a, **k)
+            # poison a MIDDLE core only: a breakdown confined to an
+            # interior bond never reaches the last core's projection,
+            # so detection must cover every output
+            return f, m.at[1].set(np.nan), l, k0, ks
 
         return wrapper
 
@@ -123,6 +128,38 @@ def test_round_fixed_ragged_mixed_chain():
         perm = [out.free_indices().index(i) for i in a.free_indices()]
         got = np.transpose(got, perm)
         assert np.allclose(got, dense, atol=1e-8), method
+
+
+def test_padded_chain_structural_clamp():
+    """Kept ranks on a padded thin-ended chain must respect the exact
+    matricization's structural bound (_bond_bounds) for every fast mode.
+
+    The failure this guards against is TPU-only (device eigh noise on
+    rank-deficient Grams inflated k0 to 103 on a (32, 256) first bond —
+    the 066709b class; CPU zero padding is exact, so this test pins the
+    clamped semantics rather than reproducing the inflation), plus
+    value parity of the padded path at a budget below the noise floor."""
+    np.random.seed(37)
+    sizes = [2, 7, 6, 7]  # thin first mode << padded nmax
+    inds = [Index(f"g{k}", s) for k, s in enumerate(sizes)]
+    a = TensorNetwork.rand_tt(inds, [2, 6, 5])  # ragged -> padded path
+    dense = np.asarray(a.contract().value, np.float64)
+
+    for method in ("gram", "prefix", "twosided", "cholqr2"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            out, ranks = tt_round_fixed(
+                a.__deepcopy__({}), 1e-12, method=method
+            )
+        assert ranks[0] <= 2 and ranks[1] <= 6 and ranks[2] <= 5, (
+            method,
+            ranks,
+        )
+        got = np.asarray(out.contract().value, np.float64)
+        perm = [out.free_indices().index(i) for i in a.free_indices()]
+        got = np.transpose(got, perm)
+        rel = np.linalg.norm(got - dense) / np.linalg.norm(dense)
+        assert rel < 1e-6, (method, rel)
 
 
 def test_round_fixed_nonchain_still_raises():
@@ -169,3 +206,40 @@ def test_prefix_unroll_env_parity(monkeypatch):
     perm = [out4.free_indices().index(i) for i in out0.free_indices()]
     d4 = np.transpose(np.asarray(out4.contract().value), perm)
     assert np.allclose(d4, d0, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_all_modes_randomized_chain_sweep():
+    """Randomized consistency sweep: for a spread of chain geometries
+    (ragged ranks, mixed modes, thin ends, rank-deficient sums), every
+    fast mode must (a) respect the error contract, (b) never emit a
+    bond above the input's, and (c) agree with the Householder sweep's
+    ranks at a comfortably-resolved eps."""
+    rng = np.random.default_rng(123)
+    geometries = [
+        ([4, 4, 4, 4, 4], [3, 3, 3, 3]),
+        ([2, 9, 3, 8], [2, 5, 3]),
+        ([6, 2, 2, 2, 6], [4, 4, 4, 4]),
+        ([5, 5, 5], [4, 4]),
+        ([3, 7, 4, 6, 5, 2], [2, 6, 5, 4, 2]),
+    ]
+    for sizes, ranks_in in geometries:
+        inds = [Index(f"m{k}", s) for k, s in enumerate(sizes)]
+        a = TensorNetwork.rand_tt(inds, ranks_in)
+        s = a + a  # doubled ranks, exact true ranks = ranks_in (capped)
+        dense = 2.0 * np.asarray(a.contract().value, np.float64)
+        ref_out, ref_ranks = tt_round_fixed(
+            s.__deepcopy__({}), 1e-8, method="svd"
+        )
+        for method in ("cholqr2", "twosided", "gram", "prefix"):
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                out, ranks = tt_round_fixed(
+                    s.__deepcopy__({}), 1e-8, method=method
+                )
+            assert ranks == ref_ranks, (sizes, method, ranks, ref_ranks)
+            got = np.asarray(out.contract().value, np.float64)
+            perm = [out.free_indices().index(i) for i in a.free_indices()]
+            got = np.transpose(got, perm)
+            rel = np.linalg.norm(got - dense) / np.linalg.norm(dense)
+            assert rel < 1e-7, (sizes, method, rel)

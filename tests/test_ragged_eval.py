@@ -197,3 +197,27 @@ def test_network_evaluate_mixed_modes(monkeypatch):
     pts2c[0, 0] = 2
     ref2 = net.evaluate(inds, pts2c)
     assert abs(got2[0] - ref2[0]) < 1e-5 * np.abs(ref).max()
+
+
+def test_out_of_range_indices_clamp_at_packed_boundary(monkeypatch):
+    """packed._eval_routed clamps indices before routing, so every
+    backend (ragged's group partition would otherwise leave unmatched
+    rows undefined; the one-hot kernel would zero them) behaves like
+    the XLA gather: out-of-range values evaluate at the clamped point."""
+    monkeypatch.setenv("TNT_FORCE_PALLAS", "1")
+    from tensor_networks_tpu.ops import packed as pk
+
+    first, mids, last = _train()
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 7, (64, 9))
+    idx[3, 0] = 99      # above range in the first mode
+    idx[7, 4] = 7       # == n in a middle mode
+    idx[11, -1] = -3    # negative in the last mode
+    idx = jnp.asarray(idx, jnp.int32)
+    clamped = jnp.clip(idx, 0, 6)
+    got = np.asarray(
+        pk._eval_routed(first, mids, last, idx, "highest"), np.float64
+    )
+    ref = _ref(first, mids, last, clamped)
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, rel

@@ -74,8 +74,8 @@ def test_cholesky_breakdown_falls_back():
     def poisoned(relative):
         fn = real(relative)
 
-        def wrapper(first, mids, last, eps):
-            f, m, l, k0, ks = fn(first, mids, last, eps)
+        def wrapper(first, mids, last, eps, *a, **k):
+            f, m, l, k0, ks = fn(first, mids, last, eps, *a, **k)
             return f, m, l * np.nan, k0, ks
 
         return wrapper
