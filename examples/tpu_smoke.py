@@ -98,6 +98,39 @@ def main():
         file=sys.stderr,
     )
 
+    # padded thin-ended chain on DEVICE: the structural clamp
+    # (_bond_bounds) must hold where it actually matters — TPU eigh
+    # noise on rank-deficient Grams is what inflated ranks pre-fix
+    # (k0=103 on a (32, 256) first bond); CPU zero padding is exact
+    # so only an on-chip run exercises this
+    thin = f32(
+        TensorNetwork.rand_tt(
+            [Index("t0", 2), Index("t1", 24), Index("t2", 20),
+             Index("t3", 24)],
+            [2, 18, 17],
+        )
+    )
+    tdense = np.asarray(thin.contract().value)
+    for meth in ("gram", "prefix"):
+        out, ranks = tt_round_fixed(
+            thin.__deepcopy__({}), 1e-3, method=meth
+        )
+        assert ranks[0] <= 2 and ranks[1] <= 18 and ranks[2] <= 17, (
+            meth, ranks,
+        )
+        got = np.asarray(out.contract().value)
+        perm = [
+            out.free_indices().index(i) for i in thin.free_indices()
+        ]
+        got = np.transpose(got, perm)
+        rel = np.linalg.norm(got - tdense) / np.linalg.norm(tdense)
+        assert rel < 1e-3, (meth, rel)
+        print(
+            f"[smoke] round[{meth} padded-thin] ok (rel {rel:.1e}, "
+            f"ranks {ranks})",
+            file=sys.stderr,
+        )
+
     # evaluate
     pts = np.random.randint(0, 8, size=(257, 3))
     vals = np.asarray(a.evaluate(a.free_indices(), pts))

@@ -327,7 +327,9 @@ def _sign_newton_schulz(a0, alpha, max_iters: int):
         return 1.5 * x - 0.5 * x3, err, i + jnp.int32(1)
 
     x0 = a0 / alpha[:, None, None]
-    big = jnp.asarray(jnp.finfo(dt).max, dt)
+    # derive the error init from a0 so its type (incl. shard_map
+    # varying-axes) matches the body's data-dependent err
+    big = jnp.max(x0) * 0.0 + jnp.asarray(jnp.finfo(dt).max, dt)
     x, _, _ = jax.lax.while_loop(cond, body, (x0, big, jnp.int32(0)))
     return x
 
@@ -372,7 +374,10 @@ def _chol_adaptive(g, jit0):
         l = jnp.where(bad[..., None, None], l2, l)
         return mult, l
 
-    mult0 = jnp.ones(bshape, g.dtype)
+    # derive the multiplier from g (not a fresh constant) so its type
+    # — including shard_map varying-axes — matches the loop body's
+    mult0 = g[..., 0, 0] * 0.0 + 1.0
+    assert mult0.shape == bshape
     jit0 = jnp.asarray(jit0, g.dtype)
     l0 = chol(mult0)
     mult, l = jax.lax.while_loop(cond, body, (mult0, l0))

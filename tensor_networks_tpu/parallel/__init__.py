@@ -25,6 +25,7 @@ from tensor_networks_tpu.parallel.training import (
 from tensor_networks_tpu.parallel.sweeps import (
     tt_right_orth_sharded,
     tt_gram_round_sharded,
+    tt_prefix_round_sharded,
     tt_inner_train_sharded,
     place_train_sharded,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "init_tt_params",
     "tt_right_orth_sharded",
     "tt_gram_round_sharded",
+    "tt_prefix_round_sharded",
     "tt_inner_train_sharded",
     "place_train_sharded",
 ]

@@ -409,3 +409,253 @@ def tt_gram_round_sharded(
         ),
     )
     return jax.jit(fn)(first, mids, last, bounds_mid)
+
+
+def tt_prefix_round_sharded(
+    mesh: Mesh,
+    first: jnp.ndarray,
+    mids: jnp.ndarray,
+    last: jnp.ndarray,
+    eps: float,
+    sign_iters: int = 100,
+    bounds=None,
+):
+    """Distributed parallel-prefix rounding (relative eps): the GEMM-only
+    Gram-chain mode of ``ops.fast.tt_round_fixed(method="prefix")`` with
+    the train sharded along the mesh's ``model`` axis.
+
+    Structure (single-device semantics: `_tt_round_prefix_sweep_fn`):
+
+    * the left (H) and right (G) Gram chains run *simultaneously* in one
+      staged loop — at loop step t, device t advances H over its local
+      block while device P-1-t advances G, each carry an (r x r)
+      ``ppermute`` hop — so both chains finish in P stages (the gram
+      sharded sweep needs 2 sequential staged loops),
+    * everything after the chains (whitening Cholesky, Newton-Schulz
+      sign projectors, CholQR2 bases, oblique insertions) is batched
+      over each device's L+1 local bonds with NO communication,
+    * boundary bonds are single-source: the device owning a block's
+      right-boundary bond computes that bond's insertion pair and ships
+      ``b^T`` (one more (r x r) ppermute) to its right neighbor, so the
+      inserted ``a_k b_k^T`` at every bond comes from ONE device's
+      projector — bit-consistent ranks and factors across the cut.
+
+    Per-bond per-direction threshold tau^2 = (eps^2 ||X||^2) / ((d-1) r)
+    — the same error contract as the single-device prefix sweep, same
+    accuracy scope (Gram squaring: ~sqrt(mach eps) resolution floor).
+    Returns (first_out, mids_out (sharded), last_out, k0, local ranks).
+    """
+    from tensor_networks_tpu.ops.fast import (
+        _bond_bounds,
+        _chol_adaptive,
+        _sign_newton_schulz,
+    )
+
+    n_stages = mesh.shape["model"]
+    r = last.shape[0]
+    d_total = mids.shape[0] + 2
+    nb = d_total - 1
+    if mids.shape[0] % n_stages != 0:
+        raise ValueError(
+            f"mids ({mids.shape[0]}) must divide the model axis "
+            f"({n_stages})"
+        )
+    blk = mids.shape[0] // n_stages
+    if bounds is None:
+        modes = (
+            [first.shape[0]]
+            + [mids.shape[2]] * (d_total - 2)
+            + [last.shape[1]]
+        )
+        bounds = _bond_bounds(modes, [r] * nb, r)
+    bounds = np.asarray(bounds, np.int32)
+    # device s needs bonds [s*blk, s*blk + blk] inclusive
+    b_ext = np.stack(
+        [bounds[s * blk : s * blk + blk + 1] for s in range(n_stages)]
+    )  # (n_stages, blk + 1)
+
+    def body(first_rep, mids_local, last_rep, bounds_loc):
+        my = jax.lax.axis_index("model")
+        dt = first_rep.dtype
+        mach = jnp.asarray(jnp.finfo(dt).eps, dt)
+        tiny = jnp.asarray(1e-30, dt)
+        L = mids_local.shape[0]
+        bounds_loc = bounds_loc[0]  # (L + 1,)
+
+        # ---- chain inits (replicated ends: identical everywhere) ------
+        h0 = jnp.matmul(first_rep.T, first_rep, precision="highest")
+        h0 = h0 / (jnp.trace(h0) / r + tiny)
+        g0 = jnp.matmul(last_rep, last_rep.T, precision="highest")
+        g0 = g0 / (jnp.trace(g0) / r + tiny)
+
+        def h_step(m, x):
+            t = jnp.einsum("ab,anc->bnc", m, x, precision="highest")
+            m2 = jnp.einsum("bnc,bnC->cC", t, x, precision="highest")
+            m2 = m2 / (jnp.trace(m2) / r + tiny)
+            return m2, m2
+
+        def g_step(m, x):
+            t = jnp.einsum("anc,cC->anC", x, m, precision="highest")
+            m2 = jnp.einsum("anC,bnC->ab", t, x, precision="highest")
+            m2 = m2 / (jnp.trace(m2) / r + tiny)
+            return m2, m2
+
+        h_carry = jax.lax.pcast(h0, ("model",), to="varying")
+        g_carry = jax.lax.pcast(g0, ("model",), to="varying")
+        zero_b = jnp.zeros((L, r, r), dt)
+        h_in = jnp.zeros((r, r), dt)
+        g_in = jnp.zeros((r, r), dt)
+        h_loc = zero_b
+        g_loc = zero_b
+
+        # ---- both chains in ONE staged loop ---------------------------
+        for t in range(n_stages):
+            def h_active(args):
+                c, b = args
+                return jax.lax.scan(h_step, c, b)
+
+            def g_active(args):
+                c, b = args
+                return jax.lax.scan(g_step, c, b, reverse=True)
+
+            def passive(args):
+                c, b = args
+                return c, b[:, :, 0, :] * 0.0
+
+            h_out, hs = jax.lax.cond(
+                my == t, h_active, passive, (h_carry, mids_local)
+            )
+            g_out, gs = jax.lax.cond(
+                my == n_stages - 1 - t,
+                g_active,
+                passive,
+                (g_carry, mids_local),
+            )
+            h_in = jnp.where(my == t, h_carry, h_in)
+            h_loc = jnp.where(my == t, hs, h_loc)
+            g_in = jnp.where(my == n_stages - 1 - t, g_carry, g_in)
+            g_loc = jnp.where(my == n_stages - 1 - t, gs, g_loc)
+            if t < n_stages - 1:
+                fwd = [(s, (s + 1) % n_stages) for s in range(n_stages)]
+                bwd = [(s, (s - 1) % n_stages) for s in range(n_stages)]
+                h_carry = jax.lax.ppermute(h_out, "model", fwd)
+                g_carry = jax.lax.ppermute(g_out, "model", bwd)
+
+        # local bonds base..base+L: H from [carry-in, local scans],
+        # G from [local scans, carry-in]
+        h_b = jnp.concatenate([h_in[None], h_loc], axis=0)
+        g_b = jnp.concatenate([g_loc, g_in[None]], axis=0)
+        nl = L + 1
+
+        # ---- batched whitening (local bonds only) ---------------------
+        eye = jnp.eye(r, dtype=dt)
+        hg = jnp.concatenate([h_b, g_b], axis=0)
+        jit_hg = (jnp.einsum("kaa->k", hg) / r + 1e-30) * (20.0 * mach)
+        l_hg, jit_hg = _chol_adaptive(hg, jit_hg)
+        jit_h, jit_g = jit_hg[:nl], jit_hg[nl:]
+        e_b = jnp.swapaxes(l_hg[:nl], 1, 2)  # upper: H = E^T E
+        f_b = jnp.swapaxes(l_hg[nl:], 1, 2)  # upper: G = F^T F
+        w_b = jnp.einsum("kab,kcb->kac", e_b, f_b, precision="highest")
+        ww = jnp.einsum("kab,kcb->kac", w_b, w_b, precision="highest")
+
+        # ---- thresholds (relative): tau^2 = eps^2 ||X||^2 / ((d-1) r) -
+        norm2 = jnp.einsum("kab,kba->k", h_b, g_b, precision="highest")
+        eps_b = jnp.asarray(eps, dt)
+        tau2 = eps_b**2 * norm2 / jnp.asarray((d_total - 1.0) * r, dt)
+        ghost = jit_h * jnp.einsum("kaa->k", g_b) + jit_g * jnp.einsum(
+            "kaa->k", h_b
+        )
+        tau2 = tau2 + 2.0 * ghost
+
+        # ---- batched sign projectors + bases + insertions -------------
+        a0 = ww - tau2[:, None, None] * eye[None]
+        alpha = jnp.max(jnp.sum(jnp.abs(a0), axis=2), axis=1) + tiny
+        sign = _sign_newton_schulz(a0, alpha, sign_iters)
+        proj = 0.5 * (eye[None] + sign)
+        ks = jnp.minimum(
+            jnp.clip(
+                jnp.round(jnp.einsum("kaa->k", proj)).astype(jnp.int32),
+                1,
+                r,
+            ),
+            bounds_loc,
+        )
+        masks = (
+            jnp.arange(r, dtype=jnp.int32)[None, :] < ks[:, None]
+        ).astype(dt)
+
+        probe = jax.random.normal(jax.random.PRNGKey(7), (r, r), dt)
+        c0 = jnp.einsum("kab,bc->kac", proj, probe, precision="highest")
+
+        def cholqr_cols(c):
+            g = jnp.einsum("kab,kac->kbc", c, c, precision="highest")
+            jit = (jnp.einsum("kaa->k", g) / r + 1e-30) * (20.0 * mach)
+            l, _ = _chol_adaptive(g, jit)
+            return jax.lax.linalg.triangular_solve(
+                l, c, left_side=False, lower=True, transpose_a=True
+            )
+
+        q_b = cholqr_cols(cholqr_cols(c0)) * masks[:, None, :]
+        a_ins = jax.lax.linalg.triangular_solve(
+            e_b, q_b, left_side=True, lower=False
+        )  # E a = Q
+        bt_ins = jnp.einsum("kca,kcb->kab", q_b, e_b, precision="highest")
+
+        # ---- single-source boundary bonds ------------------------------
+        # bond s*blk is computed on BOTH device s-1 (as its right
+        # boundary, index L) and device s (as its left boundary, index
+        # 0); their Newton-Schulz iteration counts can differ, so the
+        # inserted pair must come from ONE projector: ship b^T from the
+        # left neighbor and use it on every device but 0.
+        fwd = [(s, (s + 1) % n_stages) for s in range(n_stages)]
+        bt_recv = jax.lax.ppermute(bt_ins[L], "model", fwd)
+        bt0 = jnp.where(my == 0, bt_ins[0], bt_recv)
+        bt_use = jnp.concatenate([bt0[None], bt_ins[1:L]], axis=0)
+
+        # ---- project cores (all local GEMMs) ---------------------------
+        first_out = jax.lax.psum(
+            jnp.where(
+                my == 0,
+                jnp.matmul(first_rep, a_ins[0], precision="highest"),
+                jnp.zeros((first_rep.shape[0], r), dt),
+            ),
+            "model",
+        )
+        mids_out = jnp.einsum(
+            "kma,kanb,kbp->kmnp",
+            bt_use,
+            mids_local,
+            a_ins[1:],
+            precision="highest",
+        )
+        last_out = jax.lax.psum(
+            jnp.where(
+                my == n_stages - 1,
+                jnp.matmul(bt_ins[L], last_rep, precision="highest"),
+                jnp.zeros((r, last_rep.shape[1]), dt),
+            ),
+            "model",
+        )
+        k0 = jax.lax.psum(
+            jnp.where(my == 0, ks[0], jnp.int32(0)), "model"
+        )
+        return first_out, mids_out, last_out, k0, ks[1:]
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),
+            P("model", None, None, None),
+            P(None, None),
+            P("model", None),
+        ),
+        out_specs=(
+            P(None, None),
+            P("model", None, None, None),
+            P(None, None),
+            P(),
+            P("model"),
+        ),
+    )
+    return jax.jit(fn)(first, mids, last, jnp.asarray(b_ext))

@@ -121,3 +121,70 @@ def test_distributed_gram_rounding(mesh8):
     ref_ranks = ref.ranks()
     got_ranks = [int(k0)] + [int(x) for x in np.asarray(ranks)]
     assert got_ranks == ref_ranks, (got_ranks, ref_ranks)
+
+
+def test_distributed_prefix_rounding(mesh8):
+    """Distributed parallel-prefix rounding: exact rank parity with the
+    single-device prefix sweep, value parity with the dense tensor, and
+    consistent single-source boundary bonds across device cuts."""
+    from tensor_networks_tpu.ops.fast import (
+        _bond_bounds,
+        _tt_round_prefix_sweep_fn,
+    )
+    from tensor_networks_tpu.parallel.sweeps import tt_prefix_round_sharded
+
+    d, n, r = 10, 4, 6
+    np.random.seed(7)
+    indices = [Index(f"x{i}", n) for i in range(d)]
+    base = TensorNetwork.rand_tt(indices, [3] * (d - 1))
+    tt = base + base  # rank 6, true rank 3
+    dense = np.asarray(tt.contract().value)
+
+    first, mids, last = stack_tt_cores(tt)
+    first = jnp.asarray(np.asarray(first))
+    mids = jnp.asarray(np.asarray(mids))
+    last = jnp.asarray(np.asarray(last))
+    mids_sh, last_sh = place_train_sharded(mesh8, mids, last)
+
+    f_o, m_o, l_o, k0, ranks = tt_prefix_round_sharded(
+        mesh8, first, mids_sh, last_sh, 1e-8
+    )
+
+    # value parity: the masked train still represents 2*base
+    rebuilt = _rebuild(indices, f_o, m_o, l_o, d, r)
+    dense2 = np.asarray(rebuilt.contract().value)
+    assert np.allclose(dense, dense2, atol=1e-7)
+
+    # exact rank parity with the fused single-device prefix sweep
+    bounds = _bond_bounds([n] * d, [r] * (d - 1), r)
+    f_r, m_r, l_r, k0_r, ranks_r = _tt_round_prefix_sweep_fn(True)(
+        first, mids, last, 1e-8, jnp.asarray(bounds)
+    )
+    got = [int(k0)] + [int(x) for x in np.asarray(ranks)]
+    ref = [int(k0_r)] + [int(x) for x in np.asarray(ranks_r)]
+    assert got == ref == [3] * (d - 1), (got, ref)
+
+
+def test_distributed_prefix_error_contract(mesh8):
+    """A full-rank random train rounded at loose eps keeps the error
+    within the contract, with ranks never above the input's."""
+    from tensor_networks_tpu.parallel.sweeps import tt_prefix_round_sharded
+
+    d, n, r = 10, 4, 6
+    np.random.seed(9)
+    indices = [Index(f"x{i}", n) for i in range(d)]
+    tt = TensorNetwork.rand_tt(indices, [r] * (d - 1))
+    dense = np.asarray(tt.contract().value)
+
+    first, mids, last = stack_tt_cores(tt)
+    mids_sh, last_sh = place_train_sharded(
+        mesh8, jnp.asarray(np.asarray(mids)), jnp.asarray(np.asarray(last))
+    )
+    f_o, m_o, l_o, k0, ranks = tt_prefix_round_sharded(
+        mesh8, jnp.asarray(np.asarray(first)), mids_sh, last_sh, 1e-2
+    )
+    rebuilt = _rebuild(indices, f_o, m_o, l_o, d, r)
+    dense2 = np.asarray(rebuilt.contract().value)
+    rel = np.linalg.norm(dense2 - dense) / np.linalg.norm(dense)
+    assert rel < 1e-2, rel
+    assert int(k0) <= r and all(int(x) <= r for x in np.asarray(ranks))
