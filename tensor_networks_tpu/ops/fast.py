@@ -795,7 +795,10 @@ def _tt_round_twosided_sweep_fn(relative: bool, sign_iters: int = 100):
 
 @lru_cache(maxsize=8)
 def _tt_round_prefix_sweep_fn(
-    relative: bool, sign_iters: int = 100, unroll: int = 1
+    relative: bool,
+    sign_iters: int = 100,
+    unroll: int = 1,
+    chain_precision: str = "highest",
 ):
     """Batched two-sided Gram rounding: the parallel-prefix mode.
 
@@ -871,11 +874,24 @@ def _tt_round_prefix_sweep_fn(
             axis=1,
         )  # (d-2, 2, r, n, r)
 
+        # chain precision: the H/G products steer truncation DECISIONS
+        # (the kept factors are re-derived from them through whitening,
+        # but any projector of the right rank keeps the error contract);
+        # this mode's resolution floor is sqrt(mach eps) ~ 3e-4 in f32,
+        # an order above bf16x3 matmul noise (~3e-5), so "high" is a
+        # safe 2x-fewer-MXU-passes option — probed on chip before
+        # changing the default (TNT_PREFIX_CHAIN_PREC)
+        cprec = (
+            jax.lax.Precision.HIGHEST
+            if chain_precision == "highest"
+            else chain_precision
+        )
+
         def chain_step(m, x):
             # keep the sequential body pure-GEMM + rescale; the log of
             # the per-step scales is summed OUTSIDE the chain
-            t = jnp.einsum("yab,yanc->ybnc", m, x, precision="highest")
-            m2 = jnp.einsum("ybnc,ybnC->ycC", t, x, precision="highest")
+            t = jnp.einsum("yab,yanc->ybnc", m, x, precision=cprec)
+            m2 = jnp.einsum("ybnc,ybnC->ycC", t, x, precision=cprec)
             s = jnp.einsum("yaa->y", m2) / r + jnp.asarray(1e-30, dt)
             m2 = m2 / s[:, None, None]
             return m2, (m2, s)
@@ -1190,12 +1206,15 @@ def tt_round_fixed(
     elif method == "twosided":
         fn = _tt_round_twosided_sweep_fn(relative)
     elif method == "prefix":
-        # chain-scan unroll: trades a longer compile for fewer per-step
-        # scan-boundary syncs; probe on real hardware before changing
-        # the default (TNT_PREFIX_UNROLL)
+        # chain-scan unroll and chain matmul precision: scheduling /
+        # MXU-pass knobs probed on real hardware before changing
+        # defaults (TNT_PREFIX_UNROLL, TNT_PREFIX_CHAIN_PREC)
         fn = _tt_round_prefix_sweep_fn(
             relative,
             unroll=int(os.environ.get("TNT_PREFIX_UNROLL", "1")),
+            chain_precision=os.environ.get(
+                "TNT_PREFIX_CHAIN_PREC", "highest"
+            ),
         )
     else:
         fn = _tt_round_sweep_fn(relative, reorth)

@@ -208,6 +208,23 @@ def test_prefix_unroll_env_parity(monkeypatch):
     assert np.allclose(d4, d0, atol=1e-12)
 
 
+def test_prefix_chain_precision_env_parity(monkeypatch):
+    """TNT_PREFIX_CHAIN_PREC trades MXU passes in the H/G chain GEMMs
+    (a TPU-only distinction — CPU matmuls ignore precision), so on CPU
+    the 'high' variant must match the default exactly; this pins the
+    knob's plumbing and its decision-only blast radius."""
+    tt, _ = _train(seed=13)
+    tt2 = tt + tt
+    out0, ranks0 = tt_round_fixed(tt2.__deepcopy__({}), 1e-8, method="prefix")
+    monkeypatch.setenv("TNT_PREFIX_CHAIN_PREC", "high")
+    outh, ranksh = tt_round_fixed(tt2.__deepcopy__({}), 1e-8, method="prefix")
+    assert ranksh == ranks0 == [3] * 6
+    d0 = np.asarray(out0.contract().value)
+    perm = [outh.free_indices().index(i) for i in out0.free_indices()]
+    dh = np.transpose(np.asarray(outh.contract().value), perm)
+    assert np.allclose(dh, d0, atol=1e-12)
+
+
 @pytest.mark.slow
 def test_all_modes_randomized_chain_sweep():
     """Randomized consistency sweep: for a spread of chain geometries

@@ -47,8 +47,21 @@ def main():
     )
     last = jnp.asarray(rng.standard_normal((R, N)) / np.sqrt(N), DTYPE)
 
-    for unroll in (1, 2, 4, 8):
-        sweep = _tt_round_prefix_sweep_fn(True, unroll=unroll)
+    # (unroll, chain matmul precision): unroll trades compile time for
+    # fewer scan boundaries; "high" (bf16x3) halves the chain's MXU
+    # passes with noise (~3e-5) an order below the mode's sqrt(eps)
+    # resolution floor
+    for unroll, cprec in (
+        (1, "highest"),
+        (2, "highest"),
+        (4, "highest"),
+        (8, "highest"),
+        (1, "high"),
+        (4, "high"),
+    ):
+        sweep = _tt_round_prefix_sweep_fn(
+            True, unroll=unroll, chain_precision=cprec
+        )
 
         @partial(jax.jit, static_argnames=("k",))
         def repeat(first, mids, last, k, _sweep=sweep):
@@ -62,23 +75,28 @@ def main():
                     + jnp.sum(l)
                     + (k0 + jnp.sum(ks)).astype(DTYPE)
                 )
-                return acc + tot, None
+                return acc + tot, (k0, ks)
 
-            acc, _ = jax.lax.scan(
+            acc, (k0s, kss) = jax.lax.scan(
                 body, jnp.asarray(0.0, DTYPE), jnp.arange(k, dtype=DTYPE)
             )
-            return acc
+            # expose the decisions so chain-precision variants can be
+            # rank-compared without a separate compile
+            return acc, k0s[-1], kss[-1]
 
         t_c0 = time.time()
         for k in (1, 5):
-            float(repeat(first, mids, last, k))  # compile both
+            float(repeat(first, mids, last, k)[0])  # compile both
         compile_s = time.time() - t_c0
-        t1 = _time(lambda: float(repeat(first, mids, last, 1)))
-        t2 = _time(lambda: float(repeat(first, mids, last, 5)))
+        t1 = _time(lambda: float(repeat(first, mids, last, 1)[0]))
+        t2 = _time(lambda: float(repeat(first, mids, last, 5)[0]))
         slope = max((t2 - t1) / 4.0, 1e-9)
+        _, k0v, ksv = repeat(first, mids, last, 1)
+        ranks = [int(k0v)] + [int(x) for x in np.asarray(ksv)]
         print(
-            f"[prefix-unroll] unroll={unroll}: {slope * 1e3:.2f} ms/sweep"
-            f" (compile {compile_s:.0f} s)",
+            f"[prefix-unroll] unroll={unroll} chain={cprec}: "
+            f"{slope * 1e3:.2f} ms/sweep (compile {compile_s:.0f} s, "
+            f"k0={ranks[0]} min_k={min(ranks)} max_k={max(ranks)})",
             flush=True,
         )
 
