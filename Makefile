@@ -12,6 +12,7 @@ native:
 
 examples:
 	python3 examples/qtt_stretch.py
+	python3 examples/qtt_screened_poisson.py
 	python3 examples/inner_product_scaling.py
 
 ci: native test

@@ -1,0 +1,124 @@
+"""QTT screened-Poisson construction + solve (examples/qtt_screened_poisson).
+
+Dense oracles at small K pin the rank-3 operator automaton and the
+rank-1 exponential right-hand side exactly; the ALS solve is then
+checked against ``np.linalg.solve`` on the densified system.
+"""
+
+import sys
+import os
+
+import numpy as np
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "examples"),
+)
+
+from qtt_screened_poisson import (  # noqa: E402
+    qtt_exponential,
+    qtt_screened_laplacian,
+)
+
+
+def _dense_op(op, K):
+    """Densify a PackedTTOp over K binary modes into a 2^K x 2^K matrix
+    (little-endian bits: core 0 = least significant)."""
+    cores = [np.asarray(op.first)[None]] + [
+        np.asarray(c) for c in op.mids
+    ] + [np.asarray(op.last)[..., None]]
+    # accumulate with output/input bits in core order
+    acc = cores[0]  # (R0=1 absorbed later) shape (1, 2, 2, R)
+    mat = acc
+    for c in cores[1:]:
+        # mat: (1, O, I, R); c: (R, 2, 2, R2)
+        mat = np.einsum("aoir,rpjs->aopijs", mat, c)
+        s = mat.shape
+        mat = mat.reshape(s[0], s[1] * s[2], s[3] * s[4], s[5])
+    # positions in `full` have the core-0 bit as the SLOWEST axis
+    # (reshape stacks earlier cores slower); _perm_to_linear maps a
+    # position to its linear grid index
+    return mat[0, :, :, 0]
+
+
+def _dense_vec(x, K):
+    cores = [np.asarray(x.first)[None]] + [np.asarray(c) for c in x.mids] + [
+        np.asarray(x.last)[..., None]
+    ]
+    vec = cores[0]  # (1, 2, R)
+    for c in cores[1:]:
+        vec = np.einsum("air,rjs->aijs", vec, c)
+        s = vec.shape
+        vec = vec.reshape(s[0], s[1] * s[2], s[3])
+    return vec[0, :, 0]
+
+
+def _perm_to_linear(K):
+    """Map position in the densified (core-0-slowest) layout to the
+    linear index i = sum b_k 2^k."""
+    n = 2**K
+    out = np.zeros(n, dtype=int)
+    for pos in range(n):
+        # decode pos: core 0 is the slowest (most significant) axis
+        rem = pos
+        bits = []
+        for _ in range(K):
+            bits.append(rem % 2)
+            rem //= 2
+        bits = bits[::-1]  # bits[0] = core-0 bit
+        out[pos] = sum(b << k for k, b in enumerate(bits))
+    return out
+
+
+@pytest.mark.parametrize("K", [4, 7])
+def test_operator_matches_dense_tridiagonal(K):
+    delta = 0.7
+    op = qtt_screened_laplacian(K, delta=delta)
+    full = _dense_op(op, K)
+    lin = _perm_to_linear(K)
+    n = 2**K
+    # reorder densified positions to linear indices
+    A = np.zeros((n, n))
+    A[np.ix_(lin, lin)] = full
+    ref = (2.0 + delta) * np.eye(n)
+    ref -= np.diag(np.ones(n - 1), 1)  # -S: (Su)_i = u_{i+1}
+    ref -= np.diag(np.ones(n - 1), -1)
+    assert np.allclose(A, ref, atol=1e-12), np.abs(A - ref).max()
+
+
+def test_rhs_matches_dense_exponential():
+    K, c = 6, 3.0
+    rhs = qtt_exponential(K, c=c)
+    vec = _dense_vec(rhs, K)
+    lin = _perm_to_linear(K)
+    n = 2**K
+    f = np.zeros(n)
+    f[lin] = vec
+    ref = np.exp(-c * np.arange(n) / n)
+    assert np.allclose(f, ref, atol=1e-14)
+
+
+def test_als_solves_to_dense_oracle():
+    from tensor_networks_tpu.ops.als import als_solve
+    from tensor_networks_tpu.ops.packed import norm_exact, pad_rank
+
+    K, delta, c = 8, 1.0, 3.0
+    op = qtt_screened_laplacian(K, delta=delta)
+    rhs = qtt_exponential(K, c=c)
+    x, resid, _ = als_solve(op, rhs, pad_rank(rhs, 8), sweeps=4, tol=1e-12)
+    rel = float(resid) / float(norm_exact(rhs))
+    assert rel < 1e-10, rel
+
+    n = 2**K
+    lin = _perm_to_linear(K)
+    A = np.zeros((n, n))
+    full = _dense_op(op, K)
+    A[np.ix_(lin, lin)] = full
+    f = np.zeros(n)
+    f[lin] = _dense_vec(rhs, K)
+    u_ref = np.linalg.solve(A, f)
+    u = np.zeros(n)
+    u[lin] = _dense_vec(x, K)
+    assert np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref) < 1e-9
