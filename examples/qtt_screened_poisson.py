@@ -111,6 +111,8 @@ def main():
 
     K = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     chi = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    if K < 3:
+        sys.exit("K must be >= 3 (the packed train needs middle cores)")
     print(
         f"[qtt-solve] screened Poisson, 2^{K} = {2**K:.3g} unknowns, "
         f"solution rank {chi}",

@@ -17,6 +17,10 @@ chip) with only (P-1) r x r hops of ICI traffic.
 
 from __future__ import annotations
 
+import os
+import warnings
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -234,6 +238,29 @@ def _gram_truncate(gl, gr, budget, kmax):
     return curr, nxt, k
 
 
+def _train_shard_meta(mesh, first, mids, last, bounds):
+    """Validated ``(n_stages, per-bond bounds)`` for a train-sharded
+    sweep: the shared entry logic of the distributed rounding forms."""
+    n_stages = mesh.shape["model"]
+    r = last.shape[0]
+    d_total = mids.shape[0] + 2
+    if mids.shape[0] % n_stages != 0:
+        raise ValueError(
+            f"middle-core count ({mids.shape[0]}) must be divisible by "
+            f"the model axis ({n_stages})"
+        )
+    if bounds is None:
+        from tensor_networks_tpu.ops.fast import _bond_bounds
+
+        modes = (
+            [first.shape[0]]
+            + [mids.shape[2]] * (d_total - 2)
+            + [last.shape[1]]
+        )
+        bounds = _bond_bounds(modes, [r] * (d_total - 1), r)
+    return n_stages, np.asarray(bounds, np.int32)
+
+
 def tt_gram_round_sharded(
     mesh: Mesh,
     first: jnp.ndarray,
@@ -252,24 +279,30 @@ def tt_gram_round_sharded(
     per bond.  Resolution floor: singular values below sqrt(dtype eps) of
     the norm (the Gram trade-off).
     """
+    n_stages, bounds = _train_shard_meta(mesh, first, mids, last, bounds)
+    fn = _gram_sharded_fn(mesh)
+    return fn(
+        first,
+        mids,
+        last,
+        jnp.asarray(bounds[1:]),
+        jnp.asarray(eps, first.dtype),
+        jnp.asarray(bounds[0]),
+    )
+
+
+@lru_cache(maxsize=16)
+def _gram_sharded_fn(mesh: Mesh):
+    """Jitted shard_map program for :func:`tt_gram_round_sharded`,
+    cached per mesh (a fresh closure per call would re-trace the whole
+    staged program every time; eps and the bounds are traced operands
+    so one executable serves every tolerance at fixed shapes)."""
     n_stages = mesh.shape["model"]
-    r = last.shape[0]
-    d_total = mids.shape[0] + 2
-    if bounds is None:
-        from tensor_networks_tpu.ops.fast import _bond_bounds
 
-        modes = (
-            [first.shape[0]]
-            + [mids.shape[2]] * (d_total - 2)
-            + [last.shape[1]]
-        )
-        bounds = _bond_bounds(modes, [r] * (d_total - 1), r)
-    bounds = np.asarray(bounds, np.int32)
-    bounds_mid = jnp.asarray(bounds[1:])  # sharded like mids' lead axis
-    bound0 = int(bounds[0])
-
-    def body(first_rep, mids_local, last_rep, bounds_local):
+    def body(first_rep, mids_local, last_rep, bounds_local, eps_s, b0):
         my = jax.lax.axis_index("model")
+        r = last_rep.shape[0]
+        d_total = n_stages * mids_local.shape[0] + 2
 
         # ---- stage A (right-to-left): local gram chains ----------------
         g_last = jnp.matmul(last_rep, last_rep.T, precision="highest")
@@ -320,14 +353,16 @@ def tt_gram_round_sharded(
         norm_sq = jnp.sum((first_rep @ g_bond0) * first_rep)
         norm = jnp.sqrt(jnp.abs(norm_sq))
         budget = (
-            jnp.asarray(eps, first_rep.dtype)
+            eps_s.astype(first_rep.dtype)
             * norm
             / jnp.sqrt(jnp.asarray(d_total - 1.0, first_rep.dtype))
         )
 
         # ---- stage B (left-to-right): truncation sweep ------------------
         gl0 = jnp.matmul(first_rep.T, first_rep, precision="highest")
-        kmax0 = jnp.int32(min(first_rep.shape[0], r, bound0))
+        kmax0 = jnp.minimum(
+            jnp.int32(min(first_rep.shape[0], r)), b0.astype(jnp.int32)
+        )
         curr0, nxt0, k0 = _gram_truncate(gl0, g_bond0, budget, kmax0)
         first_out = first_rep @ curr0
 
@@ -399,6 +434,8 @@ def tt_gram_round_sharded(
             P("model", None, None, None),
             P(None, None),
             P("model"),
+            P(),
+            P(),
         ),
         out_specs=(
             P(None, None),
@@ -408,7 +445,7 @@ def tt_gram_round_sharded(
             P("model"),
         ),
     )
-    return jax.jit(fn)(first, mids, last, bounds_mid)
+    return jax.jit(fn)
 
 
 def tt_prefix_round_sharded(
@@ -419,6 +456,7 @@ def tt_prefix_round_sharded(
     eps: float,
     sign_iters: int = 100,
     bounds=None,
+    chain_precision: str | None = None,
 ):
     """Distributed parallel-prefix rounding (relative eps): the GEMM-only
     Gram-chain mode of ``ops.fast.tt_round_fixed(method="prefix")`` with
@@ -443,40 +481,73 @@ def tt_prefix_round_sharded(
     Per-bond per-direction threshold tau^2 = (eps^2 ||X||^2) / ((d-1) r)
     — the same error contract as the single-device prefix sweep, same
     accuracy scope (Gram squaring: ~sqrt(mach eps) resolution floor).
-    Returns (first_out, mids_out (sharded), last_out, k0, local ranks).
+    ``chain_precision`` (default: the TNT_PREFIX_CHAIN_PREC env var,
+    then "highest") selects the H/G chain matmul passes, mirroring the
+    single-device knob.  A Cholesky breakdown (NaN output) falls back
+    to the eigh-based :func:`tt_gram_round_sharded` with a warning and
+    a ``ROUND_STATS["fallback_nan"]`` count, matching the single-device
+    contract.  Returns (first_out, mids_out (sharded), last_out, k0,
+    local ranks).
     """
+    n_stages, bounds = _train_shard_meta(mesh, first, mids, last, bounds)
+    blk = mids.shape[0] // n_stages
+    if chain_precision is None:
+        chain_precision = os.environ.get(
+            "TNT_PREFIX_CHAIN_PREC", "highest"
+        )
+    # device s needs bonds [s*blk, s*blk + blk] inclusive
+    b_ext = np.stack(
+        [bounds[s * blk : s * blk + blk + 1] for s in range(n_stages)]
+    )  # (n_stages, blk + 1)
+    fn = _prefix_sharded_fn(mesh, sign_iters, chain_precision)
+    out = fn(
+        first,
+        mids,
+        last,
+        jnp.asarray(b_ext),
+        jnp.asarray(eps, first.dtype),
+    )
+    f, m, l, k0, ranks = out
+    if not bool(jnp.isfinite(jnp.sum(f) + jnp.sum(m) + jnp.sum(l))):
+        from tensor_networks_tpu.ops.fast import ROUND_STATS
+
+        ROUND_STATS["fallback_nan"] += 1
+        warnings.warn(
+            "distributed prefix rounding broke down (NaN — Cholesky on "
+            "a heavily rank-deficient train); falling back to the "
+            "eigh-based distributed gram sweep",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return tt_gram_round_sharded(mesh, first, mids, last, eps, bounds)
+    return out
+
+
+@lru_cache(maxsize=16)
+def _prefix_sharded_fn(
+    mesh: Mesh, sign_iters: int, chain_precision: str
+):
+    """Jitted shard_map program for :func:`tt_prefix_round_sharded`,
+    cached per (mesh, sign_iters, chain precision); eps and the bond
+    bounds are traced operands, so one executable serves every
+    tolerance at fixed shapes."""
     from tensor_networks_tpu.ops.fast import (
-        _bond_bounds,
         _chol_adaptive,
         _sign_newton_schulz,
     )
 
     n_stages = mesh.shape["model"]
-    r = last.shape[0]
-    d_total = mids.shape[0] + 2
-    nb = d_total - 1
-    if mids.shape[0] % n_stages != 0:
-        raise ValueError(
-            f"mids ({mids.shape[0]}) must divide the model axis "
-            f"({n_stages})"
-        )
-    blk = mids.shape[0] // n_stages
-    if bounds is None:
-        modes = (
-            [first.shape[0]]
-            + [mids.shape[2]] * (d_total - 2)
-            + [last.shape[1]]
-        )
-        bounds = _bond_bounds(modes, [r] * nb, r)
-    bounds = np.asarray(bounds, np.int32)
-    # device s needs bonds [s*blk, s*blk + blk] inclusive
-    b_ext = np.stack(
-        [bounds[s * blk : s * blk + blk + 1] for s in range(n_stages)]
-    )  # (n_stages, blk + 1)
+    cprec = (
+        jax.lax.Precision.HIGHEST
+        if chain_precision == "highest"
+        else chain_precision
+    )
 
-    def body(first_rep, mids_local, last_rep, bounds_loc):
+    def body(first_rep, mids_local, last_rep, bounds_loc, eps_s):
         my = jax.lax.axis_index("model")
         dt = first_rep.dtype
+        r = last_rep.shape[0]
+        d_total = n_stages * mids_local.shape[0] + 2
         mach = jnp.asarray(jnp.finfo(dt).eps, dt)
         tiny = jnp.asarray(1e-30, dt)
         L = mids_local.shape[0]
@@ -489,14 +560,14 @@ def tt_prefix_round_sharded(
         g0 = g0 / (jnp.trace(g0) / r + tiny)
 
         def h_step(m, x):
-            t = jnp.einsum("ab,anc->bnc", m, x, precision="highest")
-            m2 = jnp.einsum("bnc,bnC->cC", t, x, precision="highest")
+            t = jnp.einsum("ab,anc->bnc", m, x, precision=cprec)
+            m2 = jnp.einsum("bnc,bnC->cC", t, x, precision=cprec)
             m2 = m2 / (jnp.trace(m2) / r + tiny)
             return m2, m2
 
         def g_step(m, x):
-            t = jnp.einsum("anc,cC->anC", x, m, precision="highest")
-            m2 = jnp.einsum("anC,bnC->ab", t, x, precision="highest")
+            t = jnp.einsum("anc,cC->anC", x, m, precision=cprec)
+            m2 = jnp.einsum("anC,bnC->ab", t, x, precision=cprec)
             m2 = m2 / (jnp.trace(m2) / r + tiny)
             return m2, m2
 
@@ -560,7 +631,7 @@ def tt_prefix_round_sharded(
 
         # ---- thresholds (relative): tau^2 = eps^2 ||X||^2 / ((d-1) r) -
         norm2 = jnp.einsum("kab,kba->k", h_b, g_b, precision="highest")
-        eps_b = jnp.asarray(eps, dt)
+        eps_b = eps_s.astype(dt)
         tau2 = eps_b**2 * norm2 / jnp.asarray((d_total - 1.0) * r, dt)
         ghost = jit_h * jnp.einsum("kaa->k", g_b) + jit_g * jnp.einsum(
             "kaa->k", h_b
@@ -649,6 +720,7 @@ def tt_prefix_round_sharded(
             P("model", None, None, None),
             P(None, None),
             P("model", None),
+            P(),
         ),
         out_specs=(
             P(None, None),
@@ -658,4 +730,4 @@ def tt_prefix_round_sharded(
             P("model"),
         ),
     )
-    return jax.jit(fn)(first, mids, last, jnp.asarray(b_ext))
+    return jax.jit(fn)

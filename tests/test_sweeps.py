@@ -188,3 +188,76 @@ def test_distributed_prefix_error_contract(mesh8):
     rel = np.linalg.norm(dense2 - dense) / np.linalg.norm(dense)
     assert rel < 1e-2, rel
     assert int(k0) <= r and all(int(x) <= r for x in np.asarray(ranks))
+
+
+def test_distributed_prefix_nan_fallback(mesh8):
+    """A NaN breakdown in the distributed prefix program falls back to
+    the eigh-based distributed gram sweep with a warning and a
+    ROUND_STATS count — the single-device contract, distributed."""
+    import warnings as _w
+
+    from tensor_networks_tpu.ops.fast import ROUND_STATS
+    from tensor_networks_tpu.parallel import sweeps as sw
+
+    d, n, r = 10, 4, 6
+    np.random.seed(11)
+    indices = [Index(f"x{i}", n) for i in range(d)]
+    base = TensorNetwork.rand_tt(indices, [3] * (d - 1))
+    tt = base + base
+    dense = np.asarray(tt.contract().value)
+    first, mids, last = stack_tt_cores(tt)
+    first = jnp.asarray(np.asarray(first))
+    mids_sh, last_sh = place_train_sharded(
+        mesh8, jnp.asarray(np.asarray(mids)), jnp.asarray(np.asarray(last))
+    )
+
+    real = sw._prefix_sharded_fn
+
+    def poisoned(mesh, sign_iters, chain_precision):
+        fn = real(mesh, sign_iters, chain_precision)
+
+        def wrapper(f, m, l, b, e):
+            f2, m2, l2, k0, ks = fn(f, m, l, b, e)
+            return f2, m2.at[1].set(np.nan), l2, k0, ks
+
+        return wrapper
+
+    before = ROUND_STATS["fallback_nan"]
+    sw._prefix_sharded_fn = poisoned
+    try:
+        with pytest.warns(RuntimeWarning, match="broke down"):
+            f_o, m_o, l_o, k0, ranks = sw.tt_prefix_round_sharded(
+                mesh8, first, mids_sh, last_sh, 1e-8
+            )
+    finally:
+        sw._prefix_sharded_fn = real
+    assert ROUND_STATS["fallback_nan"] == before + 1
+    got = [int(k0)] + [int(x) for x in np.asarray(ranks)]
+    assert got == [3] * (d - 1), got
+    rebuilt = _rebuild(indices, f_o, m_o, l_o, d, r)
+    assert np.allclose(np.asarray(rebuilt.contract().value), dense, atol=1e-7)
+
+
+def test_distributed_programs_are_cached(mesh8):
+    """Repeated sharded rounding calls must reuse the jitted program
+    (a fresh closure per call would re-trace the full staged pipeline
+    each time — 20-60 s per remote compile)."""
+    from tensor_networks_tpu.parallel import sweeps as sw
+
+    d, n, r = 10, 4, 5
+    np.random.seed(13)
+    indices = [Index(f"x{i}", n) for i in range(d)]
+    tt = TensorNetwork.rand_tt(indices, [r] * (d - 1))
+    first, mids, last = stack_tt_cores(tt)
+    first = jnp.asarray(np.asarray(first))
+    mids_sh, last_sh = place_train_sharded(
+        mesh8, jnp.asarray(np.asarray(mids)), jnp.asarray(np.asarray(last))
+    )
+    h0 = sw._prefix_sharded_fn.cache_info().hits
+    sw.tt_prefix_round_sharded(mesh8, first, mids_sh, last_sh, 1e-6)
+    sw.tt_prefix_round_sharded(mesh8, first, mids_sh, last_sh, 1e-3)
+    assert sw._prefix_sharded_fn.cache_info().hits >= h0 + 1
+    g0 = sw._gram_sharded_fn.cache_info().hits
+    sw.tt_gram_round_sharded(mesh8, first, mids_sh, last_sh, 1e-6)
+    sw.tt_gram_round_sharded(mesh8, first, mids_sh, last_sh, 1e-3)
+    assert sw._gram_sharded_fn.cache_info().hits >= g0 + 1
