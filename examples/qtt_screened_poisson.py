@@ -93,6 +93,83 @@ def qtt_screened_laplacian(K: int, delta: float = 1.0, dtype=jnp.float64):
     )
 
 
+def _interleave_1d_op(op1d, K, phase, dtype=jnp.float64):
+    """Extend a rank-R 1D QTT operator over 2K interleaved bits.
+
+    The 1D cores sit at global positions with ``pos % 2 == phase``
+    (phase 0 = x bits, 1 = y bits); every other position carries a
+    rank-diagonal identity core, so the automaton state rides across
+    the foreign axis untouched.  Boundary embeddings keep the packed
+    uniform-rank layout: the 1D first/last cores become mids with the
+    foreign rank slots zeroed at channel 0.
+    """
+    R = op1d.first.shape[-1]
+    eyeRC = np.zeros((R, 2, 2, R))
+    for a in range(R):
+        eyeRC[a, :, :, a] = np.eye(2)
+    first1 = np.asarray(op1d.first)
+    mids1 = [np.asarray(c) for c in op1d.mids]
+    last1 = np.asarray(op1d.last)
+
+    # 1D cores as uniform (R, 2, 2, R) mids with boundary embeddings
+    as_mid_first = np.zeros((R, 2, 2, R))
+    as_mid_first[0] = first1  # enter at channel 0
+    as_mid_last = np.zeros((R, 2, 2, R))
+    as_mid_last[:, :, :, 0] = last1  # exit into channel 0
+    own = [as_mid_first] + mids1 + [as_mid_last]
+
+    cores = []
+    for pos in range(2 * K):
+        cores.append(own[pos // 2] if pos % 2 == phase else eyeRC)
+    # global boundaries: squeeze the outer rank at channel 0
+    gfirst = cores[0][0]  # (2, 2, R)
+    glast = cores[-1][:, :, :, 0]  # (R, 2, 2)
+    gmids = np.stack(cores[1:-1])
+    return PackedTTOp(
+        jnp.asarray(gfirst, dtype),
+        jnp.asarray(gmids, dtype),
+        jnp.asarray(glast, dtype),
+    )
+
+
+def qtt_screened_laplacian_2d(K: int, delta: float = 1.0,
+                              dtype=jnp.float64):
+    """Rank-6 QTT operator of the 2D screened Laplacian on a
+    2^K x 2^K grid with interleaved bits (x at even positions):
+    ``(4 + delta) I - Sx - Sx^T - Sy - Sy^T`` via two interleaved 1D
+    automata summed with :func:`ops.packed.ttop_add`."""
+    from tensor_networks_tpu.ops.packed import ttop_add
+
+    op_x = _interleave_1d_op(
+        qtt_screened_laplacian(K, delta=delta, dtype=dtype), K, 0, dtype
+    )
+    op_y = _interleave_1d_op(
+        qtt_screened_laplacian(K, delta=0.0, dtype=dtype), K, 1, dtype
+    )
+    return ttop_add(op_x, op_y)
+
+
+def qtt_exponential_2d(
+    K: int, cx: float = 3.0, cy: float = 2.0, dtype=jnp.float64
+) -> PackedTT:
+    """Rank-1 QTT of ``f(x, y) = exp(-cx x / 2^K) exp(-cy y / 2^K)``
+    over 2K interleaved bits."""
+    ws = []
+    for pos in range(2 * K):
+        k = pos // 2
+        c = cx if pos % 2 == 0 else cy
+        ws.append(float(np.exp(-c * (2.0**k) / 2.0**K)))
+    first = jnp.asarray([[1.0], [ws[0]]], dtype)
+    mids = jnp.stack(
+        [
+            jnp.asarray([[[1.0]], [[ws[p]]]], dtype).transpose(2, 0, 1)
+            for p in range(1, 2 * K - 1)
+        ]
+    )
+    last = jnp.asarray([[1.0, ws[2 * K - 1]]], dtype)
+    return PackedTT(first, mids, last)
+
+
 def qtt_exponential(K: int, c: float = 3.0, dtype=jnp.float64) -> PackedTT:
     """Rank-1 QTT of ``f_i = exp(-c i / 2^K)`` (exact: exponentials
     factor over bits)."""
@@ -133,8 +210,46 @@ def main():
         f"(history {[f'{h / b_norm:.1e}' for h in hist]})",
         file=sys.stderr,
     )
-    assert resid / b_norm < 1e-6, "solve did not converge"
-    print(f"[qtt-solve] OK rel_residual={resid / b_norm:.2e}")
+    assert resid / b_norm < 1e-6, "ALS did not converge"
+
+    # same system through the all-device Krylov solver (every op one
+    # fused program; fixed-rank randomized rounding between cycles)
+    from tensor_networks_tpu.ops.packed import gmres_packed
+
+    t0 = time.time()
+    xg, rg = gmres_packed(op, rhs, pad_rank(rhs, 4), eps=1e-8, rank=chi)
+    wall_g = time.time() - t0
+    print(
+        f"[qtt-solve] GMRES in {wall_g:.1f}s: rel residual "
+        f"{rg / b_norm:.2e}",
+        file=sys.stderr,
+    )
+    assert rg / b_norm < 1e-6, "GMRES did not converge"
+
+    # 2D screened Poisson on a 2^(K/2) x 2^(K/2) grid — same unknown
+    # count, rank-6 operator from two interleaved 1D automata
+    K2 = K // 2
+    op2 = qtt_screened_laplacian_2d(K2, delta=1.0)
+    rhs2 = qtt_exponential_2d(K2)
+    b2 = float(norm_exact(rhs2))
+    # the 2D solution's interleaved-QTT spectrum decays slower than the
+    # 1D one (measured at K2=7: rank 12 -> 1.8e-6, 16 -> 3e-8,
+    # 24 -> 1.7e-12); double the rank and solve the larger local
+    # systems densely
+    t0 = time.time()
+    x2, r2, h2 = als_solve(op2, rhs2, pad_rank(rhs2, 2 * chi), sweeps=8,
+                           tol=1e-10, dense_limit=8192)
+    wall2 = time.time() - t0
+    print(
+        f"[qtt-solve] 2D ({2**K2}x{2**K2}) ALS {len(h2)} sweeps in "
+        f"{wall2:.1f}s: rel residual {r2 / b2:.2e}",
+        file=sys.stderr,
+    )
+    assert r2 / b2 < 1e-6, "2D solve did not converge"
+    print(
+        f"[qtt-solve] OK als_rel={resid / b_norm:.2e} "
+        f"gmres_rel={rg / b_norm:.2e} als2d_rel={r2 / b2:.2e}"
+    )
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ residual stalls, warm-start from ``pad_rank(x, 2 r)``.
 
 from __future__ import annotations
 
+import warnings
 from functools import partial
 from typing import List, Tuple
 
@@ -273,6 +274,28 @@ def als_solve(
         history.append(res)
         if res < tol:
             break
+        if (
+            len(history) >= 2
+            and history[-1] > 0.98 * history[-2]
+        ):
+            # a stalled sweep above tol is usually a LOCAL-solve
+            # failure, not a rank limit: r*n*r past dense_limit routes
+            # to CG on the normal equations, whose squared condition
+            # number can defeat cg_iters (observed: rank 24 on a
+            # mode-2 train stuck at rel 0.26 while rank 16 solved
+            # exactly, local size 1152 > the 1024 dense default)
+            size = x0.rank * x0.mode * x0.rank
+            if size > dense_limit:
+                warnings.warn(
+                    f"ALS stalled at residual {res:.2e} with local "
+                    f"systems of {size} unknowns above "
+                    f"dense_limit={dense_limit} (CG on normal "
+                    "equations); raise dense_limit or cg_iters, or "
+                    "lower the rank",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                break
 
     x = PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0])
     return x, res, history

@@ -483,6 +483,34 @@ def add(*terms: PackedTT) -> PackedTT:
     return out
 
 
+def ttop_add(*ops: PackedTTOp) -> PackedTTOp:
+    """Exact sum of uniform TT-operators: operator bond ranks add
+    (block-diagonal embedding — the operator analogue of :func:`add`;
+    reference semantics ``pytens/algs.py:2479-2532`` ``ttop_sum`` built
+    for the packed form).  All operands must share (d, n_out, n_in)."""
+    out = ops[0]
+    for o in ops[1:]:
+        ra = out.first.shape[-1]
+        rb = o.first.shape[-1]
+        if out.mids.shape[:1] + out.mids.shape[2:4] != (
+            o.mids.shape[:1] + o.mids.shape[2:4]
+        ):
+            raise ValueError(
+                f"operator shape mismatch: {out.mids.shape} vs "
+                f"{o.mids.shape}"
+            )
+        first = jnp.concatenate([out.first, o.first], axis=-1)
+        d_m, _, no, ni, _ = out.mids.shape
+        mids = jnp.zeros(
+            (d_m, ra + rb, no, ni, ra + rb), dtype=out.mids.dtype
+        )
+        mids = mids.at[:, :ra, :, :, :ra].set(out.mids)
+        mids = mids.at[:, ra:, :, :, ra:].set(o.mids)
+        last = jnp.concatenate([out.last, o.last], axis=0)
+        out = PackedTTOp(first, mids, last)
+    return out
+
+
 @jax.jit
 def hadamard(a: PackedTT, b: PackedTT) -> PackedTT:
     """Exact elementwise product: bond ranks multiply (per-core Kronecker

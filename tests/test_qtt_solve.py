@@ -122,3 +122,91 @@ def test_als_solves_to_dense_oracle():
     u = np.zeros(n)
     u[lin] = _dense_vec(x, K)
     assert np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref) < 1e-9
+
+
+def test_2d_operator_matches_kron_oracle():
+    """The interleaved-bit 2D operator (rank-6 via ttop_add of two 1D
+    automata) must densify to Ax (x) I + I (x) Ay exactly."""
+    from qtt_screened_poisson import qtt_screened_laplacian_2d
+
+    K, delta = 3, 0.9
+    op2 = qtt_screened_laplacian_2d(K, delta=delta)
+    full = _dense_op(op2, 2 * K)  # positions: core 0 slowest
+    n = 2**K
+
+    # map densified position -> (x, y): even cores are x bits, odd y
+    N = 4**K
+    lin_x = np.zeros(N, dtype=int)
+    lin_y = np.zeros(N, dtype=int)
+    for pos in range(N):
+        rem = pos
+        bits = []
+        for _ in range(2 * K):
+            bits.append(rem % 2)
+            rem //= 2
+        bits = bits[::-1]  # bits[p] = core-p bit
+        lin_x[pos] = sum(bits[2 * k] << k for k in range(K))
+        lin_y[pos] = sum(bits[2 * k + 1] << k for k in range(K))
+
+    def lap1d(d):
+        a = (2.0 + d) * np.eye(n)
+        a -= np.diag(np.ones(n - 1), 1)
+        a -= np.diag(np.ones(n - 1), -1)
+        return a
+
+    ref_big = np.kron(lap1d(delta), np.eye(n)) + np.kron(
+        np.eye(n), lap1d(0.0)
+    )  # indexed by (x * n + y)
+    got = np.zeros((N, N))
+    for p in range(N):
+        for q in range(N):
+            got[lin_x[p] * n + lin_y[p], lin_x[q] * n + lin_y[q]] = full[
+                p, q
+            ]
+    assert np.allclose(got, ref_big, atol=1e-12), np.abs(
+        got - ref_big
+    ).max()
+
+
+def test_2d_als_solves_to_dense_oracle():
+    from tensor_networks_tpu.ops.als import als_solve
+    from tensor_networks_tpu.ops.packed import norm_exact, pad_rank
+
+    from qtt_screened_poisson import (
+        qtt_exponential_2d,
+        qtt_screened_laplacian_2d,
+    )
+
+    K = 4
+    op2 = qtt_screened_laplacian_2d(K, delta=1.0)
+    rhs2 = qtt_exponential_2d(K)
+    x, resid, _ = als_solve(op2, rhs2, pad_rank(rhs2, 16), sweeps=6,
+                            tol=1e-12)
+    rel = float(resid) / float(norm_exact(rhs2))
+    assert rel < 1e-9, rel
+
+
+def test_als_warns_when_cg_local_solves_stall():
+    """Rank 24 on a 2^4-per-axis 2D system pushes the local systems
+    (24*2*24 = 1152 unknowns) past dense_limit onto CG-on-normal-
+    equations, which stalls — als_solve must say so instead of
+    silently burning sweeps (the exact residual is still reported)."""
+    import warnings as _w
+
+    import pytest as _pytest
+
+    from tensor_networks_tpu.ops.als import als_solve
+    from tensor_networks_tpu.ops.packed import pad_rank
+
+    from qtt_screened_poisson import (
+        qtt_exponential_2d,
+        qtt_screened_laplacian_2d,
+    )
+
+    op2 = qtt_screened_laplacian_2d(4, delta=1.0)
+    rhs2 = qtt_exponential_2d(4)
+    with _pytest.warns(RuntimeWarning, match="dense_limit"):
+        x, resid, hist = als_solve(
+            op2, rhs2, pad_rank(rhs2, 24), sweeps=6, tol=1e-12
+        )
+    assert len(hist) <= 3  # bailed out instead of burning sweeps
