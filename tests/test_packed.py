@@ -191,3 +191,48 @@ def test_pack_ragged_mixed_modes_norm():
     assert np.isclose(
         float(norm_exact(pk)), np.linalg.norm(dense), rtol=1e-6
     )
+
+
+def test_ttop_add_mixed_ranks_matches_separate_applies():
+    """ttop_add of operators with DIFFERENT bond ranks: applying the
+    sum equals adding the separate applications (exact block algebra)."""
+    import jax.numpy as jnp
+
+    from tensor_networks_tpu.ops import packed as pk
+
+    rng = np.random.default_rng(17)
+    d, n, r = 5, 3, 4
+
+    def rand_op(R, seed):
+        g = np.random.default_rng(seed)
+        return pk.PackedTTOp(
+            jnp.asarray(g.standard_normal((n, n, R))),
+            jnp.asarray(g.standard_normal((d - 2, R, n, n, R))),
+            jnp.asarray(g.standard_normal((R, n, n))),
+        )
+
+    op_a, op_b = rand_op(2, 1), rand_op(3, 2)
+    x = pk.PackedTT(
+        jnp.asarray(rng.standard_normal((n, r))),
+        jnp.asarray(rng.standard_normal((d - 2, r, n, r))),
+        jnp.asarray(rng.standard_normal((r, n))),
+    )
+    both = pk.ttop_apply_packed(pk.ttop_add(op_a, op_b), x)
+    sep = pk.add(
+        pk.ttop_apply_packed(op_a, x), pk.ttop_apply_packed(op_b, x)
+    )
+    # compare by inner products against a third random train
+    probe = pk.PackedTT(
+        jnp.asarray(rng.standard_normal((n, 2))),
+        jnp.asarray(rng.standard_normal((d - 2, 2, n, 2))),
+        jnp.asarray(rng.standard_normal((2, n))),
+    )
+    va = float(pk.inner(both, probe))
+    vb = float(pk.inner(sep, probe))
+    assert np.isclose(va, vb, rtol=1e-10), (va, vb)
+
+    # shape-mismatch guard
+    bad = rand_op(2, 3)
+    bad = pk.PackedTTOp(bad.first, bad.mids[:, :, :, : n - 1, :], bad.last)
+    with pytest.raises(ValueError):
+        pk.ttop_add(op_a, bad)

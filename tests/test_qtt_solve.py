@@ -210,3 +210,31 @@ def test_als_warns_when_cg_local_solves_stall():
             op2, rhs2, pad_rank(rhs2, 24), sweeps=6, tol=1e-12
         )
     assert len(hist) <= 3  # bailed out instead of burning sweeps
+
+
+def test_gmres_packed_on_qtt_system():
+    """The all-device Krylov solver handles the rank-3 QTT operator
+    (complements the ALS lane; dense oracle at K=6)."""
+    from tensor_networks_tpu.ops.packed import (
+        gmres_packed,
+        norm_exact,
+        pad_rank,
+    )
+
+    K = 6
+    op = qtt_screened_laplacian(K, delta=1.0)
+    rhs = qtt_exponential(K, c=3.0)
+    x, resid = gmres_packed(op, rhs, pad_rank(rhs, 4), eps=1e-9, rank=8)
+    rel = float(resid) / float(norm_exact(rhs))
+    assert rel < 1e-8, rel
+
+    n = 2**K
+    lin = _perm_to_linear(K)
+    A = np.zeros((n, n))
+    A[np.ix_(lin, lin)] = _dense_op(op, K)
+    f = np.zeros(n)
+    f[lin] = _dense_vec(rhs, K)
+    u_ref = np.linalg.solve(A, f)
+    u = np.zeros(n)
+    u[lin] = _dense_vec(x, K)
+    assert np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref) < 1e-7
