@@ -149,38 +149,36 @@ def qtt_screened_laplacian_2d(K: int, delta: float = 1.0,
     return ttop_add(op_x, op_y)
 
 
+def _rank1_from_weights(ws, dtype) -> PackedTT:
+    """Rank-1 binary-mode train with per-position mode weights
+    ``[1, ws[p]]`` — the shared layout of the exponential RHS builders."""
+    first = jnp.asarray([[1.0], [ws[0]]], dtype)  # (n, r)
+    mids = jnp.stack(
+        [jnp.asarray([[[1.0]], [[w]]], dtype).transpose(2, 0, 1)
+         for w in ws[1:-1]]
+    )  # (d-2, 1, 2, 1)
+    last = jnp.asarray([[1.0, ws[-1]]], dtype)  # (r, n)
+    return PackedTT(first, mids, last)
+
+
 def qtt_exponential_2d(
     K: int, cx: float = 3.0, cy: float = 2.0, dtype=jnp.float64
 ) -> PackedTT:
     """Rank-1 QTT of ``f(x, y) = exp(-cx x / 2^K) exp(-cy y / 2^K)``
     over 2K interleaved bits."""
-    ws = []
-    for pos in range(2 * K):
-        k = pos // 2
-        c = cx if pos % 2 == 0 else cy
-        ws.append(float(np.exp(-c * (2.0**k) / 2.0**K)))
-    first = jnp.asarray([[1.0], [ws[0]]], dtype)
-    mids = jnp.stack(
-        [
-            jnp.asarray([[[1.0]], [[ws[p]]]], dtype).transpose(2, 0, 1)
-            for p in range(1, 2 * K - 1)
-        ]
-    )
-    last = jnp.asarray([[1.0, ws[2 * K - 1]]], dtype)
-    return PackedTT(first, mids, last)
+    ws = [
+        float(np.exp(-(cx if p % 2 == 0 else cy) * (2.0 ** (p // 2))
+                     / 2.0**K))
+        for p in range(2 * K)
+    ]
+    return _rank1_from_weights(ws, dtype)
 
 
 def qtt_exponential(K: int, c: float = 3.0, dtype=jnp.float64) -> PackedTT:
     """Rank-1 QTT of ``f_i = exp(-c i / 2^K)`` (exact: exponentials
     factor over bits)."""
     ws = [float(np.exp(-c * (2.0**k) / 2.0**K)) for k in range(K)]
-    first = jnp.asarray([[1.0], [ws[0]]], dtype)  # (n, r)
-    mids = jnp.stack(
-        [jnp.asarray([[[1.0]], [[ws[k]]]], dtype).transpose(2, 0, 1)
-         for k in range(1, K - 1)]
-    )  # (K-2, 1, 2, 1)
-    last = jnp.asarray([[1.0, ws[K - 1]]], dtype)  # (r, n)
-    return PackedTT(first, mids, last)
+    return _rank1_from_weights(ws, dtype)
 
 
 def main():
@@ -188,8 +186,11 @@ def main():
 
     K = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     chi = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    if K < 3:
-        sys.exit("K must be >= 3 (the packed train needs middle cores)")
+    if K < 4:
+        sys.exit(
+            "K must be >= 4 (the packed train needs middle cores and "
+            "the 2D section needs K//2 >= 2 bits per axis)"
+        )
     print(
         f"[qtt-solve] screened Poisson, 2^{K} = {2**K:.3g} unknowns, "
         f"solution rank {chi}",

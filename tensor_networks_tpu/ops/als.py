@@ -228,6 +228,7 @@ def als_solve(
 
     history: List[float] = []
     res = float("inf")
+    warned_stall = False
     lam_d = jnp.asarray(lam, dt)
 
     # right-environment prefixes for the first left-to-right pass;
@@ -275,27 +276,30 @@ def als_solve(
         if res < tol:
             break
         if (
-            len(history) >= 2
+            not warned_stall
+            and len(history) >= 2
             and history[-1] > 0.98 * history[-2]
         ):
-            # a stalled sweep above tol is usually a LOCAL-solve
-            # failure, not a rank limit: r*n*r past dense_limit routes
-            # to CG on the normal equations, whose squared condition
-            # number can defeat cg_iters (observed: rank 24 on a
-            # mode-2 train stuck at rel 0.26 while rank 16 solved
-            # exactly, local size 1152 > the 1024 dense default)
+            # a stalled sweep above tol on the CG path is usually a
+            # LOCAL-solve failure, not a rank limit: r*n*r past
+            # dense_limit routes to CG on the normal equations, whose
+            # squared condition number can defeat cg_iters (observed:
+            # rank 24 on a mode-2 train stuck at rel 0.26 while rank
+            # 16 solved exactly, local size 1152 > the 1024 dense
+            # default).  Warn once but honor the requested sweeps —
+            # slow legitimate convergence must not be cut short.
             size = x0.rank * x0.mode * x0.rank
             if size > dense_limit:
+                warned_stall = True
                 warnings.warn(
-                    f"ALS stalled at residual {res:.2e} with local "
-                    f"systems of {size} unknowns above "
-                    f"dense_limit={dense_limit} (CG on normal "
-                    "equations); raise dense_limit or cg_iters, or "
-                    "lower the rank",
+                    f"ALS sweep reduced the residual <2% (now "
+                    f"{res:.2e}) with local systems of {size} unknowns "
+                    f"above dense_limit={dense_limit} (CG on normal "
+                    "equations); if it stays flat, raise dense_limit "
+                    "or cg_iters, or lower the rank",
                     RuntimeWarning,
                     stacklevel=2,
                 )
-                break
 
     x = PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0])
     return x, res, history

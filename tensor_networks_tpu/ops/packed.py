@@ -488,6 +488,9 @@ def ttop_add(*ops: PackedTTOp) -> PackedTTOp:
     (block-diagonal embedding — the operator analogue of :func:`add`;
     reference semantics ``pytens/algs.py:2479-2532`` ``ttop_sum`` built
     for the packed form).  All operands must share (d, n_out, n_in)."""
+    # explicit promotion: .at[].set would silently DOWNCAST a wider
+    # operand's mids into the first operand's dtype (JAX only warns)
+    dt = jnp.result_type(*(o.mids.dtype for o in ops))
     out = ops[0]
     for o in ops[1:]:
         ra = out.first.shape[-1]
@@ -499,14 +502,16 @@ def ttop_add(*ops: PackedTTOp) -> PackedTTOp:
                 f"operator shape mismatch: {out.mids.shape} vs "
                 f"{o.mids.shape}"
             )
-        first = jnp.concatenate([out.first, o.first], axis=-1)
-        d_m, _, no, ni, _ = out.mids.shape
-        mids = jnp.zeros(
-            (d_m, ra + rb, no, ni, ra + rb), dtype=out.mids.dtype
+        first = jnp.concatenate(
+            [out.first.astype(dt), o.first.astype(dt)], axis=-1
         )
-        mids = mids.at[:, :ra, :, :, :ra].set(out.mids)
-        mids = mids.at[:, ra:, :, :, ra:].set(o.mids)
-        last = jnp.concatenate([out.last, o.last], axis=0)
+        d_m, _, no, ni, _ = out.mids.shape
+        mids = jnp.zeros((d_m, ra + rb, no, ni, ra + rb), dtype=dt)
+        mids = mids.at[:, :ra, :, :, :ra].set(out.mids.astype(dt))
+        mids = mids.at[:, ra:, :, :, ra:].set(o.mids.astype(dt))
+        last = jnp.concatenate(
+            [out.last.astype(dt), o.last.astype(dt)], axis=0
+        )
         out = PackedTTOp(first, mids, last)
     return out
 

@@ -209,7 +209,9 @@ def test_als_warns_when_cg_local_solves_stall():
         x, resid, hist = als_solve(
             op2, rhs2, pad_rank(rhs2, 24), sweeps=6, tol=1e-12
         )
-    assert len(hist) <= 3  # bailed out instead of burning sweeps
+    # the warning fires once but the requested sweeps are honored
+    # (legitimately slow convergence must not be cut short)
+    assert len(hist) == 6
 
 
 def test_gmres_packed_on_qtt_system():
