@@ -16,8 +16,8 @@ The right-hand side ``f_i = exp(-c i / 2^K)`` is an exact *rank-1* QTT
 
 No reference counterpart at any scale: ``pytens``'s GMRES examples top
 out at dense-verifiable sizes (reference ``tests/main_test.py:428-448``).
-The small-K dense-oracle check for this construction lives in
-``tests/test_qtt_solve.py``.
+The constructors live in :mod:`tensor_networks_tpu.ops.qtt` (dense
+oracles: ``tests/test_qtt_solve.py``); this script is just the driver.
 
 Run (CPU f64 is fine — the point is representation, not the chip):
     python3 examples/qtt_screened_poisson.py [K] [chi]
@@ -47,138 +47,13 @@ if _os.environ.get("TNT_QTT_DEVICE", "0") != "1":
 
 import jax.numpy as jnp
 
-from tensor_networks_tpu.ops.packed import (
-    PackedTT,
-    PackedTTOp,
-    norm_exact,
-    pad_rank,
+from tensor_networks_tpu.ops.packed import norm_exact, pad_rank
+from tensor_networks_tpu.ops.qtt import (
+    qtt_exponential,
+    qtt_exponential_2d,
+    qtt_screened_laplacian,
+    qtt_screened_laplacian_2d,
 )
-
-
-def qtt_screened_laplacian(K: int, delta: float = 1.0, dtype=jnp.float64):
-    """Rank-3 QTT cores of ``(2 + delta) I - S - S^T`` on 2^K points.
-
-    Little-endian bit order (core 0 = least significant bit).  Carry
-    automaton states over the bond: 0 = done, 1 = a pending +1 shift
-    (the -S term), 2 = a pending -1 shift (the -S^T term).  Dirichlet
-    ends come out naturally: the all-carries (wraparound) path is
-    dropped by the last core.
-    """
-    eye = np.eye(2)
-    J = np.array([[0.0, 1.0], [0.0, 0.0]])  # out bit 0 <- in bit 1
-    Jt = J.T
-
-    diag = (2.0 + delta) * eye - J - Jt
-    # first core: (n_out, n_in, R) — emits the automaton state
-    first = np.zeros((2, 2, 3))
-    first[:, :, 0] = diag
-    first[:, :, 1] = -Jt  # start the -S carry chain
-    first[:, :, 2] = -J  # start the -S^T carry chain
-    # middle cores: (R, n_out, n_in, R)
-    mid = np.zeros((3, 2, 2, 3))
-    mid[0, :, :, 0] = eye  # done stays done
-    mid[1, :, :, 0] = J  # +1 lands here
-    mid[1, :, :, 1] = Jt  # +1 keeps carrying
-    mid[2, :, :, 0] = Jt  # -1 lands here
-    mid[2, :, :, 2] = J  # -1 keeps carrying
-    # last core: (R, n_out, n_in) — unfinished carries (wraparound) drop
-    last = np.zeros((3, 2, 2))
-    last[0] = eye
-    last[1] = J
-    last[2] = Jt
-    return PackedTTOp(
-        jnp.asarray(first, dtype),
-        jnp.asarray(np.broadcast_to(mid, (K - 2, 3, 2, 2, 3)), dtype),
-        jnp.asarray(last, dtype),
-    )
-
-
-def _interleave_1d_op(op1d, K, phase, dtype=jnp.float64):
-    """Extend a rank-R 1D QTT operator over 2K interleaved bits.
-
-    The 1D cores sit at global positions with ``pos % 2 == phase``
-    (phase 0 = x bits, 1 = y bits); every other position carries a
-    rank-diagonal identity core, so the automaton state rides across
-    the foreign axis untouched.  Boundary embeddings keep the packed
-    uniform-rank layout: the 1D first/last cores become mids with the
-    foreign rank slots zeroed at channel 0.
-    """
-    R = op1d.first.shape[-1]
-    eyeRC = np.zeros((R, 2, 2, R))
-    for a in range(R):
-        eyeRC[a, :, :, a] = np.eye(2)
-    first1 = np.asarray(op1d.first)
-    mids1 = [np.asarray(c) for c in op1d.mids]
-    last1 = np.asarray(op1d.last)
-
-    # 1D cores as uniform (R, 2, 2, R) mids with boundary embeddings
-    as_mid_first = np.zeros((R, 2, 2, R))
-    as_mid_first[0] = first1  # enter at channel 0
-    as_mid_last = np.zeros((R, 2, 2, R))
-    as_mid_last[:, :, :, 0] = last1  # exit into channel 0
-    own = [as_mid_first] + mids1 + [as_mid_last]
-
-    cores = []
-    for pos in range(2 * K):
-        cores.append(own[pos // 2] if pos % 2 == phase else eyeRC)
-    # global boundaries: squeeze the outer rank at channel 0
-    gfirst = cores[0][0]  # (2, 2, R)
-    glast = cores[-1][:, :, :, 0]  # (R, 2, 2)
-    gmids = np.stack(cores[1:-1])
-    return PackedTTOp(
-        jnp.asarray(gfirst, dtype),
-        jnp.asarray(gmids, dtype),
-        jnp.asarray(glast, dtype),
-    )
-
-
-def qtt_screened_laplacian_2d(K: int, delta: float = 1.0,
-                              dtype=jnp.float64):
-    """Rank-6 QTT operator of the 2D screened Laplacian on a
-    2^K x 2^K grid with interleaved bits (x at even positions):
-    ``(4 + delta) I - Sx - Sx^T - Sy - Sy^T`` via two interleaved 1D
-    automata summed with :func:`ops.packed.ttop_add`."""
-    from tensor_networks_tpu.ops.packed import ttop_add
-
-    op_x = _interleave_1d_op(
-        qtt_screened_laplacian(K, delta=delta, dtype=dtype), K, 0, dtype
-    )
-    op_y = _interleave_1d_op(
-        qtt_screened_laplacian(K, delta=0.0, dtype=dtype), K, 1, dtype
-    )
-    return ttop_add(op_x, op_y)
-
-
-def _rank1_from_weights(ws, dtype) -> PackedTT:
-    """Rank-1 binary-mode train with per-position mode weights
-    ``[1, ws[p]]`` — the shared layout of the exponential RHS builders."""
-    first = jnp.asarray([[1.0], [ws[0]]], dtype)  # (n, r)
-    mids = jnp.stack(
-        [jnp.asarray([[[1.0]], [[w]]], dtype).transpose(2, 0, 1)
-         for w in ws[1:-1]]
-    )  # (d-2, 1, 2, 1)
-    last = jnp.asarray([[1.0, ws[-1]]], dtype)  # (r, n)
-    return PackedTT(first, mids, last)
-
-
-def qtt_exponential_2d(
-    K: int, cx: float = 3.0, cy: float = 2.0, dtype=jnp.float64
-) -> PackedTT:
-    """Rank-1 QTT of ``f(x, y) = exp(-cx x / 2^K) exp(-cy y / 2^K)``
-    over 2K interleaved bits."""
-    ws = [
-        float(np.exp(-(cx if p % 2 == 0 else cy) * (2.0 ** (p // 2))
-                     / 2.0**K))
-        for p in range(2 * K)
-    ]
-    return _rank1_from_weights(ws, dtype)
-
-
-def qtt_exponential(K: int, c: float = 3.0, dtype=jnp.float64) -> PackedTT:
-    """Rank-1 QTT of ``f_i = exp(-c i / 2^K)`` (exact: exponentials
-    factor over bits)."""
-    ws = [float(np.exp(-c * (2.0**k) / 2.0**K)) for k in range(K)]
-    return _rank1_from_weights(ws, dtype)
 
 
 def main():

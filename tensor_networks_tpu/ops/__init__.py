@@ -26,8 +26,8 @@ from tensor_networks_tpu.ops.randomized import (
     tt_rand_precond_svd_round,
 )
 from tensor_networks_tpu.ops.solvers import gmres
-from tensor_networks_tpu.ops.als import als_solve
-from tensor_networks_tpu.ops import packed
+from tensor_networks_tpu.ops.als import als_solve, als_solve_adaptive
+from tensor_networks_tpu.ops import packed, qtt
 from tensor_networks_tpu.ops.packed import (
     PackedTT,
     PackedTTOp,
@@ -60,6 +60,8 @@ __all__ = [
     "tt_rand_precond_svd_round",
     "gmres",
     "als_solve",
+    "als_solve_adaptive",
+    "qtt",
     "packed",
     "PackedTT",
     "PackedTTOp",

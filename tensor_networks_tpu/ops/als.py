@@ -44,7 +44,7 @@ from tensor_networks_tpu.ops.packed import (
     ttop_apply_packed,
 )
 
-__all__ = ["als_solve"]
+__all__ = ["als_solve", "als_solve_adaptive"]
 
 
 # -- environment advances ------------------------------------------------------
@@ -303,3 +303,43 @@ def als_solve(
 
     x = PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0])
     return x, res, history
+
+
+def als_solve_adaptive(
+    op: PackedTTOp,
+    rhs: PackedTT,
+    x0: PackedTT = None,
+    eps: float = 1e-8,
+    rank: int = None,
+    max_rank: int = None,
+    sweeps_per_rank: int = 4,
+    **kw,
+) -> Tuple[PackedTT, float, List[float]]:
+    """Rank-adaptive ALS: solve at the current rank and, while the
+    exact relative residual stays above ``eps``, double the rank (warm
+    restart from the zero-padded iterate) up to ``max_rank``.
+
+    The same geometric restart schedule as
+    :func:`ops.packed.gmres_packed` — compilation amortizes over the
+    (few) rank levels, and the caller no longer has to guess the
+    solution rank.  Returns ``(x, absolute residual, concatenated
+    per-sweep history)``.
+    """
+    from tensor_networks_tpu.ops.packed import norm_exact, pad_rank
+
+    if x0 is None:
+        x0 = rhs
+    rank = int(rank) if rank is not None else max(2 * x0.rank, 2)
+    ceiling = int(max_rank) if max_rank is not None else 8 * rank
+    b_norm = float(norm_exact(rhs))
+    x = pad_rank(x0, rank)
+    hist_all: List[float] = []
+    while True:
+        x, res, hist = als_solve(
+            op, rhs, x, sweeps=sweeps_per_rank, tol=eps * b_norm, **kw
+        )
+        hist_all += hist
+        if res <= eps * b_norm or rank >= ceiling:
+            return x, res, hist_all
+        rank = min(2 * rank, ceiling)
+        x = pad_rank(x, rank)

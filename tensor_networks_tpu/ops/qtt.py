@@ -1,0 +1,183 @@
+"""Quantized-TT (QTT) builders: grid operators and functions over
+binary modes.
+
+2^K-point grids stored as K binary modes make billion-point PDE-style
+workloads representable on one chip; these constructors produce the
+packed forms the solvers (:mod:`ops.als`, :func:`ops.packed.gmres_packed`)
+consume directly.  Little-endian bit convention throughout: core 0 is
+the least significant bit of the grid index.
+
+No reference counterpart (``pytens`` has no QTT constructors; its
+operator builders are per-mode Kronecker products,
+``pytens/algs.py:2383-2532``).  Dense oracles: ``tests/test_qtt_solve.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tensor_networks_tpu.ops.packed import PackedTT, PackedTTOp, ttop_add
+
+
+def qtt_shift(K: int, dtype=jnp.float64) -> PackedTTOp:
+    """Rank-2 QTT of the shift-by-one operator ``(S u)_i = u_{i+1}``
+    (Dirichlet: the wraparound carry is dropped).
+
+    A two-state carry automaton over the bits: state 0 = done (apply
+    I), state 1 = a pending +1 (apply J = [[0,1],[0,0]] to finish or
+    J^T to keep carrying).
+    """
+    if K < 2:
+        raise ValueError("QTT operators need K >= 2 (K=2 has no middle"
+                         " cores; the chain solvers need K >= 3)")
+    eye = np.eye(2)
+    J = np.array([[0.0, 1.0], [0.0, 0.0]])
+    first = np.zeros((2, 2, 2))
+    first[:, :, 0] = J
+    first[:, :, 1] = J.T
+    mid = np.zeros((2, 2, 2, 2))
+    mid[0, :, :, 0] = eye
+    mid[1, :, :, 0] = J
+    mid[1, :, :, 1] = J.T
+    last = np.zeros((2, 2, 2))
+    last[0] = eye
+    last[1] = J
+    return PackedTTOp(
+        jnp.asarray(first, dtype),
+        jnp.asarray(np.broadcast_to(mid, (K - 2, 2, 2, 2, 2)), dtype),
+        jnp.asarray(last, dtype),
+    )
+
+
+def qtt_screened_laplacian(
+    K: int, delta: float = 1.0, dtype=jnp.float64
+) -> PackedTTOp:
+    """Rank-3 QTT of ``(2 + delta) I - S - S^T`` on 2^K points
+    (Dirichlet ends).
+
+    Three-state carry automaton: 0 = done, 1 = pending +1 (the -S
+    term), 2 = pending -1 (the -S^T term).  With ``delta > 0`` the
+    spectrum sits in ``[delta, 4 + delta]`` — condition independent of
+    K, so solves stay meaningful at K = 30 (2^30 unknowns).
+    """
+    if K < 2:
+        raise ValueError("QTT operators need K >= 2 (K=2 has no middle"
+                         " cores; the chain solvers need K >= 3)")
+    eye = np.eye(2)
+    J = np.array([[0.0, 1.0], [0.0, 0.0]])
+    Jt = J.T
+
+    diag = (2.0 + delta) * eye - J - Jt
+    first = np.zeros((2, 2, 3))
+    first[:, :, 0] = diag
+    first[:, :, 1] = -Jt  # start the -S carry chain
+    first[:, :, 2] = -J  # start the -S^T carry chain
+    mid = np.zeros((3, 2, 2, 3))
+    mid[0, :, :, 0] = eye
+    mid[1, :, :, 0] = J  # +1 lands here
+    mid[1, :, :, 1] = Jt  # +1 keeps carrying
+    mid[2, :, :, 0] = Jt  # -1 lands here
+    mid[2, :, :, 2] = J  # -1 keeps carrying
+    last = np.zeros((3, 2, 2))
+    last[0] = eye
+    last[1] = J
+    last[2] = Jt
+    return PackedTTOp(
+        jnp.asarray(first, dtype),
+        jnp.asarray(np.broadcast_to(mid, (K - 2, 3, 2, 2, 3)), dtype),
+        jnp.asarray(last, dtype),
+    )
+
+
+def qtt_interleave_1d_op(op1d: PackedTTOp, K: int, phase: int,
+                         dtype=jnp.float64) -> PackedTTOp:
+    """Extend a rank-R 1D QTT operator over 2K interleaved bits.
+
+    The 1D cores sit at global positions with ``pos % 2 == phase``
+    (phase 0 = x bits, 1 = y bits); every other position carries a
+    rank-diagonal identity core, so the automaton state rides across
+    the foreign axis untouched.  Boundary embeddings keep the packed
+    uniform-rank layout: the 1D first/last cores become mids entering/
+    exiting at rank channel 0.
+    """
+    R = op1d.first.shape[-1]
+    eyeRC = np.zeros((R, 2, 2, R))
+    for a in range(R):
+        eyeRC[a, :, :, a] = np.eye(2)
+    first1 = np.asarray(op1d.first)
+    mids1 = [np.asarray(c) for c in op1d.mids]
+    last1 = np.asarray(op1d.last)
+
+    as_mid_first = np.zeros((R, 2, 2, R))
+    as_mid_first[0] = first1  # enter at channel 0
+    as_mid_last = np.zeros((R, 2, 2, R))
+    as_mid_last[:, :, :, 0] = last1  # exit into channel 0
+    own = [as_mid_first] + mids1 + [as_mid_last]
+
+    cores = []
+    for pos in range(2 * K):
+        cores.append(own[pos // 2] if pos % 2 == phase else eyeRC)
+    gfirst = cores[0][0]  # (2, 2, R)
+    glast = cores[-1][:, :, :, 0]  # (R, 2, 2)
+    gmids = np.stack(cores[1:-1])
+    return PackedTTOp(
+        jnp.asarray(gfirst, dtype),
+        jnp.asarray(gmids, dtype),
+        jnp.asarray(glast, dtype),
+    )
+
+
+def qtt_screened_laplacian_2d(
+    K: int, delta: float = 1.0, dtype=jnp.float64
+) -> PackedTTOp:
+    """Rank-6 QTT of the 2D screened Laplacian on a 2^K x 2^K grid with
+    interleaved bits (x at even positions): two interleaved 1D automata
+    summed with :func:`ops.packed.ttop_add`."""
+    if K < 2:
+        raise ValueError("the 2D operator needs K >= 2 bits per axis")
+    op_x = qtt_interleave_1d_op(
+        qtt_screened_laplacian(K, delta=delta, dtype=dtype), K, 0, dtype
+    )
+    op_y = qtt_interleave_1d_op(
+        qtt_screened_laplacian(K, delta=0.0, dtype=dtype), K, 1, dtype
+    )
+    return ttop_add(op_x, op_y)
+
+
+def qtt_rank1_from_weights(ws, dtype=jnp.float64) -> PackedTT:
+    """Rank-1 binary-mode train with per-position mode weights
+    ``[1, ws[p]]`` — separable functions factor over bits this way."""
+    first = jnp.asarray([[1.0], [ws[0]]], dtype)  # (n, r)
+    mids = jnp.stack(
+        [
+            jnp.asarray([[[1.0]], [[w]]], dtype).transpose(2, 0, 1)
+            for w in ws[1:-1]
+        ]
+    )  # (d-2, 1, 2, 1)
+    last = jnp.asarray([[1.0, ws[-1]]], dtype)  # (r, n)
+    return PackedTT(first, mids, last)
+
+
+def qtt_exponential(K: int, c: float = 3.0, dtype=jnp.float64) -> PackedTT:
+    """Exact rank-1 QTT of ``f_i = exp(-c i / 2^K)`` (exponentials
+    factor over bits: exp(a i) = prod_k exp(a b_k 2^k))."""
+    ws = [float(np.exp(-c * (2.0**k) / 2.0**K)) for k in range(K)]
+    return qtt_rank1_from_weights(ws, dtype)
+
+
+def qtt_exponential_2d(
+    K: int, cx: float = 3.0, cy: float = 2.0, dtype=jnp.float64
+) -> PackedTT:
+    """Exact rank-1 QTT of ``exp(-cx x / 2^K) exp(-cy y / 2^K)`` over
+    2K interleaved bits (x at even positions)."""
+    ws = [
+        float(
+            np.exp(
+                -(cx if p % 2 == 0 else cy) * (2.0 ** (p // 2)) / 2.0**K
+            )
+        )
+        for p in range(2 * K)
+    ]
+    return qtt_rank1_from_weights(ws, dtype)

@@ -5,19 +5,10 @@ rank-1 exponential right-hand side exactly; the ALS solve is then
 checked against ``np.linalg.solve`` on the densified system.
 """
 
-import sys
-import os
-
 import numpy as np
 import pytest
 
-sys.path.insert(
-    0,
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 "examples"),
-)
-
-from qtt_screened_poisson import (  # noqa: E402
+from tensor_networks_tpu.ops.qtt import (
     qtt_exponential,
     qtt_screened_laplacian,
 )
@@ -127,7 +118,7 @@ def test_als_solves_to_dense_oracle():
 def test_2d_operator_matches_kron_oracle():
     """The interleaved-bit 2D operator (rank-6 via ttop_add of two 1D
     automata) must densify to Ax (x) I + I (x) Ay exactly."""
-    from qtt_screened_poisson import qtt_screened_laplacian_2d
+    from tensor_networks_tpu.ops.qtt import qtt_screened_laplacian_2d
 
     K, delta = 3, 0.9
     op2 = qtt_screened_laplacian_2d(K, delta=delta)
@@ -172,7 +163,7 @@ def test_2d_als_solves_to_dense_oracle():
     from tensor_networks_tpu.ops.als import als_solve
     from tensor_networks_tpu.ops.packed import norm_exact, pad_rank
 
-    from qtt_screened_poisson import (
+    from tensor_networks_tpu.ops.qtt import (
         qtt_exponential_2d,
         qtt_screened_laplacian_2d,
     )
@@ -198,7 +189,7 @@ def test_als_warns_when_cg_local_solves_stall():
     from tensor_networks_tpu.ops.als import als_solve
     from tensor_networks_tpu.ops.packed import pad_rank
 
-    from qtt_screened_poisson import (
+    from tensor_networks_tpu.ops.qtt import (
         qtt_exponential_2d,
         qtt_screened_laplacian_2d,
     )
@@ -240,3 +231,25 @@ def test_gmres_packed_on_qtt_system():
     u = np.zeros(n)
     u[lin] = _dense_vec(x, K)
     assert np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref) < 1e-7
+
+
+def test_als_solve_adaptive_finds_the_rank():
+    """Starting below the solution rank, the adaptive wrapper doubles
+    until the relative residual target is met (2D system: rank 12 is
+    not enough, 24 is — see the measured decay in the example)."""
+    from tensor_networks_tpu.ops.als import als_solve_adaptive
+    from tensor_networks_tpu.ops.packed import norm_exact
+
+    from tensor_networks_tpu.ops.qtt import (
+        qtt_exponential_2d,
+        qtt_screened_laplacian_2d,
+    )
+
+    op2 = qtt_screened_laplacian_2d(5, delta=1.0)
+    rhs2 = qtt_exponential_2d(5)
+    x, resid, hist = als_solve_adaptive(
+        op2, rhs2, eps=1e-8, rank=6, max_rank=48, dense_limit=8192
+    )
+    rel = float(resid) / float(norm_exact(rhs2))
+    assert rel < 1e-8, rel
+    assert x.rank > 6  # it actually had to adapt
