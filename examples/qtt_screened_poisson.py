@@ -51,8 +51,10 @@ from tensor_networks_tpu.ops.packed import norm_exact, pad_rank
 from tensor_networks_tpu.ops.qtt import (
     qtt_exponential,
     qtt_exponential_2d,
+    qtt_exponential_nd,
     qtt_screened_laplacian,
     qtt_screened_laplacian_2d,
+    qtt_screened_laplacian_nd,
 )
 
 
@@ -122,9 +124,34 @@ def main():
         file=sys.stderr,
     )
     assert r2 / b2 < 1e-6, "2D solve did not converge"
+
+    # 3D screened Poisson on a 16^3 grid — rank-9 operator from three
+    # interleaved 1D automata, separable per-axis exponential rhs.  The
+    # interleaved 3D solution spectrum decays much slower than 1D/2D
+    # (measured at K3=4: rank 16 -> 4.1e-3, 24 -> 3.2e-4, 32 -> 3.5e-5;
+    # the exact middle-bond rank at 1e-6 is 39 of a structural 64), so
+    # the demo stops at the ~3e-4 level to stay interactive
+    K3 = 4
+    op3 = qtt_screened_laplacian_nd(K3, 3, delta=1.0)
+    rhs3 = qtt_exponential_nd(K3, (3.0, 2.0, 1.5))
+    b3 = float(norm_exact(rhs3))
+    from tensor_networks_tpu.ops.als import als_solve_adaptive
+
+    t0 = time.time()
+    x3, r3, h3 = als_solve_adaptive(
+        op3, rhs3, eps=5e-4, rank=8, max_rank=24, dense_limit=8192
+    )
+    wall3 = time.time() - t0
+    print(
+        f"[qtt-solve] 3D ({2**K3}^3) adaptive ALS in {wall3:.1f}s: "
+        f"rel residual {r3 / b3:.2e} at rank {x3.rank}",
+        file=sys.stderr,
+    )
+    assert r3 / b3 < 1e-3, "3D solve did not converge"
     print(
         f"[qtt-solve] OK als_rel={resid / b_norm:.2e} "
-        f"gmres_rel={rg / b_norm:.2e} als2d_rel={r2 / b2:.2e}"
+        f"gmres_rel={rg / b_norm:.2e} als2d_rel={r2 / b2:.2e} "
+        f"als3d_rel={r3 / b3:.2e}"
     )
 
 

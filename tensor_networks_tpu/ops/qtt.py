@@ -92,16 +92,19 @@ def qtt_screened_laplacian(
 
 
 def qtt_interleave_1d_op(op1d: PackedTTOp, K: int, phase: int,
-                         dtype=jnp.float64) -> PackedTTOp:
-    """Extend a rank-R 1D QTT operator over 2K interleaved bits.
+                         dtype=jnp.float64, naxes: int = 2) -> PackedTTOp:
+    """Extend a rank-R 1D QTT operator over ``naxes * K`` interleaved
+    bits.
 
-    The 1D cores sit at global positions with ``pos % 2 == phase``
-    (phase 0 = x bits, 1 = y bits); every other position carries a
+    The 1D cores sit at global positions with ``pos % naxes == phase``
+    (axis 0 = x bits, 1 = y, ...); every other position carries a
     rank-diagonal identity core, so the automaton state rides across
-    the foreign axis untouched.  Boundary embeddings keep the packed
+    the foreign axes untouched.  Boundary embeddings keep the packed
     uniform-rank layout: the 1D first/last cores become mids entering/
     exiting at rank channel 0.
     """
+    if not 0 <= phase < naxes:
+        raise ValueError(f"phase {phase} outside [0, {naxes})")
     R = op1d.first.shape[-1]
     eyeRC = np.zeros((R, 2, 2, R))
     for a in range(R):
@@ -117,8 +120,10 @@ def qtt_interleave_1d_op(op1d: PackedTTOp, K: int, phase: int,
     own = [as_mid_first] + mids1 + [as_mid_last]
 
     cores = []
-    for pos in range(2 * K):
-        cores.append(own[pos // 2] if pos % 2 == phase else eyeRC)
+    for pos in range(naxes * K):
+        cores.append(
+            own[pos // naxes] if pos % naxes == phase else eyeRC
+        )
     gfirst = cores[0][0]  # (2, 2, R)
     glast = cores[-1][:, :, :, 0]  # (R, 2, 2)
     gmids = np.stack(cores[1:-1])
@@ -135,15 +140,33 @@ def qtt_screened_laplacian_2d(
     """Rank-6 QTT of the 2D screened Laplacian on a 2^K x 2^K grid with
     interleaved bits (x at even positions): two interleaved 1D automata
     summed with :func:`ops.packed.ttop_add`."""
+    return qtt_screened_laplacian_nd(K, 2, delta=delta, dtype=dtype)
+
+
+def qtt_screened_laplacian_nd(
+    K: int, naxes: int, delta: float = 1.0, dtype=jnp.float64
+) -> PackedTTOp:
+    """Rank-``3 * naxes`` QTT of the n-dimensional screened Laplacian
+    on a (2^K)^naxes grid with interleaved bits: ``naxes`` interleaved
+    1D automata summed with :func:`ops.packed.ttop_add` (the shift at
+    each axis sees a contiguous carry chain because interleaving is
+    uniform).  ``delta`` applies once (axis 0); the other axes
+    contribute plain ``2I - S - S^T``."""
     if K < 2:
-        raise ValueError("the 2D operator needs K >= 2 bits per axis")
-    op_x = qtt_interleave_1d_op(
-        qtt_screened_laplacian(K, delta=delta, dtype=dtype), K, 0, dtype
-    )
-    op_y = qtt_interleave_1d_op(
-        qtt_screened_laplacian(K, delta=0.0, dtype=dtype), K, 1, dtype
-    )
-    return ttop_add(op_x, op_y)
+        raise ValueError("the interleaved operator needs K >= 2")
+    ops = [
+        qtt_interleave_1d_op(
+            qtt_screened_laplacian(
+                K, delta=delta if a == 0 else 0.0, dtype=dtype
+            ),
+            K,
+            a,
+            dtype,
+            naxes=naxes,
+        )
+        for a in range(naxes)
+    ]
+    return ttop_add(*ops)
 
 
 def qtt_rank1_from_weights(ws, dtype=jnp.float64) -> PackedTT:
@@ -172,12 +195,19 @@ def qtt_exponential_2d(
 ) -> PackedTT:
     """Exact rank-1 QTT of ``exp(-cx x / 2^K) exp(-cy y / 2^K)`` over
     2K interleaved bits (x at even positions)."""
+    return qtt_exponential_nd(K, (cx, cy), dtype)
+
+
+def qtt_exponential_nd(K: int, cs, dtype=jnp.float64) -> PackedTT:
+    """Exact rank-1 QTT of ``prod_a exp(-cs[a] x_a / 2^K)`` over
+    ``len(cs) * K`` interleaved bits (axis ``a`` at positions with
+    ``pos % naxes == a``) — the separable rhs matching the bit layout
+    of :func:`qtt_screened_laplacian_nd`."""
+    naxes = len(cs)
     ws = [
         float(
-            np.exp(
-                -(cx if p % 2 == 0 else cy) * (2.0 ** (p // 2)) / 2.0**K
-            )
+            np.exp(-cs[p % naxes] * (2.0 ** (p // naxes)) / 2.0**K)
         )
-        for p in range(2 * K)
+        for p in range(naxes * K)
     ]
     return qtt_rank1_from_weights(ws, dtype)

@@ -253,3 +253,144 @@ def test_als_solve_adaptive_finds_the_rank():
     rel = float(resid) / float(norm_exact(rhs2))
     assert rel < 1e-8, rel
     assert x.rank > 6  # it actually had to adapt
+
+
+def test_3d_operator_matches_kron_oracle():
+    """The 3-axis interleaved operator (rank 9) densifies to
+    Ax(+)I(+)I + I(+)Ay(+)I + I(+)I(+)Az exactly at K=2 (64 unknowns)."""
+    from tensor_networks_tpu.ops.qtt import qtt_screened_laplacian_nd
+
+    K, delta, naxes = 2, 0.8, 3
+    op3 = qtt_screened_laplacian_nd(K, naxes, delta=delta)
+    full = _dense_op(op3, naxes * K)
+    n = 2**K
+    N = n**naxes
+
+    # densified position -> per-axis indices (core p belongs to axis
+    # p % naxes, bit p // naxes; core 0 is the slowest axis)
+    ax_idx = np.zeros((N, naxes), dtype=int)
+    for pos in range(N):
+        rem = pos
+        bits = []
+        for _ in range(naxes * K):
+            bits.append(rem % 2)
+            rem //= 2
+        bits = bits[::-1]
+        for a in range(naxes):
+            ax_idx[pos, a] = sum(
+                bits[naxes * k + a] << k for k in range(K)
+            )
+
+    def lap1d(d):
+        m = (2.0 + d) * np.eye(n)
+        m -= np.diag(np.ones(n - 1), 1)
+        m -= np.diag(np.ones(n - 1), -1)
+        return m
+
+    eye = np.eye(n)
+    ref = (
+        np.kron(np.kron(lap1d(delta), eye), eye)
+        + np.kron(np.kron(eye, lap1d(0.0)), eye)
+        + np.kron(np.kron(eye, eye), lap1d(0.0))
+    )  # indexed by x*n^2 + y*n + z
+    got = np.zeros((N, N))
+    for p in range(N):
+        for q in range(N):
+            gp = ax_idx[p, 0] * n * n + ax_idx[p, 1] * n + ax_idx[p, 2]
+            gq = ax_idx[q, 0] * n * n + ax_idx[q, 1] * n + ax_idx[q, 2]
+            got[gp, gq] = full[p, q]
+    assert np.allclose(got, ref, atol=1e-12), np.abs(got - ref).max()
+
+
+def test_nd_rhs_matches_separable_exponential():
+    """qtt_exponential_nd is the exact rank-1 interleaving of per-axis
+    exponentials (checked pointwise against the dense product at
+    K=3, naxes=3)."""
+    from tensor_networks_tpu.ops.qtt import qtt_exponential_nd
+
+    K, cs = 3, (2.0, 3.0, 1.5)
+    naxes = len(cs)
+    rhs = qtt_exponential_nd(K, cs)
+    vec = _dense_vec(rhs, naxes * K)
+    n = 2**K
+    for pos in range(n**naxes):
+        # densified position -> per-axis indices (core p = axis
+        # p % naxes, bit p // naxes; densify makes core 0 slowest)
+        rem, bits = pos, []
+        for _ in range(naxes * K):
+            bits.append(rem % 2)
+            rem //= 2
+        bits = bits[::-1]
+        ref = 1.0
+        for a in range(naxes):
+            xa = sum(bits[naxes * k + a] << k for k in range(K))
+            ref *= np.exp(-cs[a] * xa / n)
+        assert abs(vec[pos] - ref) < 1e-13
+
+
+def test_3d_als_solves_to_dense_oracle():
+    """End-to-end 3-axis solve at K=3 (512 unknowns) against the dense
+    kron oracle."""
+    from tensor_networks_tpu.ops.als import als_solve_adaptive
+    from tensor_networks_tpu.ops.packed import norm_exact
+    from tensor_networks_tpu.ops.qtt import (
+        qtt_exponential_nd,
+        qtt_screened_laplacian_nd,
+    )
+
+    K, naxes, delta, cs = 3, 3, 1.0, (2.0, 3.0, 1.5)
+    op = qtt_screened_laplacian_nd(K, naxes, delta=delta)
+    rhs = qtt_exponential_nd(K, cs)
+    x, resid, _ = als_solve_adaptive(op, rhs, eps=1e-9, rank=4,
+                                     max_rank=16)
+    rel = float(resid) / float(norm_exact(rhs))
+    assert rel < 1e-9, rel
+
+    d = naxes * K
+    A = _dense_op(op, d)
+    f = _dense_vec(rhs, d)
+    u_ref = np.linalg.solve(A, f)
+    u = _dense_vec(x, d)
+    assert np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref) < 1e-8
+
+
+@pytest.mark.slow
+def test_cross_recovers_qtt_solution():
+    """QTT-regime cross approximation: rebuild the d=16 binary-mode
+    screened-Poisson solution from point evaluations alone — the
+    many-tiny-modes regime the reference README flags as broken
+    ('dimension scaling is off ... may be a problem if QTT
+    considered'), driven end-to-end through the cross engine."""
+    from tensor_networks_tpu.cross import (
+        CrossApproximation,
+        CrossConfig,
+        FuncTensorNetwork,
+    )
+    from tensor_networks_tpu import Index, TensorNetwork
+    from tensor_networks_tpu.ops.als import als_solve
+    from tensor_networks_tpu.ops.packed import pad_rank, unpack
+    from tensor_networks_tpu.ops.qtt import (
+        qtt_exponential,
+        qtt_screened_laplacian,
+    )
+
+    K = 16
+    op = qtt_screened_laplacian(K, delta=1.0)
+    rhs = qtt_exponential(K, c=3.0)
+    x, resid, _ = als_solve(op, rhs, pad_rank(rhs, 8), sweeps=4,
+                            tol=1e-12)
+    target_net = unpack(x, [f"b{k}" for k in range(K)])
+    indices = target_net.free_indices()
+    func = FuncTensorNetwork(indices, target_net)
+
+    init = TensorNetwork.rand_tt(indices, [1] * (K - 1))
+    res = CrossApproximation(func, CrossConfig(kickrank=2)).cross(
+        init, eps=1e-6
+    )
+
+    rng = np.random.default_rng(3)
+    pts = rng.integers(0, 2, (4096, K))
+    real = np.asarray(func(pts))
+    approx = np.asarray(res.net.evaluate(indices, pts))
+    rel = np.linalg.norm(real - approx) / np.linalg.norm(real)
+    assert rel < 1e-5, rel
