@@ -128,9 +128,11 @@ def main():
     # 3D screened Poisson on a 16^3 grid — rank-9 operator from three
     # interleaved 1D automata, separable per-axis exponential rhs.  The
     # interleaved 3D solution spectrum decays much slower than 1D/2D
-    # (measured at K3=4: rank 16 -> 4.1e-3, 24 -> 3.2e-4, 32 -> 3.5e-5;
-    # the exact middle-bond rank at 1e-6 is 39 of a structural 64), so
-    # the demo stops at the ~3e-4 level to stay interactive
+    # (zero-pad ladder at K3=4: rank 16 -> 4.1e-3, 24 -> 3.2e-4,
+    # 32 -> 3.5e-5; the exact middle-bond rank at 1e-6 is 39 of a
+    # structural 64), so the demo stops at the ~3e-4 level to stay
+    # interactive.  AMEn enrichment (the adaptive default) reaches
+    # 2.9e-4 at rank 24 in ~32 s where zero padding took ~87 s
     K3 = 4
     op3 = qtt_screened_laplacian_nd(K3, 3, delta=1.0)
     rhs3 = qtt_exponential_nd(K3, (3.0, 2.0, 1.5))

@@ -20,10 +20,13 @@ linear solver.  No reference counterpart (``pytens`` only has GMRES,
 ``pytens/algs.py:2700``).
 
 Scope: the local systems are solved densely below
-``dense_limit`` unknowns and by conjugate gradients on the normal
-equations above it (general ``A``; squares the local condition
-number).  Rank adaptivity is by restart: solve at rank r, and if the
-residual stalls, warm-start from ``pad_rank(x, 2 r)``.
+``dense_limit`` unknowns and by conjugate gradients above it — on the
+normal equations for general ``A`` (squares the local condition
+number), or directly on the projected operator with ``spd=True``.
+Rank adaptivity is by restart (:func:`als_solve_adaptive`): solve at
+rank r, then grow geometrically — by default enriching the new bond
+directions with the rounded residual train (AMEn-style) rather than
+zero padding.
 """
 
 from __future__ import annotations
@@ -109,14 +112,24 @@ def _matvec_t(L, ak, R, u):
     return jnp.einsum("ajqt,qtc->ajc", u2, R, precision="highest")
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def _local_cg(L, ak, R, rhs, v0, lam, iters):
-    """CG on the normal equations of the regularized projected system
-    (H + lam I) — the same operator the dense path regularizes, so the
-    computed core does not jump at ``dense_limit``."""
+@partial(jax.jit, static_argnames=("iters", "spd"))
+def _local_cg(L, ak, R, rhs, v0, lam, iters, spd):
+    """CG on the regularized projected system (H + lam I).
+
+    ``spd=False`` (general ``A``): CG on the normal equations — always
+    applicable, but squares the local condition number.  ``spd=True``
+    (symmetric positive definite ``A``; the Galerkin projection through
+    orthonormal frames is then SPD too): plain CG on H directly — the
+    same iteration count buys twice the digits."""
 
     def hmat(v):
         return _matvec(L, ak, R, v) + lam * v
+
+    if spd:
+        x, _ = jax.scipy.sparse.linalg.cg(
+            hmat, rhs, x0=v0, maxiter=iters, tol=1e-12
+        )
+        return x
 
     def hmat_t(u):
         return _matvec_t(L, ak, R, u) + lam * u
@@ -149,7 +162,8 @@ def _right_orth(core):
     return q.T.reshape(r1, n, r2)
 
 
-def _solve_core(L, R, Lb, Rb, ak, bk, vk, lam, dense_limit, cg_iters):
+def _solve_core(L, R, Lb, Rb, ak, bk, vk, lam, dense_limit, cg_iters,
+                spd, warm):
     rhs = _local_rhs(Lb, bk, Rb)
     m = rhs.size
     if m <= dense_limit:
@@ -160,7 +174,17 @@ def _solve_core(L, R, Lb, Rb, ak, bk, vk, lam, dense_limit, cg_iters):
         # making H singular — the minimum-norm solution zeroes them
         sol = jnp.linalg.lstsq(H, rhs.reshape(m))[0]
         return sol.reshape(rhs.shape)
-    return _local_cg(L, ak, R, rhs, vk, lam, cg_iters)
+    # warm-start ONLY structurally nonsingular locals.  On a singular
+    # local (overparameterized bond: rank > the mode product on one
+    # side), CG preserves the warm start's null(H) component — the
+    # represented tensor is unchanged (null(H) = null(frame)) but the
+    # junk enters the bond basis at the orthogonalization step and the
+    # sweep stalls orders of magnitude above the dense path (observed:
+    # 1.4e-2 vs 1e-13 on a K=6 QTT system; every LOCAL residual at
+    # 1e-15).  From x0 = 0 the Krylov space lives in range(H), so CG
+    # returns the same minimum-norm solution lstsq does.
+    v0 = vk if warm else jnp.zeros_like(vk)
+    return _local_cg(L, ak, R, rhs, v0, lam, cg_iters, spd)
 
 
 def _residual(op: PackedTTOp, rhs: PackedTT, x: PackedTT) -> float:
@@ -178,6 +202,7 @@ def als_solve(
     lam: float = 0.0,
     dense_limit: int = 1024,
     cg_iters: int = 200,
+    spd: bool = False,
 ) -> Tuple[PackedTT, float, List[float]]:
     """Solve ``op @ x = rhs`` by one-site ALS at the ranks of ``x0``.
 
@@ -187,8 +212,11 @@ def als_solve(
     loop stops once it drops below ``tol``.
 
     The projected local systems are solved densely up to
-    ``dense_limit`` unknowns, else by ``cg_iters`` CG steps on the
-    normal equations (warm-started from the current core).  ``lam``
+    ``dense_limit`` unknowns, else by ``cg_iters`` CG steps — on the
+    normal equations for general ``A``, or directly on the projected
+    operator when ``spd=True`` (``A`` symmetric positive definite:
+    twice the digits per iteration, no condition-number squaring;
+    elliptic operators like the screened Laplacian qualify).  ``lam``
     regularizes the local solves (useful when the Galerkin projection
     of a strongly nonsymmetric ``A`` is near-singular).  Grow ranks by
     restarting from ``packed.pad_rank(x, r2)``.
@@ -223,6 +251,22 @@ def als_solve(
             "anb,cb->anc", xs[k - 1], rmat, precision="highest"
         )
 
+    # structural nonsingularity of each local system (CG warm-start
+    # gate, see _solve_core): bond ranks within the mode products on
+    # both sides of the core
+    caps_l, cap = [], 1
+    for k in range(d):
+        caps_l.append(cap)
+        cap = min(cap * xs[k].shape[1], 1 << 40)
+    caps_r, cap = [0] * d, 1
+    for k in range(d - 1, -1, -1):
+        caps_r[k] = cap
+        cap = min(cap * xs[k].shape[1], 1 << 40)
+    warm_ok = [
+        xs[k].shape[0] <= caps_l[k] and xs[k].shape[2] <= caps_r[k]
+        for k in range(d)
+    ]
+
     one3 = jnp.ones((1, 1, 1), dt)
     one2 = jnp.ones((1, 1), dt)
 
@@ -248,7 +292,7 @@ def als_solve(
         for k in range(d):
             xs[k] = _solve_core(
                 ls[-1], rs[k], lbs[-1], rbs[k], as_[k], bs[k], xs[k],
-                lam_d, dense_limit, cg_iters,
+                lam_d, dense_limit, cg_iters, spd, warm_ok[k],
             )
             if k < d - 1:
                 xs[k] = _left_orth(xs[k])
@@ -261,7 +305,7 @@ def als_solve(
             xs[k] = _solve_core(
                 ls[k], rev_rs[-1], lbs[k], rev_rbs[-1],
                 as_[k], bs[k], xs[k],
-                lam_d, dense_limit, cg_iters,
+                lam_d, dense_limit, cg_iters, spd, warm_ok[k],
             )
             if k > 0:
                 xs[k] = _right_orth(xs[k])
@@ -280,14 +324,16 @@ def als_solve(
             and len(history) >= 2
             and history[-1] > 0.98 * history[-2]
         ):
-            # a stalled sweep above tol on the CG path is usually a
+            # a stalled sweep above tol on the CG path can be a
             # LOCAL-solve failure, not a rank limit: r*n*r past
             # dense_limit routes to CG on the normal equations, whose
-            # squared condition number can defeat cg_iters (observed:
-            # rank 24 on a mode-2 train stuck at rel 0.26 while rank
-            # 16 solved exactly, local size 1152 > the 1024 dense
-            # default).  Warn once but honor the requested sweeps —
-            # slow legitimate convergence must not be cut short.
+            # squared condition number can defeat cg_iters.  (The
+            # historically observed hard stall — rank 24 on a mode-2
+            # train stuck at rel 0.26 while the dense path solved
+            # exactly — was warm-start null-space junk on singular
+            # locals, fixed by the warm_ok gate in _solve_core.)
+            # Warn once but honor the requested sweeps — slow
+            # legitimate convergence must not be cut short.
             size = x0.rank * x0.mode * x0.rank
             if size > dense_limit:
                 warned_stall = True
@@ -313,11 +359,21 @@ def als_solve_adaptive(
     rank: int = None,
     max_rank: int = None,
     sweeps_per_rank: int = 4,
+    enrich: bool = True,
     **kw,
 ) -> Tuple[PackedTT, float, List[float]]:
     """Rank-adaptive ALS: solve at the current rank and, while the
     exact relative residual stays above ``eps``, double the rank (warm
-    restart from the zero-padded iterate) up to ``max_rank``.
+    restart) up to ``max_rank``.
+
+    With ``enrich=True`` (default) the rank growth is AMEn-style: the
+    new bond directions are the leading basis of the current residual
+    train ``b - A x`` (rounded to the kick rank and direct-summed with
+    coefficient zero — the represented iterate is unchanged, but every
+    bond's frame now spans the steepest-descent subspace the next sweep
+    needs; Dolgov & Savostyanov's enrichment, done globally at restart
+    so every shape stays static between restarts).  ``enrich=False``
+    falls back to inert zero padding.
 
     The same geometric restart schedule as
     :func:`ops.packed.gmres_packed` — compilation amortizes over the
@@ -325,14 +381,30 @@ def als_solve_adaptive(
     solution rank.  Returns ``(x, absolute residual, concatenated
     per-sweep history)``.
     """
-    from tensor_networks_tpu.ops.packed import norm_exact, pad_rank
+    from tensor_networks_tpu.ops.packed import norm_exact, pad_rank, svd_round
+
+    def _grow(x: PackedTT, target: int) -> PackedTT:
+        kick = target - x.rank
+        if kick <= 0:
+            return x
+        if not enrich:
+            return pad_rank(x, target)
+        resid = add(rhs, scale(ttop_apply_packed(op, x), -1.0))
+        z = svd_round(resid, kick)
+        dt = x.first.dtype
+        span = PackedTT(  # zero coefficient: pure subspace enrichment
+            jnp.zeros(z.first.shape, dt),
+            z.mids.astype(dt),
+            z.last.astype(dt),
+        )
+        return add(x, span)
 
     if x0 is None:
         x0 = rhs
     rank = int(rank) if rank is not None else max(2 * x0.rank, 2)
     ceiling = int(max_rank) if max_rank is not None else 8 * rank
     b_norm = float(norm_exact(rhs))
-    x = pad_rank(x0, rank)
+    x = _grow(x0, rank)
     hist_all: List[float] = []
     while True:
         x, res, hist = als_solve(
@@ -342,4 +414,4 @@ def als_solve_adaptive(
         if res <= eps * b_norm or rank >= ceiling:
             return x, res, hist_all
         rank = min(2 * rank, ceiling)
-        x = pad_rank(x, rank)
+        x = _grow(x, rank)

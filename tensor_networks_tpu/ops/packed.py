@@ -516,6 +516,42 @@ def ttop_add(*ops: PackedTTOp) -> PackedTTOp:
     return out
 
 
+def ttop_round(
+    op: PackedTTOp, eps: float = 1e-12, reorth: bool = False
+) -> PackedTTOp:
+    """Compress a uniform TT-operator to its eps-accurate ranks.
+
+    The (out, in) physical pair of every core is fused into one mode of
+    size ``no * ni`` and the train runs through the fused Householder
+    orthogonalize+truncate sweep (the same kernel as
+    :func:`svd_round`); the uniform packed layout is then sliced to the
+    largest kept bond — smaller bonds keep zeroed (inert) directions.
+    Use after :func:`ttop_add` chains or operator-operator products
+    whose block-diagonal ranks overshoot the exact ones.  ``eps`` is
+    relative to the operator's Frobenius norm.  No reference
+    counterpart (``pytens`` rounds TT tensors only,
+    ``pytens/algs.py:1841``).
+    """
+    from tensor_networks_tpu.ops.fast import _tt_round_sweep_fn
+
+    dm = op.mids.shape[0]
+    if dm < 1:
+        raise ValueError("ttop_round needs d >= 3 cores")
+    no, ni, R = op.first.shape
+    f, m, l, k0, ks = _tt_round_sweep_fn(True, reorth)(
+        op.first.reshape(no * ni, R),
+        op.mids.reshape(dm, R, no * ni, R),
+        op.last.reshape(R, no * ni),
+        eps,
+    )
+    r_new = max(int(k0), int(np.asarray(ks).max()))
+    return PackedTTOp(
+        f[:, :r_new].reshape(no, ni, r_new),
+        m[:, :r_new, :, :r_new].reshape(dm, r_new, no, ni, r_new),
+        l[:r_new, :].reshape(r_new, no, ni),
+    )
+
+
 @jax.jit
 def hadamard(a: PackedTT, b: PackedTT) -> PackedTT:
     """Exact elementwise product: bond ranks multiply (per-core Kronecker

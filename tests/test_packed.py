@@ -236,3 +236,37 @@ def test_ttop_add_mixed_ranks_matches_separate_applies():
     bad = pk.PackedTTOp(bad.first, bad.mids[:, :, :, : n - 1, :], bad.last)
     with pytest.raises(ValueError):
         pk.ttop_add(op_a, bad)
+
+
+def test_ttop_round_compresses_inflated_sum():
+    """ttop_round must collapse a block-diagonal-inflated operator
+    (A + A - A, structural rank 3R) back to at most the rank of A,
+    preserving the applied action to roundoff."""
+    import jax.numpy as jnp
+
+    from tensor_networks_tpu.ops import packed as pk
+
+    rng = np.random.default_rng(23)
+    d, n, r, R = 5, 3, 4, 3
+    g = np.random.default_rng(7)
+    op = pk.PackedTTOp(
+        jnp.asarray(g.standard_normal((n, n, R))),
+        jnp.asarray(g.standard_normal((d - 2, R, n, n, R))),
+        jnp.asarray(g.standard_normal((R, n, n))),
+    )
+    neg = pk.PackedTTOp(-op.first, op.mids, op.last)
+    big = pk.ttop_add(op, op, neg)  # == A at structural rank 3R
+    small = pk.ttop_round(big, 1e-12)
+    assert small.first.shape[-1] <= R, small.first.shape
+
+    x = pk.PackedTT(
+        jnp.asarray(rng.standard_normal((n, r))),
+        jnp.asarray(rng.standard_normal((d - 2, r, n, r))),
+        jnp.asarray(rng.standard_normal((r, n))),
+    )
+    ya = pk.ttop_apply_packed(op, x)
+    yb = pk.ttop_apply_packed(small, x)
+    rel = float(pk.norm_exact(pk.add(ya, pk.scale(yb, -1.0)))) / float(
+        pk.norm_exact(ya)
+    )
+    assert rel < 1e-10, rel
