@@ -516,6 +516,51 @@ def ttop_add(*ops: PackedTTOp) -> PackedTTOp:
     return out
 
 
+def ttop_transpose(op: PackedTTOp) -> PackedTTOp:
+    """The transposed operator (out/in physical axes swapped per core):
+    ``ttop_apply_packed(ttop_transpose(A), x)`` applies ``A^T``."""
+    return PackedTTOp(
+        op.first.transpose(1, 0, 2),
+        op.mids.transpose(0, 1, 3, 2, 4),
+        op.last.transpose(0, 2, 1),
+    )
+
+
+@jax.jit
+def ttop_compose(a: PackedTTOp, b: PackedTTOp) -> PackedTTOp:
+    """The operator product ``A @ B`` (apply ``B`` first): per-core
+    contraction over the shared physical index, bond ranks multiply.
+
+    Follow with :func:`ttop_round` when composing chains — the product
+    rank ``R_A * R_B`` usually overshoots the exact rank.  Typical use:
+    the SPD normal equations of a nonsymmetric system,
+    ``ttop_compose(ttop_transpose(A), A)``, solved with
+    ``als_solve(..., spd=True)``.  No reference counterpart
+    (``pytens`` applies operators to trains only,
+    ``pytens/algs.py:2662``).
+    """
+    ra, rb = a.first.shape[-1], b.first.shape[-1]
+    if (
+        a.mids.shape[0] != b.mids.shape[0]
+        or a.first.shape[1] != b.first.shape[0]
+        or a.mids.shape[3] != b.mids.shape[2]
+    ):
+        raise ValueError(
+            f"operator shape mismatch: {a.mids.shape} vs {b.mids.shape}"
+        )
+    first = jnp.einsum(
+        "imr,mjs->ijrs", a.first, b.first, precision="highest"
+    ).reshape(a.first.shape[0], b.first.shape[1], ra * rb)
+    dm = a.mids.shape[0]
+    mids = jnp.einsum(
+        "kaimt,kbmjs->kabijts", a.mids, b.mids, precision="highest"
+    ).reshape(dm, ra * rb, a.mids.shape[2], b.mids.shape[3], ra * rb)
+    last = jnp.einsum(
+        "aim,bmj->abij", a.last, b.last, precision="highest"
+    ).reshape(ra * rb, a.last.shape[1], b.last.shape[2])
+    return PackedTTOp(first, mids, last)
+
+
 def ttop_round(
     op: PackedTTOp, eps: float = 1e-12, reorth: bool = False
 ) -> PackedTTOp:

@@ -270,3 +270,50 @@ def test_ttop_round_compresses_inflated_sum():
         pk.norm_exact(ya)
     )
     assert rel < 1e-10, rel
+
+
+def test_ttop_compose_and_transpose_oracles():
+    """ttop_compose(A, B) applies as A∘B; ttop_transpose is the
+    adjoint under the train inner product."""
+    import jax.numpy as jnp
+
+    from tensor_networks_tpu.ops import packed as pk
+
+    g = np.random.default_rng(5)
+    d, n, r = 5, 3, 4
+
+    def rand_op(R, seed):
+        h = np.random.default_rng(seed)
+        return pk.PackedTTOp(
+            jnp.asarray(h.standard_normal((n, n, R))),
+            jnp.asarray(h.standard_normal((d - 2, R, n, n, R))),
+            jnp.asarray(h.standard_normal((R, n, n))),
+        )
+
+    A, B = rand_op(2, 1), rand_op(3, 2)
+    x = pk.PackedTT(
+        jnp.asarray(g.standard_normal((n, r))),
+        jnp.asarray(g.standard_normal((d - 2, r, n, r))),
+        jnp.asarray(g.standard_normal((r, n))),
+    )
+    y1 = pk.ttop_apply_packed(pk.ttop_compose(A, B), x)
+    y2 = pk.ttop_apply_packed(A, pk.ttop_apply_packed(B, x))
+    rel = float(pk.norm_exact(pk.add(y1, pk.scale(y2, -1.0)))) / float(
+        pk.norm_exact(y2)
+    )
+    assert rel < 1e-12, rel
+    assert pk.ttop_compose(A, B).first.shape[-1] == 6  # ranks multiply
+
+    y = pk.PackedTT(
+        jnp.asarray(g.standard_normal((n, 2))),
+        jnp.asarray(g.standard_normal((d - 2, 2, n, 2))),
+        jnp.asarray(g.standard_normal((2, n))),
+    )
+    v1 = float(pk.inner(pk.ttop_apply_packed(A, x), y))
+    v2 = float(pk.inner(x, pk.ttop_apply_packed(pk.ttop_transpose(A), y)))
+    assert abs(v1 - v2) < 1e-10 * abs(v1), (v1, v2)
+
+    bad = rand_op(2, 3)
+    bad = pk.PackedTTOp(bad.first, bad.mids[:1], bad.last)
+    with pytest.raises(ValueError):
+        pk.ttop_compose(A, bad)

@@ -394,3 +394,39 @@ def test_cross_recovers_qtt_solution():
     approx = np.asarray(res.net.evaluate(indices, pts))
     rel = np.linalg.norm(real - approx) / np.linalg.norm(real)
     assert rel < 1e-5, rel
+
+
+def test_nonsymmetric_solve_via_normal_equations():
+    """The packed operator algebra closes the loop for nonsymmetric
+    systems: A = 1.5 I - S (upwind shift, nonsymmetric) solved through
+    the SPD normal equations ttop_round(ttop_compose(A^T, A)) with
+    als_solve(spd=True), against the dense oracle."""
+    import jax.numpy as jnp
+
+    from tensor_networks_tpu.ops import packed as pk
+    from tensor_networks_tpu.ops.als import als_solve_adaptive
+    from tensor_networks_tpu.ops.qtt import qtt_exponential, qtt_shift
+
+    K = 8
+    S = qtt_shift(K)
+    eye = jnp.eye(2, dtype=jnp.float64)
+    I = pk.PackedTTOp(
+        1.5 * eye[:, :, None],
+        jnp.broadcast_to(eye[None, None, :, :, None], (K - 2, 1, 2, 2, 1)),
+        eye[None],
+    )
+    A = pk.ttop_add(I, pk.PackedTTOp(-S.first, S.mids, S.last))
+    At = pk.ttop_transpose(A)
+    N = pk.ttop_round(pk.ttop_compose(At, A), 1e-13)
+    assert N.first.shape[-1] <= 5  # exact rank 4 of a structural 9
+
+    rhs = qtt_exponential(K, c=3.0)
+    rhs_n = pk.ttop_apply_packed(At, rhs)
+    x, res, _ = als_solve_adaptive(
+        N, rhs_n, eps=1e-11, rank=4, max_rank=16, spd=True
+    )
+    assert res / float(pk.norm_exact(rhs_n)) < 1e-11
+
+    u_ref = np.linalg.solve(_dense_op(A, K), _dense_vec(rhs, K))
+    u = _dense_vec(x, K)
+    assert np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref) < 1e-10
