@@ -187,10 +187,12 @@ def _solve_core(L, R, Lb, Rb, ak, bk, vk, lam, dense_limit, cg_iters,
     return _local_cg(L, ak, R, rhs, v0, lam, cg_iters, spd)
 
 
+def _residual_train(op: PackedTTOp, rhs: PackedTT, x: PackedTT) -> PackedTT:
+    return add(rhs, scale(ttop_apply_packed(op, x), -1.0))
+
+
 def _residual(op: PackedTTOp, rhs: PackedTT, x: PackedTT) -> float:
-    return float(
-        norm_exact(add(rhs, scale(ttop_apply_packed(op, x), -1.0)))
-    )
+    return float(norm_exact(_residual_train(op, rhs, x)))
 
 
 def als_solve(
@@ -340,9 +342,19 @@ def als_solve(
                 warnings.warn(
                     f"ALS sweep reduced the residual <2% (now "
                     f"{res:.2e}) with local systems of {size} unknowns "
-                    f"above dense_limit={dense_limit} (CG on normal "
-                    "equations); if it stays flat, raise dense_limit "
-                    "or cg_iters, or lower the rank",
+                    f"above dense_limit={dense_limit} ("
+                    + (
+                        "plain CG on the SPD projection"
+                        if spd
+                        else "CG on normal equations"
+                    )
+                    + "); if it stays flat, raise dense_limit or "
+                    "cg_iters, or lower the rank"
+                    + (
+                        ""
+                        if spd
+                        else "; for SPD operators pass spd=True"
+                    ),
                     RuntimeWarning,
                     stacklevel=2,
                 )
@@ -389,8 +401,7 @@ def als_solve_adaptive(
             return x
         if not enrich:
             return pad_rank(x, target)
-        resid = add(rhs, scale(ttop_apply_packed(op, x), -1.0))
-        z = svd_round(resid, kick)
+        z = svd_round(_residual_train(op, rhs, x), kick)
         dt = x.first.dtype
         span = PackedTT(  # zero coefficient: pure subspace enrichment
             jnp.zeros(z.first.shape, dt),

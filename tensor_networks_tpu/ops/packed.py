@@ -577,11 +577,26 @@ def ttop_round(
     counterpart (``pytens`` rounds TT tensors only,
     ``pytens/algs.py:1841``).
     """
-    from tensor_networks_tpu.ops.fast import _tt_round_sweep_fn
+    from tensor_networks_tpu.ops.fast import (
+        _tt_round_sweep_fn,
+        sweep_noise_floor,
+    )
 
     dm = op.mids.shape[0]
     if dm < 1:
         raise ValueError("ttop_round needs d >= 3 cores")
+    floor = sweep_noise_floor(op.first.dtype, dm + 2)
+    if eps < floor:
+        import warnings
+
+        warnings.warn(
+            f"ttop_round eps={eps:g} is below the {op.first.dtype} "
+            f"sweep noise floor ({floor:.1e}): null directions may "
+            "stay above budget and the operator may not compress; "
+            "raise eps or round in float64",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     no, ni, R = op.first.shape
     f, m, l, k0, ks = _tt_round_sweep_fn(True, reorth)(
         op.first.reshape(no * ni, R),

@@ -154,6 +154,8 @@ def qtt_screened_laplacian_nd(
     contribute plain ``2I - S - S^T``."""
     if K < 2:
         raise ValueError("the interleaved operator needs K >= 2")
+    if naxes < 1:
+        raise ValueError(f"naxes must be >= 1, got {naxes}")
     ops = [
         qtt_interleave_1d_op(
             qtt_screened_laplacian(
