@@ -516,6 +516,20 @@ def ttop_add(*ops: PackedTTOp) -> PackedTTOp:
     return out
 
 
+def ttop_identity(d: int, n: int, dtype=jnp.float64) -> PackedTTOp:
+    """The rank-1 identity operator on d modes of size n — the unit of
+    :func:`ttop_compose` and the ``alpha I + ...`` building block of
+    shifted systems."""
+    if d < 3:
+        raise ValueError("packed operators need d >= 3")
+    eye = jnp.eye(n, dtype=dtype)
+    return PackedTTOp(
+        eye[:, :, None],
+        jnp.broadcast_to(eye[None, None, :, :, None], (d - 2, 1, n, n, 1)),
+        eye[None],
+    )
+
+
 def ttop_transpose(op: PackedTTOp) -> PackedTTOp:
     """The transposed operator (out/in physical axes swapped per core):
     ``ttop_apply_packed(ttop_transpose(A), x)`` applies ``A^T``."""

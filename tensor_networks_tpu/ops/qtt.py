@@ -192,6 +192,99 @@ def qtt_exponential(K: int, c: float = 3.0, dtype=jnp.float64) -> PackedTT:
     return qtt_rank1_from_weights(ws, dtype)
 
 
+def qtt_trig(
+    K: int, freq: float, phase: float = 0.0, dtype=jnp.float64
+) -> PackedTT:
+    """Exact rank-2 QTT of ``f_i = sin(freq * i / 2^K + phase)``.
+
+    The classic angle-addition automaton: the bond carries the
+    2-state ``[sin(theta), cos(theta)]`` of the partial bit sum and
+    every core applies the rotation by its bit's angle —
+    ``sin``/``cos``/any phase shift of a linear argument is exactly
+    rank 2 in QTT (use ``phase=pi/2`` for cosine).
+    """
+    if K < 3:
+        raise ValueError("packed trains need K >= 3")
+    a = float(freq) / 2.0**K
+
+    def rot(k):
+        # (2 values, 2x2 rotation): G[alpha, v, beta]
+        out = np.zeros((2, 2, 2))
+        for v in (0, 1):
+            phi = a * v * 2.0**k
+            c, s = np.cos(phi), np.sin(phi)
+            out[:, v, :] = [[c, -s], [s, c]]
+        return out
+
+    first = np.zeros((2, 2))
+    for v in (0, 1):
+        th = phase + a * v
+        first[v] = [np.sin(th), np.cos(th)]
+    mids = np.stack([rot(k) for k in range(1, K - 1)])
+    last = np.zeros((2, 2))
+    for v in (0, 1):
+        phi = a * v * 2.0 ** (K - 1)
+        last[:, v] = [np.cos(phi), np.sin(phi)]
+    return PackedTT(
+        jnp.asarray(first, dtype),
+        jnp.asarray(mids, dtype),
+        jnp.asarray(last, dtype),
+    )
+
+
+def qtt_polynomial(K: int, coeffs, dtype=jnp.float64) -> PackedTT:
+    """Exact rank-(q+1) QTT of the degree-q polynomial
+    ``f_i = sum_q coeffs[q] * (i / 2^K)^q``.
+
+    The bond carries the monomial vector ``[1, X, ..., X^q]`` of the
+    partial bit sum; each core is the binomial upper-triangular
+    transition ``(X + u)^m = sum_j C(m,j) X^j u^(m-j)`` for its bit
+    value's normalized weight ``u``.
+    """
+    if K < 3:
+        raise ValueError("packed trains need K >= 3")
+    coeffs = np.asarray(coeffs, dtype=np.float64)
+    Q = len(coeffs) - 1
+    if Q < 0:
+        raise ValueError("need at least one coefficient")
+    r = Q + 1
+    from math import comb as _comb
+
+    comb = np.zeros((r, r))
+    for m in range(r):
+        for j in range(m + 1):
+            comb[m, j] = float(_comb(m, j))
+
+    def trans(k):
+        # G[j, v, m] = C(m, j) * u^(m-j),  u = v * 2^k / 2^K
+        out = np.zeros((r, 2, r))
+        for v in (0, 1):
+            u = v * 2.0**k / 2.0**K
+            for m in range(r):
+                for j in range(m + 1):
+                    out[j, v, m] = comb[m, j] * u ** (m - j)
+        return out
+
+    first = np.zeros((2, r))
+    for v in (0, 1):
+        u = v / 2.0**K
+        first[v] = [u**m for m in range(r)]
+    mids = np.stack([trans(k) for k in range(1, K - 1)])
+    last = np.zeros((r, 2))
+    for v in (0, 1):
+        u = v * 2.0 ** (K - 1) / 2.0**K
+        for j in range(r):
+            last[j, v] = sum(
+                coeffs[m] * comb[m, j] * u ** (m - j)
+                for m in range(j, r)
+            )
+    return PackedTT(
+        jnp.asarray(first, dtype),
+        jnp.asarray(mids, dtype),
+        jnp.asarray(last, dtype),
+    )
+
+
 def qtt_exponential_2d(
     K: int, cx: float = 3.0, cy: float = 2.0, dtype=jnp.float64
 ) -> PackedTT:

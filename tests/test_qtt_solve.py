@@ -430,3 +430,72 @@ def test_nonsymmetric_solve_via_normal_equations():
     u_ref = np.linalg.solve(_dense_op(A, K), _dense_vec(rhs, K))
     u = _dense_vec(x, K)
     assert np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref) < 1e-10
+
+
+def test_qtt_trig_pointwise():
+    """qtt_trig is the exact rank-2 angle-addition automaton: pinned
+    pointwise against np.sin over the full 2^K grid."""
+    from tensor_networks_tpu.ops import packed as pk
+    from tensor_networks_tpu.ops.qtt import qtt_trig
+
+    K = 10
+    idx = np.arange(2**K)
+    bits = (idx[:, None] >> np.arange(K)[None, :]) & 1
+    for freq, phase in ((7.3, 0.0), (25.0, 1.1), (2.0, np.pi / 2)):
+        t = qtt_trig(K, freq, phase)
+        assert t.rank == 2
+        got = np.asarray(pk.evaluate(t, bits))
+        ref = np.sin(freq * idx / 2**K + phase)
+        assert np.abs(got - ref).max() < 1e-13
+
+
+def test_qtt_polynomial_pointwise():
+    """qtt_polynomial is the exact rank-(q+1) binomial automaton over
+    the normalized argument x = i / 2^K."""
+    from tensor_networks_tpu.ops import packed as pk
+    from tensor_networks_tpu.ops.qtt import qtt_polynomial
+
+    K = 10
+    idx = np.arange(2**K)
+    bits = (idx[:, None] >> np.arange(K)[None, :]) & 1
+    for coeffs in ([1.0, -2.0, 3.0], [0.5, 0, 0, 0, 1.0, -0.3]):
+        p = qtt_polynomial(K, coeffs)
+        assert p.rank == len(coeffs)
+        got = np.asarray(pk.evaluate(p, bits))
+        x = idx / 2**K
+        ref = sum(c * x**q for q, c in enumerate(coeffs))
+        assert np.abs(got - ref).max() < 1e-13
+
+
+def test_ttop_identity_is_compose_unit():
+    """ttop_identity applies as the identity and is the unit of
+    ttop_compose."""
+    import jax.numpy as jnp
+
+    from tensor_networks_tpu.ops import packed as pk
+
+    g = np.random.default_rng(11)
+    d, n, r, R = 6, 2, 3, 2
+    x = pk.PackedTT(
+        jnp.asarray(g.standard_normal((n, r))),
+        jnp.asarray(g.standard_normal((d - 2, r, n, r))),
+        jnp.asarray(g.standard_normal((r, n))),
+    )
+    I = pk.ttop_identity(d, n)
+    y = pk.ttop_apply_packed(I, x)
+    rel = float(pk.norm_exact(pk.add(y, pk.scale(x, -1.0)))) / float(
+        pk.norm_exact(x)
+    )
+    assert rel < 1e-12
+
+    A = pk.PackedTTOp(
+        jnp.asarray(g.standard_normal((n, n, R))),
+        jnp.asarray(g.standard_normal((d - 2, R, n, n, R))),
+        jnp.asarray(g.standard_normal((R, n, n))),
+    )
+    ya = pk.ttop_apply_packed(pk.ttop_compose(I, A), x)
+    yb = pk.ttop_apply_packed(A, x)
+    rel = float(pk.norm_exact(pk.add(ya, pk.scale(yb, -1.0)))) / float(
+        pk.norm_exact(yb)
+    )
+    assert rel < 1e-12
