@@ -105,3 +105,56 @@ def test_deepcopy_independent_metadata_shared_buffers():
     assert Index("xx", 4) in clone.free_indices()
     # same represented tensor
     assert np.isclose(clone.norm(), net.norm(), rtol=1e-12)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_packed_operator_algebra_identities(seed):
+    """The packed TT-operator algebra satisfies its ring identities on
+    random shapes: (A@B)^T = B^T @ A^T, associativity of compose,
+    identity as two-sided unit, and eps-rounding of sums/products
+    preserving the applied action."""
+    import jax.numpy as jnp
+
+    from tensor_networks_tpu.ops import packed as pk
+
+    g = np.random.default_rng(seed)
+    d = int(g.integers(4, 8))
+    n = int(g.integers(2, 5))
+
+    def rand_op(R):
+        return pk.PackedTTOp(
+            jnp.asarray(g.standard_normal((n, n, R))),
+            jnp.asarray(g.standard_normal((d - 2, R, n, n, R))),
+            jnp.asarray(g.standard_normal((R, n, n))),
+        )
+
+    A, B, C = rand_op(2), rand_op(3), rand_op(2)
+    x = pk.PackedTT(
+        jnp.asarray(g.standard_normal((n, 3))),
+        jnp.asarray(g.standard_normal((d - 2, 3, n, 3))),
+        jnp.asarray(g.standard_normal((3, n))),
+    )
+
+    def rel(y, z):
+        return float(pk.norm_exact(pk.add(y, pk.scale(z, -1.0)))) / max(
+            float(pk.norm_exact(z)), 1e-300
+        )
+
+    ap = pk.ttop_apply_packed
+    # adjoint of a product reverses it
+    y1 = ap(pk.ttop_transpose(pk.ttop_compose(A, B)), x)
+    y2 = ap(pk.ttop_compose(pk.ttop_transpose(B), pk.ttop_transpose(A)), x)
+    assert rel(y1, y2) < 1e-10
+    # associativity
+    y1 = ap(pk.ttop_compose(pk.ttop_compose(A, B), C), x)
+    y2 = ap(pk.ttop_compose(A, pk.ttop_compose(B, C)), x)
+    assert rel(y1, y2) < 1e-10
+    # identity is a two-sided unit
+    I = pk.ttop_identity(d, n)
+    assert rel(ap(pk.ttop_compose(A, I), x), ap(A, x)) < 1e-10
+    assert rel(ap(pk.ttop_compose(I, A), x), ap(A, x)) < 1e-10
+    # rounding a sum/product preserves the action
+    S = pk.ttop_round(pk.ttop_add(A, B), 1e-12)
+    assert rel(ap(S, x), pk.add(ap(A, x), ap(B, x))) < 1e-9
+    P = pk.ttop_round(pk.ttop_compose(A, B), 1e-12)
+    assert rel(ap(P, x), ap(A, ap(B, x))) < 1e-9
