@@ -516,6 +516,98 @@ def ttop_add(*ops: PackedTTOp) -> PackedTTOp:
     return out
 
 
+def pack_ttop(
+    op_net: TensorNetwork,
+    indices_out: List[Index],
+    indices_in: List[Index],
+    dtype=None,
+) -> PackedTTOp:
+    """Pack a TT-operator network (as built by the ``ops.ttop``
+    builders) into the uniform packed layout.
+
+    Position p is the node carrying ``indices_out[p]``; cores are
+    permuted to the canonical (bond, out, in, bond) axis order by index
+    identity, and ragged bond ranks are zero-padded to the maximum
+    (inert for apply/compose/add).  Mode sizes must be uniform
+    (the packed layout's contract).
+    """
+    d = len(indices_out)
+    if len(indices_in) != d:
+        raise ValueError("operator needs matching input/output arity")
+    if d < 3:
+        raise ValueError("packed operators need d >= 3")
+    # node holding each output index
+    pos_node = {}
+    for node in op_net.network.nodes:
+        t = op_net.node_tensor(node)
+        for p, io in enumerate(indices_out):
+            if io in t.indices:
+                if p in pos_node:
+                    raise ValueError(
+                        f"output index {io.name} on two nodes"
+                    )
+                pos_node[p] = node
+    if len(pos_node) != d:
+        raise ValueError("every output index must sit on exactly one node")
+    vals, bonds_r = [], []
+    for p in range(d):
+        t = op_net.node_tensor(pos_node[p])
+        phys = {indices_out[p], indices_in[p]}
+        if indices_in[p] not in t.indices:
+            raise ValueError(
+                f"in/out index pair {p} split across nodes"
+            )
+        side = [i for i in t.indices if i not in phys]
+        if p == 0:
+            if len(side) != 1:
+                raise ValueError("first operator core must have 1 bond")
+            order = [indices_out[p], indices_in[p], side[0]]
+            bonds_r.append(side[0])
+        else:
+            left = bonds_r[-1]
+            if left not in side:
+                raise ValueError(
+                    f"nodes {p-1} and {p} share no bond index"
+                )
+            rest = [i for i in side if i != left]
+            if p == d - 1:
+                if rest:
+                    raise ValueError("last operator core must have 1 bond")
+                order = [left, indices_out[p], indices_in[p]]
+            else:
+                if len(rest) != 1:
+                    raise ValueError(
+                        f"mid operator core {p} must have 2 bonds"
+                    )
+                order = [left, indices_out[p], indices_in[p], rest[0]]
+                bonds_r.append(rest[0])
+        perm = [t.indices.index(i) for i in order]
+        vals.append(jnp.asarray(t.permute(perm).value))
+    R = max(i.size for i in bonds_r)
+    dt = dtype or jnp.result_type(*(v.dtype for v in vals))
+
+    def padded(v, pads):
+        return jnp.pad(v.astype(dt), pads)
+
+    first = padded(vals[0], ((0, 0), (0, 0), (0, R - vals[0].shape[2])))
+    mids = jnp.stack(
+        [
+            padded(
+                v,
+                (
+                    (0, R - v.shape[0]),
+                    (0, 0),
+                    (0, 0),
+                    (0, R - v.shape[3]),
+                ),
+            )
+            for v in vals[1:-1]
+        ]
+    )
+    last = padded(vals[-1], ((0, R - vals[-1].shape[0]), (0, 0), (0, 0)))
+    return PackedTTOp(first, mids, last)
+
+
 def ttop_identity(d: int, n: int, dtype=jnp.float64) -> PackedTTOp:
     """The rank-1 identity operator on d modes of size n — the unit of
     :func:`ttop_compose` and the ``alpha I + ...`` building block of

@@ -317,3 +317,48 @@ def test_ttop_compose_and_transpose_oracles():
     bad = pk.PackedTTOp(bad.first, bad.mids[:1], bad.last)
     with pytest.raises(ValueError):
         pk.ttop_compose(A, bad)
+
+
+def test_pack_ttop_matches_graph_apply():
+    """pack_ttop lifts a graph operator network into the packed layout:
+    the packed apply densifies identically to the graph ttop_apply,
+    including when node axes are arbitrarily permuted (index-identity
+    packing) and when summand bond ranks are ragged (zero padding)."""
+    import jax.numpy as jnp
+
+    import tensor_networks_tpu as tnt
+    from tensor_networks_tpu.ops import packed as pk
+    from tensor_networks_tpu.ops.ttop import ttop_apply
+
+    rng = np.random.RandomState(3)
+    d, n = 4, 5
+    ins = [tnt.Index(f"x{i}", n) for i in range(d)]
+    outs = [tnt.Index(f"y{i}", n) for i in range(d)]
+    mats = [0.3 * rng.randn(n, n) / np.sqrt(n) for _ in range(d)]
+    opn = tnt.ttop_sum(
+        ins, outs, [[np.eye(n) for _ in range(d)], mats], "A"
+    )
+    # scramble node axis orders on a copy: packing must key on index
+    # identity (the positional graph ttop_apply keeps the original)
+    import copy as _copy
+
+    scrambled = _copy.deepcopy(opn)
+    for node in list(scrambled.network.nodes):
+        t0 = scrambled.node_tensor(node)
+        pm = list(rng.permutation(len(t0.indices)))
+        scrambled.set_node_tensor(node, t0.permute(pm))
+    P = pk.pack_ttop(scrambled, outs, ins, dtype=jnp.float64)
+
+    x = tnt.TensorNetwork.rand_tt(ins, [3] * (d - 1))
+    xp = pk.pack(x, jnp.float64)
+    t = ttop_apply(opn, x).contract()
+    perm = [t.indices.index(i) for i in ins]
+    dense_graph = np.asarray(t.value).transpose(perm).reshape(-1)
+    dense_packed = np.asarray(
+        pk.unpack(pk.ttop_apply_packed(P, xp)).contract().value
+    ).reshape(-1)
+    assert (
+        np.linalg.norm(dense_graph - dense_packed)
+        / np.linalg.norm(dense_graph)
+        < 1e-12
+    )
