@@ -199,6 +199,21 @@ def main():
         file=sys.stderr,
     )
 
+    # packed operator algebra on device: adjoint, compose, f32 rounding
+    at = pk.ttop_transpose(pop)
+    nrm_op = pk.ttop_round(pk.ttop_compose(at, pop), 1e-4)
+    yn = pk.ttop_apply_packed(nrm_op, arhs)
+    y2 = pk.ttop_apply_packed(at, pk.ttop_apply_packed(pop, arhs))
+    arel = float(
+        pk.norm_exact(pk.add(yn, pk.scale(y2, -1.0)))
+    ) / float(pk.norm_exact(y2))
+    assert arel < 1e-3, arel
+    print(
+        f"[smoke] ttop algebra ok (A^T A rel {arel:.1e}, rank "
+        f"{pop.first.shape[-1] ** 2}->{nrm_op.first.shape[-1]})",
+        file=sys.stderr,
+    )
+
     # structure search on a small dense target
     from tensor_networks_tpu.search import SearchConfig, SearchEngine
 
