@@ -214,6 +214,21 @@ def main():
         file=sys.stderr,
     )
 
+    # DMRG eigensolver: smallest eigenpair of the SPD operator
+    from tensor_networks_tpu.ops.eigen import als_eigsh
+
+    xe, lam, _ = als_eigsh(pop, ax0, sweeps=6)
+    eres = float(
+        pk.norm_exact(
+            pk.add(pk.ttop_apply_packed(pop, xe), pk.scale(xe, -lam))
+        )
+    )
+    assert eres < 1e-3 * abs(lam), (eres, lam)
+    print(
+        f"[smoke] als_eigsh ok (lam {lam:.4f}, resid {eres:.1e})",
+        file=sys.stderr,
+    )
+
     # structure search on a small dense target
     from tensor_networks_tpu.search import SearchConfig, SearchEngine
 
