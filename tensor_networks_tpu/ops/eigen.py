@@ -9,14 +9,20 @@ eigenproblem and the Rayleigh quotient is monotonically nonincreasing
 across local solves (textbook DMRG).  The environment algebra is
 shared with the ALS linear solver (:mod:`tensor_networks_tpu.ops.als`).
 
-Overparameterized bonds (rank above the mode product on one side — the
-norm for uniform packed trains at the end bonds) give the local frame
-structurally ZERO columns, so ``H_k`` carries zero rows/cols whose
-spurious 0 eigenvalue would beat any positive ground state.  Those
-coordinates are detected from the diagonal of ``H_k`` (zero diagonal
-on an SPD projection iff the frame column is zero) and shifted out of
-the spectral window — the eigensolver analogue of the ALS CG
-warm-start gate (see ``als._solve_core``).
+Uniform packed trains overparameterize end bonds (rank above the mode
+product on one side), and a rank-deficient core CANNOT be made
+orthonormal — zero-padded QR leaves the chained frame non-isometric,
+so the honest local problem is the GENERALIZED one ``H v = lam B v``
+with ``B`` the frame Gram (treating ``B = I`` lets the frame's null
+space, spurious eigenvalue 0, capture the sweep — observed as a
+Rayleigh quotient oscillating over half the spectrum).  The solver
+therefore carries Gram environments alongside the operator
+environments; ``B``'s Kronecker structure ``Lg (x) I (x) Rg`` makes
+the whitening two bond-sized eighs per local solve, and whitened
+coordinates outside range(B) are shifted out of the spectral window —
+the eigensolver analogue of the ALS CG warm-start gate
+(``als._solve_core``), where the same overparameterization shows up as
+singular local systems.
 
 No reference counterpart (``pytens`` has no eigensolver; its only
 solver is GMRES, ``pytens/algs.py:2700``).
@@ -31,9 +37,11 @@ import jax.numpy as jnp
 
 from tensor_networks_tpu.ops.als import (
     _adv_left,
+    _adv_left_b,
     _adv_right,
+    _adv_right_b,
     _left_orth,
-    _local_dense,
+    _local_rhs,
     _right_orth,
 )
 from tensor_networks_tpu.ops.packed import (
@@ -45,21 +53,96 @@ from tensor_networks_tpu.ops.packed import (
     ttop_apply_packed,
 )
 
-__all__ = ["als_eigsh", "als_eigsh_adaptive"]
+__all__ = ["als_eigsh", "als_eigsh_adaptive", "als_eigsh_k"]
 
 
 @jax.jit
-def _local_ground_state(L, ak, R):
-    """Smallest eigenpair of the projected local operator, with
-    structurally-zero frame coordinates shifted out of the window."""
-    H = _local_dense(L, ak, R)
-    H = 0.5 * (H + H.T)  # symmetrize roundoff
-    diag = jnp.diag(H)
-    dead = jnp.abs(diag) <= 1e-12 * jnp.max(jnp.abs(diag))
-    big = 2.0 * jnp.sum(jnp.abs(H))  # > any Rayleigh quotient of H
-    H = H + jnp.diag(jnp.where(dead, big, 0.0).astype(H.dtype))
-    w, v = jnp.linalg.eigh(H)
-    return w[0], v[:, 0]
+def _adv_left_g(Lg, xk):
+    return jnp.einsum(
+        "aA,ajb,AjB->bB", Lg, xk, xk, precision="highest"
+    )
+
+
+@jax.jit
+def _adv_right_g(Rg, xk):
+    return jnp.einsum(
+        "bB,ajb,AjB->aA", Rg, xk, xk, precision="highest"
+    )
+
+
+def _whitener(G):
+    """(W, valid): eigenbasis whitener of a PSD bond Gram — W maps
+    whitened coordinates to bond coordinates, with rank-deficient
+    directions zeroed."""
+    e, U = jnp.linalg.eigh(0.5 * (G + G.T))
+    valid = e > 1e-12 * jnp.max(jnp.abs(e))
+    inv_sqrt = jnp.where(valid, 1.0 / jnp.sqrt(jnp.where(valid, e, 1.0)), 0.0)
+    return U * inv_sqrt[None, :], valid
+
+
+@jax.jit
+def _local_ground_state(L, ak, R, Lg, Rg, pens, shift):
+    """Smallest eigenpair of the projected local GENERALIZED problem
+    ``H v = lam B v`` with ``B = Lg (x) I (x) Rg`` the frame Gram.
+
+    Uniform packed trains overparameterize end bonds, so a chain of
+    per-core orthogonalized (zero-padded) cores is NOT an isometry —
+    treating the local metric as the identity lets the frame's null
+    space (spurious eigenvalue 0) capture the sweep.  The Kronecker
+    structure of B makes the whitening two bond-sized eighs instead of
+    one local-sized one; whitened coordinates outside range(B) are
+    shifted out of the spectral window.  Deflated directions (``pens``:
+    (k, m) local projections of already-computed eigenvectors — exact
+    inner products regardless of frame conditioning, since both trains
+    are contracted) are pushed up by ``shift``.
+    """
+    h1 = jnp.einsum("psa,sijt->paijt", L, ak, precision="highest")
+    H6 = jnp.einsum("paijt,qtc->piqajc", h1, R, precision="highest")
+    wl, ml = _whitener(Lg)
+    wr, mr = _whitener(Rg)
+    Ht = jnp.einsum(
+        "piqajc,pm,qn,ak,cl->minkjl",
+        H6, wl, wr, wl, wr,
+        precision="highest",
+    )
+    p, n, q = H6.shape[:3]
+    m = wl.shape[1] * n * wr.shape[1]
+    Ht = Ht.reshape(m, m)
+    Ht = 0.5 * (Ht + Ht.T)
+    alive = (
+        ml[:, None, None] & jnp.ones((1, n, 1), bool) & mr[None, None, :]
+    ).reshape(m)
+    big = 2.0 * jnp.sum(jnp.abs(Ht)) + shift
+    Ht = Ht + jnp.diag(jnp.where(alive, 0.0, big).astype(Ht.dtype))
+    if pens.shape[0]:
+        pw = jnp.einsum(
+            "zaic,am,cn->zmin",
+            pens.reshape(pens.shape[0], p, n, q),
+            wl, wr,
+            precision="highest",
+        ).reshape(pens.shape[0], m)
+        Ht = Ht + shift * (pw.T @ pw)
+    w, y = jnp.linalg.eigh(Ht)
+    v = jnp.einsum(
+        "min,am,cn->aic",
+        y[:, 0].reshape(wl.shape[1], n, wr.shape[1]),
+        wl, wr,
+        precision="highest",
+    )
+    return w[0], v.reshape(-1)
+
+
+def _op_fro_norm(op: PackedTTOp) -> float:
+    """Frobenius norm of the represented operator (an upper bound on
+    |lam_max|) — the fused-mode operator viewed as a train."""
+    no, ni, R = op.first.shape
+    dm = op.mids.shape[0]
+    t = PackedTT(
+        op.first.reshape(no * ni, R),
+        op.mids.reshape(dm, R, no * ni, R),
+        op.last.reshape(R, no * ni),
+    )
+    return float(norm_exact(t))
 
 
 def als_eigsh(
@@ -67,6 +150,8 @@ def als_eigsh(
     x0: PackedTT,
     sweeps: int = 10,
     tol: float = 1e-10,
+    deflate: Tuple[PackedTT, ...] = (),
+    shift: float = None,
 ) -> Tuple[PackedTT, float, List[float]]:
     """Smallest eigenpair of a symmetric TT-operator at the ranks of
     ``x0`` by one-site DMRG.
@@ -75,6 +160,13 @@ def als_eigsh(
     the Rayleigh quotient, and its value after each half-sweep; the
     sweep loop stops when the per-sweep improvement drops below
     ``tol * |lam|``.  Grow ranks with :func:`als_eigsh_adaptive`.
+
+    ``deflate`` lists already-computed (unit-norm) eigenvector trains:
+    each local solve adds the penalty ``shift * p p^T`` for their
+    frame projections ``p``, pushing those directions above the window
+    so the sweep converges to the NEXT eigenpair (penalty deflation;
+    :func:`als_eigsh_k` drives this).  ``shift`` defaults to twice the
+    operator Frobenius norm, an upper bound on the spectral range.
     """
     dt = x0.first.dtype
     xs = [x0.first[None]] + list(x0.mids) + [x0.last[..., None]]
@@ -84,6 +176,15 @@ def als_eigsh(
         + [op.last[..., None].astype(dt)]
     )
     d = len(xs)
+    vs = [
+        [v.first[None].astype(dt)]
+        + list(v.mids.astype(dt))
+        + [v.last[..., None].astype(dt)]
+        for v in deflate
+    ]
+    if deflate and shift is None:
+        shift = 2.0 * _op_fro_norm(op)
+    shift_d = jnp.asarray(0.0 if shift is None else shift, dt)
 
     # canonicalize: all cores right-orthogonal (R factors absorbed
     # left so the represented train is unchanged)
@@ -99,32 +200,78 @@ def als_eigsh(
         )
 
     one3 = jnp.ones((1, 1, 1), dt)
+    one2 = jnp.ones((1, 1), dt)
     history: List[float] = []
     lam = float("inf")
 
-    rev_rs = [one3]
+    def local_pens(lbs_k, rbs_k, k):
+        if not vs:
+            m = xs[k].size
+            return jnp.zeros((0, m), dt)
+        return jnp.stack(
+            [
+                _local_rhs(lbs_k[j], vs[j][k], rbs_k[j]).reshape(-1)
+                for j in range(len(vs))
+            ]
+        )
+
+    rev_rs, rev_rgs = [one3], [one2]
+    rev_rbs = [[one2] for _ in vs]
     for k in range(d - 1, 0, -1):
         rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
+        rev_rgs.append(_adv_right_g(rev_rgs[-1], xs[k]))
+        for j in range(len(vs)):
+            rev_rbs[j].append(
+                _adv_right_b(rev_rbs[j][-1], xs[k], vs[j][k])
+            )
 
     for _sweep in range(sweeps):
-        rs = rev_rs[::-1]
+        rs, rgs = rev_rs[::-1], rev_rgs[::-1]
+        rbs = [e[::-1] for e in rev_rbs]
 
-        ls = [one3]
+        ls, lgs = [one3], [one2]
+        lbs = [[one2] for _ in vs]
         for k in range(d):
-            lam_k, vec = _local_ground_state(ls[-1], as_[k], rs[k])
+            pens = local_pens(
+                [lbs[j][-1] for j in range(len(vs))],
+                [rbs[j][k] for j in range(len(vs))],
+                k,
+            )
+            lam_k, vec = _local_ground_state(
+                ls[-1], as_[k], rs[k], lgs[-1], rgs[k], pens, shift_d
+            )
             xs[k] = vec.reshape(xs[k].shape)
             if k < d - 1:
                 xs[k] = _left_orth(xs[k])
                 ls.append(_adv_left(ls[-1], xs[k], as_[k]))
+                lgs.append(_adv_left_g(lgs[-1], xs[k]))
+                for j in range(len(vs)):
+                    lbs[j].append(
+                        _adv_left_b(lbs[j][-1], xs[k], vs[j][k])
+                    )
         history.append(float(lam_k))
 
-        rev_rs = [one3]
+        rev_rs, rev_rgs = [one3], [one2]
+        rev_rbs = [[one2] for _ in vs]
         for k in range(d - 1, -1, -1):
-            lam_k, vec = _local_ground_state(ls[k], as_[k], rev_rs[-1])
+            pens = local_pens(
+                [lbs[j][k] for j in range(len(vs))],
+                [rev_rbs[j][-1] for j in range(len(vs))],
+                k,
+            )
+            lam_k, vec = _local_ground_state(
+                ls[k], as_[k], rev_rs[-1], lgs[k], rev_rgs[-1], pens,
+                shift_d,
+            )
             xs[k] = vec.reshape(xs[k].shape)
             if k > 0:
                 xs[k] = _right_orth(xs[k])
                 rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
+                rev_rgs.append(_adv_right_g(rev_rgs[-1], xs[k]))
+                for j in range(len(vs)):
+                    rev_rbs[j].append(
+                        _adv_right_b(rev_rbs[j][-1], xs[k], vs[j][k])
+                    )
         new_lam = float(lam_k)
         history.append(new_lam)
         if abs(lam - new_lam) <= tol * max(abs(new_lam), 1e-300):
@@ -136,6 +283,39 @@ def als_eigsh(
     # the whole norm; the local eigenvector is unit, so x is unit-norm
     x = PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0])
     return x, lam, history
+
+
+def als_eigsh_k(
+    op: PackedTTOp,
+    x0: PackedTT,
+    k: int,
+    sweeps: int = 10,
+    shift: float = None,
+    **kw,
+) -> Tuple[List[PackedTT], List[float]]:
+    """The ``k`` lowest eigenpairs by sequential penalty deflation.
+
+    Each eigenpair is computed by :func:`als_eigsh` with all previously
+    found eigenvectors deflated; the reported eigenvalue is the clean
+    Rayleigh quotient ``<v, A v>`` (penalty leakage removed).  Returns
+    ``(vectors, values)`` sorted ascending.
+    """
+    found: List[PackedTT] = []
+    vals: List[float] = []
+    for _ in range(k):
+        v, _, _ = als_eigsh(
+            op, x0, sweeps=sweeps, deflate=tuple(found), shift=shift,
+            **kw,
+        )
+        from tensor_networks_tpu.ops.packed import inner
+
+        lam = float(inner(v, ttop_apply_packed(op, v))) / float(
+            inner(v, v)
+        )
+        found.append(v)
+        vals.append(lam)
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    return [found[i] for i in order], [vals[i] for i in order]
 
 
 def als_eigsh_adaptive(

@@ -89,3 +89,39 @@ def test_eigsh_adaptive_enrichment_converges():
     assert abs(lam - ref) < 1e-10
     resid = pk.add(pk.ttop_apply_packed(op3, x), pk.scale(x, -lam))
     assert float(pk.norm_exact(resid)) < 1e-8 * abs(lam)
+
+
+def test_eigsh_overparameterized_bonds_regression():
+    """Regression pin for the non-isometric-frame trap: rank 6 on a
+    K=6 train (end bonds structurally <= 2) oscillated over half the
+    spectrum when the local metric was assumed identity — the Gram-
+    whitened generalized solve must be monotone and exact."""
+    K, delta = 6, 0.3
+    op = qtt_screened_laplacian(K, delta=delta)
+    x0 = pk.pad_rank(qtt_exponential(K, c=2.0), 6)
+    x, lam, hist = als_eigsh(op, x0, sweeps=12)
+    assert abs(lam - _trid_min(2**K, delta)) < 1e-12
+    assert all(hist[i + 1] <= hist[i] + 1e-12 for i in range(len(hist) - 1))
+    assert abs(float(pk.norm_exact(x)) - 1.0) < 1e-10
+
+
+def test_eigsh_k_deflated_excited_states():
+    """The three lowest eigenpairs by penalty deflation: eigenvalues at
+    machine precision against the dense spectrum, pairwise orthogonal
+    eigenvectors — even from a start dominated by the ground state."""
+    from tensor_networks_tpu.ops.eigen import als_eigsh_k
+
+    K, delta = 6, 0.3
+    op = qtt_screened_laplacian(K, delta=delta)
+    n = 2**K
+    A = (2.0 + delta) * np.eye(n)
+    A -= np.diag(np.ones(n - 1), 1)
+    A += -np.diag(np.ones(n - 1), -1)
+    ref = np.linalg.eigvalsh(A)[:3]
+    x0 = pk.pad_rank(qtt_exponential(K, c=2.0), 6)
+    vecs, vals = als_eigsh_k(op, x0, 3, sweeps=12)
+    for v, r in zip(vals, ref):
+        assert abs(v - r) < 1e-11, (v, r)
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert abs(float(pk.inner(vecs[i], vecs[j]))) < 1e-10
