@@ -132,6 +132,57 @@ def _local_ground_state(L, ak, R, Lg, Rg, pens, shift):
     return w[0], v.reshape(-1)
 
 
+@jax.jit
+def _adv_left_mb(L, xk, mk, vk):
+    """Left env of the three-train sandwich x^T M v (bra ``xk``, ket
+    ``vk``) — the deflation projections in the mass metric."""
+    t1 = jnp.einsum("psb,bjc->psjc", L, vk, precision="highest")
+    t2 = jnp.einsum("psjc,sijt->pitc", t1, mk, precision="highest")
+    return jnp.einsum("pitc,piq->qtc", t2, xk, precision="highest")
+
+
+@jax.jit
+def _adv_right_mb(R, xk, mk, vk):
+    u1 = jnp.einsum("bjc,qtc->bjqt", vk, R, precision="highest")
+    u2 = jnp.einsum("bjqt,sijt->bsiq", u1, mk, precision="highest")
+    return jnp.einsum("bsiq,piq->psb", u2, xk, precision="highest")
+
+
+@jax.jit
+def _local_mb(L, mk, R, vk):
+    t1 = jnp.einsum("psb,bjc->psjc", L, vk, precision="highest")
+    t2 = jnp.einsum("psjc,sijt->pitc", t1, mk, precision="highest")
+    return jnp.einsum("pitc,qtc->piq", t2, R, precision="highest")
+
+
+@jax.jit
+def _local_ground_state_mass(L, ak, R, Lm, mk, Rm, pens, shift):
+    """Generalized local solve ``H v = lam B v`` with ``B`` the
+    Galerkin projection of an SPD mass operator (full local whitening;
+    no Kronecker shortcut since ``M`` couples the modes)."""
+    h1 = jnp.einsum("psa,sijt->paijt", L, ak, precision="highest")
+    H = jnp.einsum("paijt,qtc->piqajc", h1, R, precision="highest")
+    m = H.shape[0] * H.shape[1] * H.shape[2]
+    H = 0.5 * (H.reshape(m, m) + H.reshape(m, m).T)
+    b1 = jnp.einsum("psa,sijt->paijt", Lm, mk, precision="highest")
+    B = jnp.einsum("paijt,qtc->piqajc", b1, Rm, precision="highest")
+    B = 0.5 * (B.reshape(m, m) + B.reshape(m, m).T)
+    e, U = jnp.linalg.eigh(B)
+    alive = e > 1e-12 * jnp.max(jnp.abs(e))
+    W = U * jnp.where(
+        alive, 1.0 / jnp.sqrt(jnp.where(alive, e, 1.0)), 0.0
+    )[None, :]
+    Ht = W.T @ H @ W
+    Ht = 0.5 * (Ht + Ht.T)
+    big = 2.0 * jnp.sum(jnp.abs(Ht)) + shift
+    Ht = Ht + jnp.diag(jnp.where(alive, 0.0, big).astype(Ht.dtype))
+    if pens.shape[0]:
+        pw = pens @ W
+        Ht = Ht + shift * (pw.T @ pw)
+    w, y = jnp.linalg.eigh(Ht)
+    return w[0], W @ y[:, 0]
+
+
 def _op_fro_norm(op: PackedTTOp) -> float:
     """Frobenius norm of the represented operator (an upper bound on
     |lam_max|) — the fused-mode operator viewed as a train."""
@@ -152,6 +203,7 @@ def als_eigsh(
     tol: float = 1e-10,
     deflate: Tuple[PackedTT, ...] = (),
     shift: float = None,
+    mass: PackedTTOp = None,
 ) -> Tuple[PackedTT, float, List[float]]:
     """Smallest eigenpair of a symmetric TT-operator at the ranks of
     ``x0`` by one-site DMRG.
@@ -167,6 +219,13 @@ def als_eigsh(
     so the sweep converges to the NEXT eigenpair (penalty deflation;
     :func:`als_eigsh_k` drives this).  ``shift`` defaults to twice the
     operator Frobenius norm, an upper bound on the spectral range.
+
+    ``mass``: an SPD TT-operator turns the problem into the
+    GENERALIZED one ``A v = lam M v`` — the local metric becomes the
+    Galerkin projection of ``M`` (full local whitening instead of the
+    Kronecker-factored frame Gram), deflation penalties use M-inner
+    products, and the returned eigenvector is M-normalized
+    (``<v, M v> = 1``).
     """
     dt = x0.first.dtype
     xs = [x0.first[None]] + list(x0.mids) + [x0.last[..., None]]
@@ -176,6 +235,13 @@ def als_eigsh(
         + [op.last[..., None].astype(dt)]
     )
     d = len(xs)
+    ms_ = None
+    if mass is not None:
+        ms_ = (
+            [mass.first[None].astype(dt)]
+            + list(mass.mids.astype(dt))
+            + [mass.last[..., None].astype(dt)]
+        )
     vs = [
         [v.first[None].astype(dt)]
         + list(v.mids.astype(dt))
@@ -184,6 +250,11 @@ def als_eigsh(
     ]
     if deflate and shift is None:
         shift = 2.0 * _op_fro_norm(op)
+        if mass is not None:
+            # generalized spectral range ~ |A| / lam_min(M): estimate
+            # lam_min(M) with a cheap standard DMRG on M itself
+            _, mu_min, _ = als_eigsh(mass, x0, sweeps=2)
+            shift = shift / max(abs(mu_min), 1e-12)
     shift_d = jnp.asarray(0.0 if shift is None else shift, dt)
 
     # canonicalize: all cores right-orthogonal (R factors absorbed
@@ -208,6 +279,15 @@ def als_eigsh(
         if not vs:
             m = xs[k].size
             return jnp.zeros((0, m), dt)
+        if ms_ is not None:
+            return jnp.stack(
+                [
+                    _local_mb(
+                        lbs_k[j], ms_[k], rbs_k[j], vs[j][k]
+                    ).reshape(-1)
+                    for j in range(len(vs))
+                ]
+            )
         return jnp.stack(
             [
                 _local_rhs(lbs_k[j], vs[j][k], rbs_k[j]).reshape(-1)
@@ -215,63 +295,88 @@ def als_eigsh(
             ]
         )
 
-    rev_rs, rev_rgs = [one3], [one2]
-    rev_rbs = [[one2] for _ in vs]
+    use_mass = ms_ is not None
+    pen0 = one3 if use_mass else one2
+
+    def pen_adv_l(env, k, j):
+        if use_mass:
+            return _adv_left_mb(env, xs[k], ms_[k], vs[j][k])
+        return _adv_left_b(env, xs[k], vs[j][k])
+
+    def pen_adv_r(env, k, j):
+        if use_mass:
+            return _adv_right_mb(env, xs[k], ms_[k], vs[j][k])
+        return _adv_right_b(env, xs[k], vs[j][k])
+
+    def solve_local(k, L, R, Lg_or_Lm, Rg_or_Rm, pens):
+        if use_mass:
+            return _local_ground_state_mass(
+                L, as_[k], R, Lg_or_Lm, ms_[k], Rg_or_Rm, pens, shift_d
+            )
+        return _local_ground_state(
+            L, as_[k], R, Lg_or_Lm, Rg_or_Rm, pens, shift_d
+        )
+
+    g0 = one3 if use_mass else one2  # metric env seed
+
+    def metric_adv_l(env, k):
+        if use_mass:
+            return _adv_left(env, xs[k], ms_[k])
+        return _adv_left_g(env, xs[k])
+
+    def metric_adv_r(env, k):
+        if use_mass:
+            return _adv_right(env, xs[k], ms_[k])
+        return _adv_right_g(env, xs[k])
+
+    rev_rs, rev_rgs = [one3], [g0]
+    rev_rbs = [[pen0] for _ in vs]
     for k in range(d - 1, 0, -1):
         rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
-        rev_rgs.append(_adv_right_g(rev_rgs[-1], xs[k]))
+        rev_rgs.append(metric_adv_r(rev_rgs[-1], k))
         for j in range(len(vs)):
-            rev_rbs[j].append(
-                _adv_right_b(rev_rbs[j][-1], xs[k], vs[j][k])
-            )
+            rev_rbs[j].append(pen_adv_r(rev_rbs[j][-1], k, j))
 
     for _sweep in range(sweeps):
         rs, rgs = rev_rs[::-1], rev_rgs[::-1]
         rbs = [e[::-1] for e in rev_rbs]
 
-        ls, lgs = [one3], [one2]
-        lbs = [[one2] for _ in vs]
+        ls, lgs = [one3], [g0]
+        lbs = [[pen0] for _ in vs]
         for k in range(d):
             pens = local_pens(
                 [lbs[j][-1] for j in range(len(vs))],
                 [rbs[j][k] for j in range(len(vs))],
                 k,
             )
-            lam_k, vec = _local_ground_state(
-                ls[-1], as_[k], rs[k], lgs[-1], rgs[k], pens, shift_d
-            )
+            lam_k, vec = solve_local(k, ls[-1], rs[k], lgs[-1], rgs[k],
+                                     pens)
             xs[k] = vec.reshape(xs[k].shape)
             if k < d - 1:
                 xs[k] = _left_orth(xs[k])
                 ls.append(_adv_left(ls[-1], xs[k], as_[k]))
-                lgs.append(_adv_left_g(lgs[-1], xs[k]))
+                lgs.append(metric_adv_l(lgs[-1], k))
                 for j in range(len(vs)):
-                    lbs[j].append(
-                        _adv_left_b(lbs[j][-1], xs[k], vs[j][k])
-                    )
+                    lbs[j].append(pen_adv_l(lbs[j][-1], k, j))
         history.append(float(lam_k))
 
-        rev_rs, rev_rgs = [one3], [one2]
-        rev_rbs = [[one2] for _ in vs]
+        rev_rs, rev_rgs = [one3], [g0]
+        rev_rbs = [[pen0] for _ in vs]
         for k in range(d - 1, -1, -1):
             pens = local_pens(
                 [lbs[j][k] for j in range(len(vs))],
                 [rev_rbs[j][-1] for j in range(len(vs))],
                 k,
             )
-            lam_k, vec = _local_ground_state(
-                ls[k], as_[k], rev_rs[-1], lgs[k], rev_rgs[-1], pens,
-                shift_d,
-            )
+            lam_k, vec = solve_local(k, ls[k], rev_rs[-1], lgs[k],
+                                     rev_rgs[-1], pens)
             xs[k] = vec.reshape(xs[k].shape)
             if k > 0:
                 xs[k] = _right_orth(xs[k])
                 rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
-                rev_rgs.append(_adv_right_g(rev_rgs[-1], xs[k]))
+                rev_rgs.append(metric_adv_r(rev_rgs[-1], k))
                 for j in range(len(vs)):
-                    rev_rbs[j].append(
-                        _adv_right_b(rev_rbs[j][-1], xs[k], vs[j][k])
-                    )
+                    rev_rbs[j].append(pen_adv_r(rev_rbs[j][-1], k, j))
         new_lam = float(lam_k)
         history.append(new_lam)
         if abs(lam - new_lam) <= tol * max(abs(new_lam), 1e-300):
@@ -280,7 +385,8 @@ def als_eigsh(
         lam = new_lam
 
     # after the right-to-left pass core 0 is the open core and holds
-    # the whole norm; the local eigenvector is unit, so x is unit-norm
+    # the whole norm; the local eigenvector is unit in the (whitened)
+    # metric, so x is unit-norm (M-normalized when mass is given)
     x = PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0])
     return x, lam, history
 
@@ -291,27 +397,31 @@ def als_eigsh_k(
     k: int,
     sweeps: int = 10,
     shift: float = None,
+    mass: PackedTTOp = None,
     **kw,
 ) -> Tuple[List[PackedTT], List[float]]:
     """The ``k`` lowest eigenpairs by sequential penalty deflation.
 
     Each eigenpair is computed by :func:`als_eigsh` with all previously
     found eigenvectors deflated; the reported eigenvalue is the clean
-    Rayleigh quotient ``<v, A v>`` (penalty leakage removed).  Returns
-    ``(vectors, values)`` sorted ascending.
+    Rayleigh quotient ``<v, A v> / <v, M v>`` (penalty leakage
+    removed).  Returns ``(vectors, values)`` sorted ascending.
     """
+    from tensor_networks_tpu.ops.packed import inner
+
     found: List[PackedTT] = []
     vals: List[float] = []
     for _ in range(k):
         v, _, _ = als_eigsh(
             op, x0, sweeps=sweeps, deflate=tuple(found), shift=shift,
-            **kw,
+            mass=mass, **kw,
         )
-        from tensor_networks_tpu.ops.packed import inner
-
-        lam = float(inner(v, ttop_apply_packed(op, v))) / float(
-            inner(v, v)
+        denom = float(
+            inner(v, ttop_apply_packed(mass, v))
+            if mass is not None
+            else inner(v, v)
         )
+        lam = float(inner(v, ttop_apply_packed(op, v))) / denom
         found.append(v)
         vals.append(lam)
     order = sorted(range(len(vals)), key=lambda i: vals[i])

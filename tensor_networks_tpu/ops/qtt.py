@@ -51,16 +51,18 @@ def qtt_shift(K: int, dtype=jnp.float64) -> PackedTTOp:
     )
 
 
-def qtt_screened_laplacian(
-    K: int, delta: float = 1.0, dtype=jnp.float64
+def qtt_tridiagonal(
+    K: int, main: float, upper: float, lower: float, dtype=jnp.float64
 ) -> PackedTTOp:
-    """Rank-3 QTT of ``(2 + delta) I - S - S^T`` on 2^K points
-    (Dirichlet ends).
+    """Rank-3 QTT of the Toeplitz tridiagonal
+    ``main * I + upper * S + lower * S^T`` on 2^K points (Dirichlet
+    ends; ``(S u)_i = u_{i+1}``).
 
-    Three-state carry automaton: 0 = done, 1 = pending +1 (the -S
-    term), 2 = pending -1 (the -S^T term).  With ``delta > 0`` the
-    spectrum sits in ``[delta, 4 + delta]`` — condition independent of
-    K, so solves stay meaningful at K = 30 (2^30 unknowns).
+    Three-state carry automaton: 0 = done, 1 = pending +1 (the
+    ``upper * S`` term), 2 = pending -1 (the ``lower * S^T`` term);
+    the coefficients enter once at the first core.  Covers stiffness
+    (``2+delta, -1, -1``), FEM mass (``4/6, 1/6, 1/6``), and upwind
+    advection (``1, -1, 0``) matrices exactly.
     """
     if K < 2:
         raise ValueError("QTT operators need K >= 2 (K=2 has no middle"
@@ -69,11 +71,10 @@ def qtt_screened_laplacian(
     J = np.array([[0.0, 1.0], [0.0, 0.0]])
     Jt = J.T
 
-    diag = (2.0 + delta) * eye - J - Jt
     first = np.zeros((2, 2, 3))
-    first[:, :, 0] = diag
-    first[:, :, 1] = -Jt  # start the -S carry chain
-    first[:, :, 2] = -J  # start the -S^T carry chain
+    first[:, :, 0] = main * eye + upper * J + lower * Jt
+    first[:, :, 1] = upper * Jt  # start the upper*S carry chain
+    first[:, :, 2] = lower * J  # start the lower*S^T carry chain
     mid = np.zeros((3, 2, 2, 3))
     mid[0, :, :, 0] = eye
     mid[1, :, :, 0] = J  # +1 lands here
@@ -89,6 +90,19 @@ def qtt_screened_laplacian(
         jnp.asarray(np.broadcast_to(mid, (K - 2, 3, 2, 2, 3)), dtype),
         jnp.asarray(last, dtype),
     )
+
+
+def qtt_screened_laplacian(
+    K: int, delta: float = 1.0, dtype=jnp.float64
+) -> PackedTTOp:
+    """Rank-3 QTT of ``(2 + delta) I - S - S^T`` on 2^K points
+    (Dirichlet ends) — see :func:`qtt_tridiagonal`.
+
+    With ``delta > 0`` the spectrum sits in ``[delta, 4 + delta]`` —
+    condition independent of K, so solves stay meaningful at K = 30
+    (2^30 unknowns).
+    """
+    return qtt_tridiagonal(K, 2.0 + delta, -1.0, -1.0, dtype)
 
 
 def qtt_interleave_1d_op(op1d: PackedTTOp, K: int, phase: int,

@@ -61,8 +61,13 @@ def test_eigsh_random_spd_matches_dense_eigh():
     opn = tnt.ttop_sum(ins, outs, [[np.eye(n)] * d, mats], "E")
     op = pk.pack_ttop(opn, outs, ins, dtype=jnp.float64)
 
-    x0 = pk.pack(tnt.TensorNetwork.rand_tt(ins, [8] * (d - 1)),
-                 jnp.float64)
+    # deterministic start (rand_tt draws from the GLOBAL numpy RNG,
+    # whose state depends on test order)
+    x0 = pk.PackedTT(
+        jnp.asarray(rng.randn(n, 8)),
+        jnp.asarray(rng.randn(d - 2, 8, n, 8)),
+        jnp.asarray(rng.randn(8, n)),
+    )
     x, lam, _ = als_eigsh(op, x0, sweeps=12)
 
     # dense oracle
@@ -125,3 +130,45 @@ def test_eigsh_k_deflated_excited_states():
     for i in range(3):
         for j in range(i + 1, 3):
             assert abs(float(pk.inner(vecs[i], vecs[j]))) < 1e-10
+
+
+def test_eigsh_generalized_fem_sturm_liouville():
+    """Generalized problem A v = lam M v: 1D FEM stiffness/mass pair
+    (qtt_tridiagonal) against scipy's dense generalized eigh — the
+    ground eigenvalue approximates pi^2; eigenvectors come out
+    M-normalized and M-orthogonal under deflation."""
+    import scipy.linalg as sla
+
+    from tensor_networks_tpu.ops.eigen import als_eigsh_k
+    from tensor_networks_tpu.ops.qtt import qtt_tridiagonal
+
+    K = 6
+    n = 2**K
+    h = 1.0 / (n + 1)
+    A = qtt_tridiagonal(K, 2.0 / h, -1.0 / h, -1.0 / h)
+    M = qtt_tridiagonal(K, 4.0 * h / 6, h / 6, h / 6)
+    Ad = (2 / h) * np.eye(n) + (-1 / h) * (
+        np.diag(np.ones(n - 1), 1) + np.diag(np.ones(n - 1), -1)
+    )
+    Md = (4 * h / 6) * np.eye(n) + (h / 6) * (
+        np.diag(np.ones(n - 1), 1) + np.diag(np.ones(n - 1), -1)
+    )
+    refs = sla.eigh(Ad, Md, eigvals_only=True)[:3]
+    assert abs(refs[0] - np.pi**2) < 2e-3  # the discretization itself
+
+    x0 = pk.pad_rank(qtt_exponential(K, c=1.0), 6)
+    x, lam, hist = als_eigsh(A, x0, sweeps=10, mass=M)
+    assert abs(lam - refs[0]) < 1e-9
+    mnorm = float(pk.inner(x, pk.ttop_apply_packed(M, x)))
+    assert abs(mnorm - 1.0) < 1e-9
+    assert all(hist[i + 1] <= hist[i] + 1e-9 for i in range(len(hist) - 1))
+
+    vecs, vals = als_eigsh_k(A, x0, 3, sweeps=10, mass=M)
+    for v, r in zip(vals, refs):
+        assert abs(v - r) < 1e-9, (v, r)
+    for i in range(3):
+        for j in range(i + 1, 3):
+            mij = float(
+                pk.inner(vecs[i], pk.ttop_apply_packed(M, vecs[j]))
+            )
+            assert abs(mij) < 1e-9
