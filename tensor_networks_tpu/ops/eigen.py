@@ -41,6 +41,7 @@ from tensor_networks_tpu.ops.als import (
     _adv_right,
     _adv_right_b,
     _left_orth,
+    _local_dense,
     _local_rhs,
     _right_orth,
 )
@@ -73,9 +74,17 @@ def _adv_right_g(Rg, xk):
 def _whitener(G):
     """(W, valid): eigenbasis whitener of a PSD bond Gram — W maps
     whitened coordinates to bond coordinates, with rank-deficient
-    directions zeroed."""
+    directions zeroed.
+
+    The rank cutoff must scale with the DTYPE: Gram eigenvalue noise
+    is ~eps relative, and a noise direction passing the gate gets
+    amplified by 1/sqrt(e) — a hard-coded 1e-12 let f32 noise (~1e-7)
+    through and the spurious directions captured the sweep (lam
+    1.2999998 vs true 0.302336 on the K=6 regression config in f32).
+    """
     e, U = jnp.linalg.eigh(0.5 * (G + G.T))
-    valid = e > 1e-12 * jnp.max(jnp.abs(e))
+    cut = 100.0 * jnp.finfo(G.dtype).eps
+    valid = e > cut * jnp.max(jnp.abs(e))
     inv_sqrt = jnp.where(valid, 1.0 / jnp.sqrt(jnp.where(valid, e, 1.0)), 0.0)
     return U * inv_sqrt[None, :], valid
 
@@ -160,15 +169,15 @@ def _local_ground_state_mass(L, ak, R, Lm, mk, Rm, pens, shift):
     """Generalized local solve ``H v = lam B v`` with ``B`` the
     Galerkin projection of an SPD mass operator (full local whitening;
     no Kronecker shortcut since ``M`` couples the modes)."""
-    h1 = jnp.einsum("psa,sijt->paijt", L, ak, precision="highest")
-    H = jnp.einsum("paijt,qtc->piqajc", h1, R, precision="highest")
-    m = H.shape[0] * H.shape[1] * H.shape[2]
-    H = 0.5 * (H.reshape(m, m) + H.reshape(m, m).T)
-    b1 = jnp.einsum("psa,sijt->paijt", Lm, mk, precision="highest")
-    B = jnp.einsum("paijt,qtc->piqajc", b1, Rm, precision="highest")
-    B = 0.5 * (B.reshape(m, m) + B.reshape(m, m).T)
+    H = _local_dense(L, ak, R)
+    m = H.shape[0]
+    H = 0.5 * (H + H.T)
+    B = _local_dense(Lm, mk, Rm)
+    B = 0.5 * (B + B.T)
     e, U = jnp.linalg.eigh(B)
-    alive = e > 1e-12 * jnp.max(jnp.abs(e))
+    # dtype-scaled rank cutoff — see _whitener
+    cut = 100.0 * jnp.finfo(B.dtype).eps
+    alive = e > cut * jnp.max(jnp.abs(e))
     W = U * jnp.where(
         alive, 1.0 / jnp.sqrt(jnp.where(alive, e, 1.0)), 0.0
     )[None, :]
@@ -409,11 +418,25 @@ def als_eigsh_k(
     """
     from tensor_networks_tpu.ops.packed import inner
 
+    # compute the default penalty shift ONCE (it involves a QR-sweep
+    # norm and, with a mass matrix, a cheap DMRG on M) instead of once
+    # per excited state inside als_eigsh
+    if k > 1 and shift is None:
+        shift = 2.0 * _op_fro_norm(op)
+        if mass is not None:
+            _, mu_min, _ = als_eigsh(mass, x0, sweeps=2)
+            shift = shift / max(abs(mu_min), 1e-12)
+
+    # merge a caller-supplied deflate (find pairs ABOVE known
+    # eigenvectors) with the ones found here
+    base_deflate = tuple(kw.pop("deflate", ()))
+
     found: List[PackedTT] = []
     vals: List[float] = []
     for _ in range(k):
         v, _, _ = als_eigsh(
-            op, x0, sweeps=sweeps, deflate=tuple(found), shift=shift,
+            op, x0, sweeps=sweeps,
+            deflate=base_deflate + tuple(found), shift=shift,
             mass=mass, **kw,
         )
         denom = float(
@@ -435,11 +458,13 @@ def als_eigsh_adaptive(
     max_rank: int = None,
     sweeps_per_rank: int = 4,
     enrich: bool = True,
+    mass: PackedTTOp = None,
     **kw,
 ) -> Tuple[PackedTT, float, List[float]]:
     """Rank-adaptive smallest eigenpair: run :func:`als_eigsh` at the
-    current rank and, while the exact residual ``|A x - lam x|`` stays
-    above ``eps * |lam|``, double the rank up to ``max_rank``.
+    current rank and, while the exact residual (``|A x - lam x|``, or
+    ``|A x - lam M x|`` for a generalized problem) stays above
+    ``eps * |lam|``, double the rank up to ``max_rank``.
 
     With ``enrich=True`` the new bond directions span the eps-rounded
     eigen-residual train (coefficient zero — the AMEn move of
@@ -454,9 +479,16 @@ def als_eigsh_adaptive(
     x = x0
     hist_all: List[float] = []
     while True:
-        x, lam, hist = als_eigsh(op, x, sweeps=sweeps_per_rank, **kw)
+        x, lam, hist = als_eigsh(
+            op, x, sweeps=sweeps_per_rank, mass=mass, **kw
+        )
         hist_all += hist
-        resid_train = add(ttop_apply_packed(op, x), scale(x, -lam))
+        lam_x = (
+            scale(x, -lam)
+            if mass is None
+            else scale(ttop_apply_packed(mass, x), -lam)
+        )
+        resid_train = add(ttop_apply_packed(op, x), lam_x)
         resid = float(norm_exact(resid_train))
         if resid <= eps * max(abs(lam), 1e-300) or rank >= ceiling:
             return x, lam, hist_all

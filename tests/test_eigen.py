@@ -172,3 +172,58 @@ def test_eigsh_generalized_fem_sturm_liouville():
                 pk.inner(vecs[i], pk.ttop_apply_packed(M, vecs[j]))
             )
             assert abs(mij) < 1e-9
+
+
+def test_eigsh_f32_whitener_cutoff():
+    """Regression pin for the dtype-scaled whitener cutoff: in f32 a
+    hard-coded 1e-12 rank gate let Gram noise (~1e-7) through, 1/sqrt
+    amplified it, and the sweep converged to lam=1.2999998 instead of
+    0.302336 (the device path is f32-only)."""
+    K, delta = 6, 0.3
+    op = qtt_screened_laplacian(K, delta=delta, dtype=jnp.float32)
+    x0 = pk.pad_rank(qtt_exponential(K, dtype=jnp.float32), 6)
+    x, lam, hist = als_eigsh(op, x0, sweeps=12)
+    assert abs(lam - _trid_min(2**K, delta)) < 1e-5, lam
+    assert all(hist[i + 1] <= hist[i] + 1e-4 for i in range(len(hist) - 1))
+
+
+def test_eigsh_adaptive_generalized_residual():
+    """als_eigsh_adaptive with a mass matrix must measure the
+    GENERALIZED residual |A x - lam M x| — the identity residual never
+    converges, burning rank to the ceiling on every run."""
+    from tensor_networks_tpu.ops.eigen import als_eigsh_adaptive
+    from tensor_networks_tpu.ops.qtt import qtt_tridiagonal
+
+    K = 5
+    n = 2**K
+    h = 1.0 / (n + 1)
+    A = qtt_tridiagonal(K, 2.0 / h, -1.0 / h, -1.0 / h)
+    M = qtt_tridiagonal(K, 4.0 * h / 6, h / 6, h / 6)
+    x0 = pk.pad_rank(qtt_exponential(K, c=1.0), 4)
+    x, lam, _ = als_eigsh_adaptive(A, x0, eps=1e-6, max_rank=16, mass=M)
+    r = pk.add(
+        pk.ttop_apply_packed(A, x),
+        pk.scale(pk.ttop_apply_packed(M, x), -lam),
+    )
+    assert float(pk.norm_exact(r)) / abs(lam) < 1e-6
+    assert x.rank == 4  # converged WITHOUT burning rank to the ceiling
+
+
+def test_eigsh_k_merges_user_deflate():
+    """A caller-supplied deflate= (find pairs above already-known
+    eigenvectors) merges with the internally found ones instead of
+    raising a duplicate-keyword TypeError."""
+    from tensor_networks_tpu.ops.eigen import als_eigsh_k
+
+    K, delta = 6, 0.3
+    op = qtt_screened_laplacian(K, delta=delta)
+    x0 = pk.pad_rank(qtt_exponential(K, c=2.0), 6)
+    v1, _, _ = als_eigsh(op, x0, sweeps=10)
+    vecs, vals = als_eigsh_k(op, x0, 2, sweeps=10, deflate=(v1,))
+    n = 2**K
+    A = (2.0 + delta) * np.eye(n)
+    A -= np.diag(np.ones(n - 1), 1)
+    A -= np.diag(np.ones(n - 1), -1)
+    ref = np.linalg.eigvalsh(A)[:3]
+    assert abs(vals[0] - ref[1]) < 1e-11
+    assert abs(vals[1] - ref[2]) < 1e-11
