@@ -68,6 +68,7 @@ from tensor_networks_tpu.ops import (  # noqa: E402
     tt_rand_precond_svd_round,
     gmres,
     als_solve,
+    als_eigsh,
     packed,
     PackedTT,
     PackedTTOp,
@@ -118,6 +119,7 @@ __all__ = [
     "PackedTTOp",
     "gmres_packed",
     "als_solve",
+    "als_eigsh",
     "tt_inner_fast",
     "tt_inner_fn",
     "stack_tt_cores",

@@ -27,6 +27,11 @@ from tensor_networks_tpu.ops.randomized import (
 )
 from tensor_networks_tpu.ops.solvers import gmres
 from tensor_networks_tpu.ops.als import als_solve, als_solve_adaptive
+from tensor_networks_tpu.ops.eigen import (
+    als_eigsh,
+    als_eigsh_adaptive,
+    als_eigsh_k,
+)
 from tensor_networks_tpu.ops import packed, qtt
 from tensor_networks_tpu.ops.packed import (
     PackedTT,
@@ -61,6 +66,9 @@ __all__ = [
     "gmres",
     "als_solve",
     "als_solve_adaptive",
+    "als_eigsh",
+    "als_eigsh_adaptive",
+    "als_eigsh_k",
     "qtt",
     "packed",
     "PackedTT",
