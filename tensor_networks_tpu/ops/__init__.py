@@ -27,6 +27,7 @@ from tensor_networks_tpu.ops.randomized import (
 )
 from tensor_networks_tpu.ops.solvers import gmres
 from tensor_networks_tpu.ops.als import als_solve, als_solve_adaptive
+from tensor_networks_tpu.ops.evolve import evolve_theta
 from tensor_networks_tpu.ops.eigen import (
     als_eigsh,
     als_eigsh_adaptive,
@@ -69,6 +70,7 @@ __all__ = [
     "als_eigsh",
     "als_eigsh_adaptive",
     "als_eigsh_k",
+    "evolve_theta",
     "qtt",
     "packed",
     "PackedTT",

@@ -622,6 +622,15 @@ def ttop_identity(d: int, n: int, dtype=jnp.float64) -> PackedTTOp:
     )
 
 
+def ttop_scale(op: PackedTTOp, factor) -> PackedTTOp:
+    """Scale the represented operator (folds into the first core)."""
+    return PackedTTOp(
+        op.first * jnp.asarray(factor, op.first.dtype),
+        op.mids,
+        op.last,
+    )
+
+
 def ttop_transpose(op: PackedTTOp) -> PackedTTOp:
     """The transposed operator (out/in physical axes swapped per core):
     ``ttop_apply_packed(ttop_transpose(A), x)`` applies ``A^T``."""
