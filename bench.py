@@ -1082,6 +1082,58 @@ def main():
         except Exception as exc:
             print(f"[bench] device cross failed: {exc}", file=sys.stderr)
 
+    # ---- solver family (CPU f64 subprocess: the 2^30 QTT linear solve
+    # and the 32^3 DMRG ground state are f64 accuracy demonstrations;
+    # a child process keeps them off the relay and x64-clean) ---------
+    solver_cpu = {"status": "failed"}
+    try:
+        child_src = (
+            "import jax, json, time\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "import warnings; warnings.filterwarnings('ignore')\n"
+            "from tensor_networks_tpu.ops import packed as pk\n"
+            "from tensor_networks_tpu.ops.als import als_solve\n"
+            "from tensor_networks_tpu.ops.eigen import als_eigsh\n"
+            "from tensor_networks_tpu.ops.qtt import (\n"
+            "    qtt_exponential, qtt_exponential_nd,\n"
+            "    qtt_screened_laplacian, qtt_screened_laplacian_nd)\n"
+            "out = {}\n"
+            "op = qtt_screened_laplacian(30, delta=1.0)\n"
+            "rhs = qtt_exponential(30, c=3.0)\n"
+            "t0 = time.time()\n"
+            "x, res, _ = als_solve(op, rhs, pk.pad_rank(rhs, 8),\n"
+            "                      sweeps=2, tol=1e-12)\n"
+            "out['als_2pow30_wall_s'] = round(time.time() - t0, 2)\n"
+            "out['als_2pow30_rel_resid'] = float(\n"
+            "    f\"{res / float(pk.norm_exact(rhs)):.2e}\")\n"
+            "op3 = qtt_screened_laplacian_nd(5, 3, delta=1.0)\n"
+            "x0 = pk.pad_rank(qtt_exponential_nd(5, (1.0, 2.0, 3.0)), 8)\n"
+            "t0 = time.time()\n"
+            "x3, lam, _ = als_eigsh(op3, x0, sweeps=8)\n"
+            "out['eigsh_32cubed_wall_s'] = round(time.time() - t0, 2)\n"
+            "import numpy as _np\n"
+            "N = 32\n"
+            "l1 = 2 - 2 * _np.cos(_np.pi / (N + 1))\n"
+            "out['eigsh_32cubed_err'] = float(\n"
+            "    f\"{abs(lam - (1.0 + 3 * l1)):.2e}\")\n"
+            "print('SOLVER_JSON ' + json.dumps(out))\n"
+        )
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable, "-c", child_src],
+            capture_output=True, text=True, timeout=300,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("SOLVER_JSON "):
+                solver_cpu = json.loads(line[len("SOLVER_JSON "):])
+                solver_cpu["status"] = "ok"
+        print(f"[bench] solver family (cpu f64): {solver_cpu}",
+              file=sys.stderr)
+    except Exception as exc:
+        print(f"[bench] solver leg failed: {exc}", file=sys.stderr)
+
     inner_speedup = t_np_inner / t_inner
     round_speedup = t_np_round / t_round
     geomean = float(np.sqrt(inner_speedup * round_speedup))
@@ -1152,6 +1204,10 @@ def main():
             # bench additionally NaN-guards its own direct sweep calls)
             "round_fallbacks": _round_stats_snapshot(),
             "eval_path_stats": _eval_path_snapshot(),
+            # solver family (CPU f64 child process; informational —
+            # the 1.07e9-unknown linear solve and the 32^3 DMRG
+            # ground state have no reference counterpart)
+            "solver_cpu": solver_cpu,
             "device": str(dev),
         },
     }
