@@ -43,6 +43,25 @@ def main():
         qtt_screened_laplacian_nd,
     )
 
+    from tensor_networks_tpu.ops.qtt import qtt_exponential, \
+        qtt_screened_laplacian
+
+    # warm-up act: the 1D operator at 2^30 points (1.07e9) — the
+    # analytic ground energy is delta + 2 - 2 cos(pi/(N+1)) ~ delta
+    K1 = 30
+    op1 = qtt_screened_laplacian(K1, delta=1.0)
+    x1 = pk.pad_rank(qtt_exponential(K1, c=3.0), 8)
+    t0 = time.time()
+    _, lam1, h1 = als_eigsh(op1, x1, sweeps=8)
+    ref1 = 1.0 + 2 - 2 * np.cos(np.pi / (2.0**K1 + 1))
+    print(
+        f"[qtt-eigen] 1D 2^30-point ground state in "
+        f"{time.time() - t0:.1f}s: lam {lam1:.12f} "
+        f"(analytic {ref1:.12f}, err {abs(lam1 - ref1):.1e})",
+        file=sys.stderr,
+    )
+    assert abs(lam1 - ref1) < 1e-9
+
     K, delta = 5, 1.0
     N = 2**K
     op = qtt_screened_laplacian_nd(K, 3, delta=delta)
