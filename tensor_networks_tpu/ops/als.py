@@ -191,6 +191,24 @@ def _residual_train(op: PackedTTOp, rhs: PackedTT, x: PackedTT) -> PackedTT:
     return add(rhs, scale(ttop_apply_packed(op, x), -1.0))
 
 
+def _enrich_span(x: PackedTT, resid_train: PackedTT, kick: int) -> PackedTT:
+    """AMEn rank growth: direct-sum the rank-``kick`` rounding of the
+    residual train with coefficient zero — the represented iterate is
+    unchanged, but every bond frame gains the steepest-descent
+    subspace the next sweep needs.  Shared by the adaptive linear
+    solver and the adaptive eigensolver."""
+    from tensor_networks_tpu.ops.packed import svd_round
+
+    z = svd_round(resid_train, kick)
+    dt = x.first.dtype
+    span = PackedTT(
+        jnp.zeros(z.first.shape, dt),
+        z.mids.astype(dt),
+        z.last.astype(dt),
+    )
+    return add(x, span)
+
+
 def _residual(op: PackedTTOp, rhs: PackedTT, x: PackedTT) -> float:
     return float(norm_exact(_residual_train(op, rhs, x)))
 
@@ -393,7 +411,7 @@ def als_solve_adaptive(
     solution rank.  Returns ``(x, absolute residual, concatenated
     per-sweep history)``.
     """
-    from tensor_networks_tpu.ops.packed import norm_exact, pad_rank, svd_round
+    from tensor_networks_tpu.ops.packed import norm_exact, pad_rank
 
     def _grow(x: PackedTT, target: int) -> PackedTT:
         kick = target - x.rank
@@ -401,14 +419,7 @@ def als_solve_adaptive(
             return x
         if not enrich:
             return pad_rank(x, target)
-        z = svd_round(_residual_train(op, rhs, x), kick)
-        dt = x.first.dtype
-        span = PackedTT(  # zero coefficient: pure subspace enrichment
-            jnp.zeros(z.first.shape, dt),
-            z.mids.astype(dt),
-            z.last.astype(dt),
-        )
-        return add(x, span)
+        return _enrich_span(x, _residual_train(op, rhs, x), kick)
 
     if x0 is None:
         x0 = rhs

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from tensor_networks_tpu.ops.als import (
     _adv_left,
+    _enrich_span,
     _adv_left_b,
     _adv_right,
     _adv_right_b,
@@ -118,8 +119,9 @@ def _local_ground_state(L, ak, R, Lg, Rg, pens, shift):
     m = wl.shape[1] * n * wr.shape[1]
     Ht = Ht.reshape(m, m)
     Ht = 0.5 * (Ht + Ht.T)
-    alive = (
-        ml[:, None, None] & jnp.ones((1, n, 1), bool) & mr[None, None, :]
+    alive = jnp.broadcast_to(
+        ml[:, None, None] & mr[None, None, :],
+        (wl.shape[1], n, wr.shape[1]),
     ).reshape(m)
     big = 2.0 * jnp.sum(jnp.abs(Ht)) + shift
     Ht = Ht + jnp.diag(jnp.where(alive, 0.0, big).astype(Ht.dtype))
@@ -205,6 +207,17 @@ def _op_fro_norm(op: PackedTTOp) -> float:
     return float(norm_exact(t))
 
 
+def _default_shift(op: PackedTTOp, x0: PackedTT, mass: PackedTTOp) -> float:
+    """Default deflation penalty: an upper bound on the (generalized)
+    spectral range — 2 |A|_F, divided by a 2-sweep DMRG estimate of
+    lam_min(M) when a mass matrix widens the range."""
+    shift = 2.0 * _op_fro_norm(op)
+    if mass is not None:
+        _, mu_min, _ = als_eigsh(mass, x0, sweeps=2)
+        shift = shift / max(abs(mu_min), 1e-12)
+    return shift
+
+
 def als_eigsh(
     op: PackedTTOp,
     x0: PackedTT,
@@ -258,12 +271,7 @@ def als_eigsh(
         for v in deflate
     ]
     if deflate and shift is None:
-        shift = 2.0 * _op_fro_norm(op)
-        if mass is not None:
-            # generalized spectral range ~ |A| / lam_min(M): estimate
-            # lam_min(M) with a cheap standard DMRG on M itself
-            _, mu_min, _ = als_eigsh(mass, x0, sweeps=2)
-            shift = shift / max(abs(mu_min), 1e-12)
+        shift = _default_shift(op, x0, mass)
     shift_d = jnp.asarray(0.0 if shift is None else shift, dt)
 
     # canonicalize: all cores right-orthogonal (R factors absorbed
@@ -422,10 +430,7 @@ def als_eigsh_k(
     # norm and, with a mass matrix, a cheap DMRG on M) instead of once
     # per excited state inside als_eigsh
     if k > 1 and shift is None:
-        shift = 2.0 * _op_fro_norm(op)
-        if mass is not None:
-            _, mu_min, _ = als_eigsh(mass, x0, sweeps=2)
-            shift = shift / max(abs(mu_min), 1e-12)
+        shift = _default_shift(op, x0, mass)
 
     # merge a caller-supplied deflate (find pairs ABOVE known
     # eigenvectors) with the ones found here
@@ -472,7 +477,7 @@ def als_eigsh_adaptive(
     otherwise inert zero padding.  Returns ``(x, lam, concatenated
     history)``.
     """
-    from tensor_networks_tpu.ops.packed import pad_rank, svd_round
+    from tensor_networks_tpu.ops.packed import pad_rank
 
     rank = x0.rank
     ceiling = int(max_rank) if max_rank is not None else 8 * rank
@@ -495,13 +500,7 @@ def als_eigsh_adaptive(
         new_rank = min(2 * rank, ceiling)
         kick = new_rank - x.rank
         if enrich and kick > 0:
-            z = svd_round(resid_train, kick)
-            span = PackedTT(
-                jnp.zeros(z.first.shape, x.first.dtype),
-                z.mids.astype(x.first.dtype),
-                z.last.astype(x.first.dtype),
-            )
-            x = add(x, span)
+            x = _enrich_span(x, resid_train, kick)
         else:
             x = pad_rank(x, new_rank)
         rank = new_rank
