@@ -27,7 +27,11 @@ from tensor_networks_tpu.ops.randomized import (
 )
 from tensor_networks_tpu.ops.solvers import gmres
 from tensor_networks_tpu.ops.als import als_solve, als_solve_adaptive
-from tensor_networks_tpu.ops.evolve import evolve_theta
+from tensor_networks_tpu.ops.evolve import (
+    evolve_tdvp,
+    evolve_tdvp2,
+    evolve_theta,
+)
 from tensor_networks_tpu.ops.eigen import (
     als_eigsh,
     als_eigsh_adaptive,
@@ -70,6 +74,8 @@ __all__ = [
     "als_eigsh",
     "als_eigsh_adaptive",
     "als_eigsh_k",
+    "evolve_tdvp",
+    "evolve_tdvp2",
     "evolve_theta",
     "qtt",
     "packed",

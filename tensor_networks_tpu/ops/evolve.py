@@ -1,31 +1,62 @@
-"""Theta-method time integration for TT/QTT states.
+"""Time integration for TT/QTT states.
 
-Steps ``M du/dt = -A u`` with the one-parameter theta family
+Two integrators for ``M du/dt = -A u`` in TT format:
 
-    (M + theta dt A) u_{n+1} = (M - (1 - theta) dt A) u_n
+* :func:`evolve_theta` — the one-parameter theta family
 
-— ``theta=1`` is implicit Euler (L-stable), ``theta=0.5`` is
-Crank-Nicolson (second order).  Both step operators are assembled once
-with the packed operator algebra (:func:`ops.packed.ttop_add` /
-``ttop_scale`` / ``ttop_round``) and every step is one
-:func:`ops.als.als_solve` warm-started from the previous state — after
-the first step the iterate is an excellent initial guess, so steps
-typically converge in 1-2 sweeps through already-compiled executables
-(static shapes across the whole trajectory: the TPU-native shape of a
-time loop).
+      (M + theta dt A) u_{n+1} = (M - (1 - theta) dt A) u_n
+
+  (``theta=1`` implicit Euler, L-stable; ``theta=0.5`` Crank-Nicolson,
+  second order).  Both step operators are assembled once with the
+  packed operator algebra and every step is one :func:`ops.als.als_solve`
+  warm-started from the previous state, so steps typically converge in
+  1-2 sweeps through already-compiled executables.
+
+* :func:`evolve_tdvp2` — the two-site variant: each ADJACENT PAIR of
+  cores is merged, evolved exactly, and re-split by a truncated SVD,
+  so bond ranks GROW toward the dynamics (up to a static ``max_rank``)
+  instead of being frozen by the initial state.  The compute shapes
+  stay static at ``max_rank`` — the TPU-native form of adaptivity:
+  rank growth costs zero recompiles, and the split reports effective
+  ranks for observability.
+
+* :func:`evolve_tdvp` — the one-site projector-splitting integrator
+  (TDVP / KSL, Lubich-Oseledets): instead of solving a linear system
+  per step, each core is evolved EXACTLY under its projected effective
+  operator (matrix exponential) and each bond factor backward — the
+  splitting of the tangent-space projector.  Second order (symmetric
+  two-half-sweep form), unconditionally stable, exactly
+  rank-preserving by construction, and EXACT whenever the true
+  solution stays on the rank manifold.  Local exponentials run dense
+  (``jax.scipy.linalg.expm``) below ``dense_limit`` unknowns and by a
+  jitted Lanczos ``expm @ v`` above it (symmetric ``A`` assumed, the
+  TDVP regime) — all static shapes, so one problem size compiles once
+  for the whole trajectory.
 
 No reference counterpart (``pytens`` has no time integration).
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, List, Optional, Tuple
 
-from tensor_networks_tpu.ops.als import als_solve
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensor_networks_tpu.ops.als import (
+    _adv_left,
+    _adv_right,
+    _local_dense,
+    _matvec,
+    als_solve,
+)
 from tensor_networks_tpu.ops.packed import (
     PackedTT,
     PackedTTOp,
     norm_exact,
+    pad_rank,
     svd_round,
     ttop_add,
     ttop_apply_packed,
@@ -34,7 +65,7 @@ from tensor_networks_tpu.ops.packed import (
     ttop_scale,
 )
 
-__all__ = ["evolve_theta"]
+__all__ = ["evolve_theta", "evolve_tdvp", "evolve_tdvp2"]
 
 
 def evolve_theta(
@@ -92,3 +123,401 @@ def evolve_theta(
         if callback is not None:
             callback(step, u)
     return u, residuals
+
+
+# -- TDVP (one-site projector splitting) -----------------------------------------
+# Index conventions follow ops.als: ket core (a, j, b); operator core
+# (s, i, j, t); left env L (p, s, a); right env R (q, t, c).  The bond
+# (zero-site) effective operator between adjacent cores contracts the
+# two environments over the shared operator bond.
+
+
+@jax.jit
+def _bond_dense(L, R):
+    K = jnp.einsum("psa,qsc->pqac", L, R, precision="highest")
+    m = K.shape[0] * K.shape[1]
+    return K.reshape(m, m)
+
+
+def _bond_mv(operands, v):
+    L, R = operands
+    t = jnp.einsum("psa,ac->psc", L, v, precision="highest")
+    return jnp.einsum("psc,qsc->pq", t, R, precision="highest")
+
+
+def _site_mv(operands, v):
+    L, ak, R = operands
+    return _matvec(L, ak, R, v)
+
+
+@jax.jit
+def _expm_apply_dense(H, v, coef):
+    E = jax.scipy.linalg.expm(coef * H)
+    return (E @ v.reshape(-1)).reshape(v.shape)
+
+
+@partial(jax.jit, static_argnames=("mv", "kdim"))
+def _lanczos_expm_apply(mv, operands, v, coef, kdim):
+    """``expm(coef * H) @ v`` from a ``kdim``-step Lanczos space.
+
+    ``H`` is the SYMMETRIC operator ``x -> mv(operands, x)``.  Fully
+    reorthogonalized (kdim is small); on breakdown (the Krylov space
+    closes) the off-diagonal is zeroed, which makes the small
+    exponential exact on the closed subspace.
+    """
+    dt = v.dtype
+    shape, m = v.shape, v.size
+    eps = jnp.asarray(np.finfo(np.dtype(dt)).eps, dt)
+    v0 = v.reshape(-1)
+    nrm = jnp.linalg.norm(v0)
+    safe = jnp.maximum(nrm, jnp.asarray(1e-300 if dt == jnp.float64 else 1e-30, dt))
+    q0 = v0 / safe
+
+    V0 = jnp.zeros((kdim, m), dt)
+
+    def body(carry, j):
+        V, q, q_prev, beta_prev = carry
+        V = V.at[j].set(q)
+        w = mv(operands, q.reshape(shape)).reshape(-1)
+        alpha = w @ q
+        w = w - alpha * q - beta_prev * q_prev
+        w = w - V.T @ (V @ w)  # rows > j are zero: reorth is exact
+        beta = jnp.linalg.norm(w)
+        ok = beta > 100.0 * eps * jnp.maximum(jnp.abs(alpha), 1.0)
+        q_next = jnp.where(
+            ok, w / jnp.maximum(beta, eps * eps), jnp.zeros_like(w)
+        )
+        beta = jnp.where(ok, beta, jnp.zeros_like(beta))
+        return (V, q_next, q, beta), (alpha, beta)
+
+    (V, _, _, _), (alphas, betas) = jax.lax.scan(
+        body, (V0, q0, jnp.zeros_like(q0), jnp.zeros((), dt)),
+        jnp.arange(kdim),
+    )
+    T = (
+        jnp.diag(alphas)
+        + jnp.diag(betas[:-1], 1)
+        + jnp.diag(betas[:-1], -1)
+    )
+    E = jax.scipy.linalg.expm(coef * T)
+    return (nrm * (V.T @ E[:, 0])).reshape(shape)
+
+
+def _site_evolve(L, ak, R, v, coef, dense_limit, kdim):
+    if v.size <= dense_limit:
+        return _expm_apply_dense(_local_dense(L, ak, R), v, coef)
+    return _lanczos_expm_apply(_site_mv, (L, ak, R), v, coef, kdim)
+
+
+def _bond_evolve(L, R, s, coef, dense_limit, kdim):
+    if s.size <= dense_limit:
+        return _expm_apply_dense(_bond_dense(L, R), s, coef)
+    return _lanczos_expm_apply(_bond_mv, (L, R), s, coef, kdim)
+
+
+@jax.jit
+def _split_left(core):
+    """``core = Q S`` with Q left-orthogonal; zero-padded if deficient."""
+    r1, n, r2 = core.shape
+    q, smat = jnp.linalg.qr(core.reshape(r1 * n, r2))
+    if q.shape[1] < r2:
+        smat = jnp.pad(smat, ((0, r2 - q.shape[1]), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, r2 - q.shape[1])))
+    return q.reshape(r1, n, r2), smat
+
+
+@jax.jit
+def _split_right(core):
+    """``core = S Q`` with Q right-orthogonal; zero-padded if deficient."""
+    r1, n, r2 = core.shape
+    q, rmat = jnp.linalg.qr(core.reshape(r1, n * r2).T)
+    if q.shape[1] < r1:
+        rmat = jnp.pad(rmat, ((0, r1 - q.shape[1]), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, r1 - q.shape[1])))
+    return q.T.reshape(r1, n, r2), rmat.T
+
+
+def evolve_tdvp(
+    A: PackedTTOp,
+    u0: PackedTT,
+    dt: float,
+    steps: int,
+    krylov: int = 24,
+    dense_limit: int = 1024,
+    callback: Optional[Callable[[int, PackedTT], None]] = None,
+) -> Tuple[PackedTT, List[float]]:
+    """Integrate ``du/dt = -A u`` by one-site projector-splitting TDVP.
+
+    ``A`` must be symmetric (the Lanczos local exponentials assume it;
+    below ``dense_limit`` local unknowns the dense path tolerates any
+    ``A``).  Every step is two half-sweeps of exact local exponentials
+    — no linear solves, no rank rounding: the bond ranks of ``u0`` are
+    preserved by construction, and the integrator is exact whenever
+    the true solution stays on that rank manifold (the
+    Lubich-Oseledets exactness property).  Returns ``(u_final,
+    norms)`` with the state norm after each step (free: after the
+    backward half-sweep all mass sits in the first core).
+
+    ``krylov`` bounds the Lanczos space of the large local
+    exponentials; 20-30 is plenty for the dt*||A|| regimes where TDVP
+    makes sense.  ``callback(n, u)`` observes the trajectory.
+    """
+    dtp = u0.first.dtype
+    xs = [u0.first[None]] + list(u0.mids) + [u0.last[..., None]]
+    as_ = (
+        [A.first[None].astype(dtp)]
+        + list(A.mids.astype(dtp))
+        + [A.last[..., None].astype(dtp)]
+    )
+    d = len(xs)
+    h = float(dt)
+
+    # right-canonicalize once; the R factor folds left so the
+    # represented state is unchanged
+    for k in range(d - 1, 0, -1):
+        xs[k], rmat = _split_right(xs[k])
+        xs[k - 1] = jnp.einsum(
+            "anb,bc->anc", xs[k - 1], rmat, precision="highest"
+        )
+
+    one3 = jnp.ones((1, 1, 1), dtp)
+    norms: List[float] = []
+
+    for step in range(steps):
+        # right-env prefixes for this step's forward pass
+        rev_rs = [one3]
+        for k in range(d - 1, 0, -1):
+            rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
+        rs = rev_rs[::-1]
+
+        # left -> right half step: site forward h/2, bond backward h/2
+        ls = [one3]
+        for k in range(d):
+            xs[k] = _site_evolve(
+                ls[-1], as_[k], rs[k], xs[k], -0.5 * h, dense_limit, krylov
+            )
+            if k < d - 1:
+                xs[k], smat = _split_left(xs[k])
+                ls.append(_adv_left(ls[-1], xs[k], as_[k]))
+                smat = _bond_evolve(
+                    ls[-1], rs[k], smat, +0.5 * h, dense_limit, krylov
+                )
+                xs[k + 1] = jnp.einsum(
+                    "ab,bnc->anc", smat, xs[k + 1], precision="highest"
+                )
+
+        # right -> left half step (mirror)
+        rev_rs = [one3]
+        for k in range(d - 1, -1, -1):
+            xs[k] = _site_evolve(
+                ls[k], as_[k], rev_rs[-1], xs[k], -0.5 * h,
+                dense_limit, krylov,
+            )
+            if k > 0:
+                xs[k], smat = _split_right(xs[k])
+                rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
+                smat = _bond_evolve(
+                    ls[k], rev_rs[-1], smat, +0.5 * h, dense_limit, krylov
+                )
+                xs[k - 1] = jnp.einsum(
+                    "anb,bc->anc", xs[k - 1], smat, precision="highest"
+                )
+
+        norms.append(float(jnp.linalg.norm(xs[0])))
+        if callback is not None:
+            callback(
+                step,
+                PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0]),
+            )
+
+    return PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0]), norms
+
+
+# -- two-site TDVP (rank-adaptive up to a static max_rank) -------------------------
+# Two-site block theta (a, j, l, c); operator pair a1 (s, i, j, m),
+# a2 (m, k, l, t); environments L (p, s, a) / R (q, t, c).
+
+
+@jax.jit
+def _theta2_dense(L, a1, a2, R):
+    h1 = jnp.einsum("psa,sijm->paijm", L, a1, precision="highest")
+    h2 = jnp.einsum("paijm,mklt->paijklt", h1, a2, precision="highest")
+    H = jnp.einsum("paijklt,qtc->pikqajlc", h2, R, precision="highest")
+    m = H.shape[0] * H.shape[1] * H.shape[2] * H.shape[3]
+    return H.reshape(m, m)
+
+
+def _theta2_mv(operands, v):
+    L, a1, a2, R = operands
+    v1 = jnp.einsum("psa,ajlc->psjlc", L, v, precision="highest")
+    v2 = jnp.einsum("psjlc,sijm->pimlc", v1, a1, precision="highest")
+    v3 = jnp.einsum("pimlc,mklt->piktc", v2, a2, precision="highest")
+    return jnp.einsum("piktc,qtc->pikq", v3, R, precision="highest")
+
+
+def _theta_evolve(L, a1, a2, R, theta, coef, dense_limit, kdim):
+    if theta.size <= dense_limit:
+        return _expm_apply_dense(_theta2_dense(L, a1, a2, R), theta, coef)
+    return _lanczos_expm_apply(_theta2_mv, (L, a1, a2, R), theta, coef, kdim)
+
+
+@partial(jax.jit, static_argnames=("rank",))
+def _split_theta(theta, rank, eps):
+    """Truncated SVD of a two-site block at STATIC output rank.
+
+    Keeps the top ``rank`` singular triplets (zero-padded when the
+    block is thinner than ``rank``), zeroes singular values below
+    ``eps * ||s||`` (numerical hygiene — the compute stays static), and
+    reports the effective rank.  Returns ``(u3, s, v3, keff)`` with
+    ``u3 (a, n1, rank)`` column-orthonormal and ``v3 (rank, n2, c)``
+    row-orthonormal; the caller folds ``s`` into whichever side the
+    sweep direction requires.
+    """
+    a, n1, n2, c = theta.shape
+    u, s, vt = jnp.linalg.svd(
+        theta.reshape(a * n1, n2 * c), full_matrices=False
+    )
+    keep = s > eps * jnp.linalg.norm(s)
+    keff = jnp.sum(keep.astype(jnp.int32))
+    s = jnp.where(keep, s, jnp.zeros_like(s))
+    k = s.shape[0]
+    if k >= rank:
+        u, s, vt = u[:, :rank], s[:rank], vt[:rank]
+    else:
+        u = jnp.pad(u, ((0, 0), (0, rank - k)))
+        s = jnp.pad(s, ((0, rank - k),))
+        vt = jnp.pad(vt, ((0, rank - k), (0, 0)))
+    return (
+        u.reshape(a, n1, rank),
+        s,
+        vt.reshape(rank, n2, c),
+        jnp.minimum(keff, rank),
+    )
+
+
+@jax.jit
+def _merge2(x1, x2):
+    return jnp.einsum("ajb,blc->ajlc", x1, x2, precision="highest")
+
+
+def evolve_tdvp2(
+    A: PackedTTOp,
+    u0: PackedTT,
+    dt: float,
+    steps: int,
+    max_rank: Optional[int] = None,
+    eps: float = 0.0,
+    krylov: int = 24,
+    dense_limit: int = 4096,
+    callback: Optional[Callable[[int, PackedTT], None]] = None,
+) -> Tuple[PackedTT, List[float], List[int]]:
+    """Integrate ``du/dt = -A u`` by two-site projector-splitting TDVP.
+
+    Like :func:`evolve_tdvp` but each substep evolves a MERGED pair of
+    adjacent cores and re-splits it with a truncated SVD, so the bond
+    ranks follow the dynamics instead of staying frozen at ``u0``'s —
+    the rank-adaptive member of the family.  TPU-native adaptivity:
+    every bond is padded to the static ``max_rank`` (default: ``u0``'s
+    rank) up front, so growth never changes a shape or triggers a
+    recompile; ``eps`` zeroes singular values below ``eps * ||s||`` at
+    each split (``0.0`` keeps everything the static rank admits).
+
+    ``A`` must be symmetric above ``dense_limit`` local unknowns (the
+    Lanczos exponentials assume it).  Returns ``(u_final, norms,
+    ranks)``: the state norm and the maximum effective bond rank seen
+    in each step.  Second order in ``dt`` (symmetric half-sweeps); at
+    ``max_rank`` large enough to hold the exact solution and
+    ``eps=0`` it inherits the one-site exactness property.
+    """
+    if max_rank is None:
+        max_rank = u0.rank
+    if max_rank > u0.rank:
+        u0 = pad_rank(u0, max_rank)
+    elif max_rank < u0.rank:
+        raise ValueError(
+            f"max_rank {max_rank} below the initial rank {u0.rank}; "
+            "round u0 first"
+        )
+    dtp = u0.first.dtype
+    xs = [u0.first[None]] + list(u0.mids) + [u0.last[..., None]]
+    as_ = (
+        [A.first[None].astype(dtp)]
+        + list(A.mids.astype(dtp))
+        + [A.last[..., None].astype(dtp)]
+    )
+    d = len(xs)
+    h = float(dt)
+    r = max_rank
+    eps_j = jnp.asarray(eps, dtp)
+
+    for k in range(d - 1, 0, -1):
+        xs[k], rmat = _split_right(xs[k])
+        xs[k - 1] = jnp.einsum(
+            "anb,bc->anc", xs[k - 1], rmat, precision="highest"
+        )
+
+    one3 = jnp.ones((1, 1, 1), dtp)
+    norms: List[float] = []
+    ranks: List[int] = []
+
+    for step in range(steps):
+        keffs = []
+
+        rev_rs = [one3]
+        for k in range(d - 1, 0, -1):
+            rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
+        rs = rev_rs[::-1]
+
+        # left -> right: pair forward h/2, right core backward h/2
+        ls = [one3]
+        for k in range(d - 1):
+            theta = _merge2(xs[k], xs[k + 1])
+            theta = _theta_evolve(
+                ls[-1], as_[k], as_[k + 1], rs[k + 1], theta,
+                -0.5 * h, dense_limit, krylov,
+            )
+            u3, s, v3, keff = _split_theta(theta, r, eps_j)
+            keffs.append(keff)
+            xs[k] = u3
+            ls.append(_adv_left(ls[-1], xs[k], as_[k]))
+            sv = s[:, None, None] * v3
+            if k < d - 2:
+                sv = _site_evolve(
+                    ls[-1], as_[k + 1], rs[k + 1], sv,
+                    +0.5 * h, dense_limit, krylov,
+                )
+            xs[k + 1] = sv
+
+        # right -> left (mirror): pair forward h/2, left core backward h/2
+        rev_rs = [one3]
+        for k in range(d - 2, -1, -1):
+            theta = _merge2(xs[k], xs[k + 1])
+            theta = _theta_evolve(
+                ls[k], as_[k], as_[k + 1], rev_rs[-1], theta,
+                -0.5 * h, dense_limit, krylov,
+            )
+            u3, s, v3, keff = _split_theta(theta, r, eps_j)
+            keffs.append(keff)
+            xs[k + 1] = v3
+            rev_rs.append(_adv_right(rev_rs[-1], xs[k + 1], as_[k + 1]))
+            us = u3 * s[None, None, :]
+            if k > 0:
+                us = _site_evolve(
+                    ls[k], as_[k], rev_rs[-1], us,
+                    +0.5 * h, dense_limit, krylov,
+                )
+            xs[k] = us
+
+        norms.append(float(jnp.linalg.norm(xs[0])))
+        ranks.append(int(np.max(np.asarray(jnp.stack(keffs)))))
+        if callback is not None:
+            callback(
+                step,
+                PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0]),
+            )
+
+    return (
+        PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0]),
+        norms,
+        ranks,
+    )

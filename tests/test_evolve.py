@@ -1,12 +1,17 @@
-"""Theta-method time integration (ops/evolve.py) against dense
-trajectories.  No reference counterpart (pytens has no time
-integration)."""
+"""Time integration (ops/evolve.py) against dense trajectories:
+theta-method and projector-splitting TDVP.  No reference counterpart
+(pytens has no time integration)."""
 
 import numpy as np
 import pytest
+import scipy.linalg as sla
 
 from tensor_networks_tpu.ops import packed as pk
-from tensor_networks_tpu.ops.evolve import evolve_theta
+from tensor_networks_tpu.ops.evolve import (
+    evolve_tdvp,
+    evolve_tdvp2,
+    evolve_theta,
+)
 from tensor_networks_tpu.ops.qtt import qtt_exponential, qtt_tridiagonal
 
 
@@ -93,6 +98,146 @@ def test_evolve_with_fem_mass():
     uf = np.zeros(n)
     uf[lin] = _dense_vec(u)
     assert np.linalg.norm(uf - ud) / np.linalg.norm(ud) < 1e-6
+
+
+def _dense_heat(K):
+    n = 2**K
+    return (
+        2 * np.eye(n)
+        - np.diag(np.ones(n - 1), 1)
+        - np.diag(np.ones(n - 1), -1)
+    )
+
+
+def _dense_of(p, K):
+    lin = _lin_perm(K)
+    out = np.zeros(2**K)
+    out[lin] = _dense_vec(p)
+    return out
+
+
+def test_tdvp_full_rank_is_exact():
+    """At full bond rank the projector is the identity and the
+    splitting telescopes: TDVP reproduces expm(-T A) u0 to roundoff
+    for ANY dt (the Lubich-Oseledets exactness property)."""
+    K = 4
+    A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)
+    u0 = pk.pad_rank(qtt_exponential(K, c=3.0), 4)
+    dt, steps = 0.05, 10
+    u, norms = evolve_tdvp(A, u0, dt, steps)
+    ref = sla.expm(-dt * steps * _dense_heat(K)) @ _dense_of(u0, K)
+    got = _dense_of(u, K)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-12
+    # the reported norm history is the true state norm
+    assert abs(norms[-1] - np.linalg.norm(ref)) < 1e-12
+
+
+def test_tdvp_lanczos_path_matches_dense_path():
+    """dense_limit=0 forces every local exponential through the jitted
+    Lanczos expm@v; same trajectory to roundoff."""
+    K = 4
+    A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)
+    u0 = pk.pad_rank(qtt_exponential(K, c=3.0), 4)
+    u_d, _ = evolve_tdvp(A, u0, 0.05, 6)
+    u_l, _ = evolve_tdvp(A, u0, 0.05, 6, dense_limit=0, krylov=20)
+    ref, got = _dense_of(u_d, K), _dense_of(u_l, K)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-12
+
+
+def test_tdvp_rank_limited_accuracy_and_rank_preservation():
+    """Rank-4 TDVP on a 2^7 heat equation stays at the truncation
+    level of the manifold and never grows the rank."""
+    K = 7
+    A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)
+    u0 = pk.svd_round(pk.pad_rank(qtt_exponential(K, c=3.0), 4), 4)
+    dt, steps = 0.02, 25
+    u, _ = evolve_tdvp(A, u0, dt, steps)
+    assert u.rank == 4
+    ref = sla.expm(-dt * steps * _dense_heat(K)) @ _dense_of(u0, K)
+    got = _dense_of(u, K)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 2e-4
+
+
+def test_tdvp_skew_flow_preserves_norm():
+    """A skew-symmetric generator (central advection) makes du/dt=-Au
+    norm-preserving; the dense-exponential path reproduces that
+    (Lanczos assumes symmetry, so keep dense_limit high)."""
+    K = 4
+    A = qtt_tridiagonal(K, 0.0, -1.0, 1.0)
+    u0 = pk.pad_rank(qtt_exponential(K, c=3.0), 4)
+    n0 = float(pk.norm_exact(u0))
+    _, norms = evolve_tdvp(A, u0, 0.05, 12)
+    assert abs(norms[-1] - n0) / n0 < 1e-12
+
+
+def test_tdvp2_grows_rank_to_exactness():
+    """Two-site TDVP from a RANK-1 start with max_rank = the full bond
+    dimension grows onto the exact manifold: the trajectory matches
+    expm(-T A) u0 to roundoff, where one-site TDVP would be pinned to
+    the (useless) rank-1 manifold."""
+    K = 6
+    A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)
+    u0 = qtt_exponential(K, c=3.0)
+    assert u0.rank == 1
+    dt, steps = 0.05, 8
+    u, norms, ranks = evolve_tdvp2(A, u0, dt, steps, max_rank=8)
+    ref = sla.expm(-dt * steps * _dense_heat(K)) @ _dense_of(u0, K)
+    got = _dense_of(u, K)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-11
+    assert abs(norms[-1] - np.linalg.norm(ref)) < 1e-11
+    assert ranks[-1] > 1  # growth actually happened
+    assert max(ranks) <= 8
+
+
+def test_tdvp2_beats_rank_frozen_tdvp1():
+    """From the same low-rank start, the adaptive integrator is orders
+    of magnitude closer to the true flow than the rank-frozen one."""
+    K = 6
+    A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)
+    u0 = qtt_exponential(K, c=3.0)
+    dt, steps = 0.05, 8
+    ref = sla.expm(-dt * steps * _dense_heat(K)) @ _dense_of(u0, K)
+    u1, _ = evolve_tdvp(A, u0, dt, steps)
+    u2, _, _ = evolve_tdvp2(A, u0, dt, steps, max_rank=8)
+    err1 = np.linalg.norm(_dense_of(u1, K) - ref) / np.linalg.norm(ref)
+    err2 = np.linalg.norm(_dense_of(u2, K) - ref) / np.linalg.norm(ref)
+    assert err2 < 1e-11
+    assert err1 > 1e3 * err2  # rank-1 manifold cannot follow the flow
+
+
+def test_tdvp2_eps_truncation_and_rank_reporting():
+    """A spectral threshold keeps the effective ranks below the padded
+    max while the trajectory stays at truncation-level accuracy; the
+    Lanczos path agrees with the dense path."""
+    K = 7
+    A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)
+    u0 = qtt_exponential(K, c=3.0)
+    dt, steps = 0.02, 10
+    u, _, ranks = evolve_tdvp2(A, u0, dt, steps, max_rank=10, eps=1e-6)
+    ref = sla.expm(-dt * steps * _dense_heat(K)) @ _dense_of(u0, K)
+    got = _dense_of(u, K)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-4
+    assert all(r <= 10 for r in ranks)
+    # dense/Lanczos agreement is bounded by SVD direction ambiguity at
+    # the tiny retained singular values (each local apply agrees to
+    # <1e-12; directions carrying ~1e-8 weight are ill-conditioned and
+    # legitimately differ between the two equally-valid trajectories)
+    u_l, _, _ = evolve_tdvp2(
+        A, u0, dt, 3, max_rank=10, eps=1e-6, dense_limit=0, krylov=24
+    )
+    u_d, _, _ = evolve_tdvp2(A, u0, dt, 3, max_rank=10, eps=1e-6)
+    ref3 = _dense_of(u_d, K)
+    assert (
+        np.linalg.norm(_dense_of(u_l, K) - ref3) / np.linalg.norm(ref3)
+        < 1e-6
+    )
+
+
+def test_tdvp2_rejects_shrinking_max_rank():
+    A = qtt_tridiagonal(4, 2.0, -1.0, -1.0)
+    u0 = pk.pad_rank(qtt_exponential(4), 6)
+    with pytest.raises(ValueError):
+        evolve_tdvp2(A, u0, 0.1, 1, max_rank=4)
 
 
 def test_evolve_rejects_explicit():
