@@ -79,6 +79,7 @@ from tensor_networks_tpu.ops import (  # noqa: E402
     tt_round_fixed,
 )
 from tensor_networks_tpu import fit  # noqa: E402
+from tensor_networks_tpu import export  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -125,4 +126,5 @@ __all__ = [
     "stack_tt_cores",
     "tt_round_fixed",
     "fit",
+    "export",
 ]

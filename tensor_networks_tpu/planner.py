@@ -107,24 +107,51 @@ class CompiledContraction:
         return self._fn(*arrays)
 
 
+# stand-in size for symbolic (shape-polymorphic) dimensions during path
+# planning — the batch axis of an exported evaluator is the typical case,
+# so plan as if it were large
+_SYMBOLIC_PLAN_SIZE = 8192
+
+
 def get_contraction(
     operand_ids: Sequence[Sequence[int]],
     out_ids: Sequence[int],
     shapes: Sequence[Sequence[int]],
     dtype,
 ) -> CompiledContraction:
-    """Fetch (or build) the compiled contraction for this signature."""
+    """Fetch (or build) the compiled contraction for this signature.
+
+    Shapes may carry symbolic dimensions (``jax.export.symbolic_shape``):
+    the contraction itself is shape-polymorphic, so symbolic dims only
+    matter for path planning, where they are treated as
+    ``_SYMBOLIC_PLAN_SIZE``; the cache keys them by name.
+    """
+    concrete = tuple(
+        tuple(
+            int(s)
+            if isinstance(s, (int, np.integer))
+            else _SYMBOLIC_PLAN_SIZE
+            for s in shape
+        )
+        for shape in shapes
+    )
     key = (
         tuple(tuple(ids) for ids in operand_ids),
         tuple(out_ids),
-        tuple(tuple(s) for s in shapes),
+        tuple(
+            tuple(
+                int(s) if isinstance(s, (int, np.integer)) else str(s)
+                for s in shape
+            )
+            for shape in shapes
+        ),
         np.dtype(dtype).name,
     )
     with _CACHE_LOCK:
         hit = _CACHE.get(key)
     if hit is not None:
         return hit
-    built = CompiledContraction(key[0], key[1], key[2])
+    built = CompiledContraction(key[0], key[1], concrete)
     with _CACHE_LOCK:
         _CACHE[key] = built
     return built
