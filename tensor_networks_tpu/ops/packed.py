@@ -19,7 +19,7 @@ TTRandRound :2133, gmres :2700.
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -413,6 +413,67 @@ def _tt_evaluate_fast_bwd(precision, res, g):
 
 
 tt_evaluate_fast.defvjp(_tt_evaluate_fast_fwd, _tt_evaluate_fast_bwd)
+
+
+def evaluate_ensemble(
+    trains: Sequence[PackedTT], idx, precision: str = "bf16x3"
+) -> jnp.ndarray:
+    """Evaluate B same-shape trains in ONE program; returns (B, N).
+
+    The ensemble axis is folded into the MODE axis — the combined train
+    has mode ``B * n`` where symbol ``b*n + j`` selects train ``b``'s
+    mode-``j`` core slice — so the whole ensemble runs as one standard
+    batched evaluation: one dispatch, one sort, one grouped matmul per
+    train step for ALL ``B * N`` points.  This amortizes the per-step
+    overhead that bounds single-train throughput (ROADMAP #1: the
+    remaining evaluate lever) across the ensemble, with exactly the
+    same total MXU work as B separate calls.
+
+    ``idx`` is ``(N, d)`` (shared points, broadcast to every train) or
+    ``(B, N, d)`` (per-train points); out-of-range indices clamp
+    per-train, matching :func:`evaluate`.  Forward-only, like
+    :func:`evaluate` — for gradients map :func:`tt_evaluate_fast`
+    over the ensemble.
+    """
+    trains = list(trains)
+    if not trains:
+        raise ValueError("evaluate_ensemble needs at least one train")
+    d, n, r = trains[0].d, trains[0].mode, trains[0].rank
+    shapes = (trains[0].first.shape, trains[0].mids.shape,
+              trains[0].last.shape)
+    for t in trains[1:]:
+        if (t.first.shape, t.mids.shape, t.last.shape) != shapes:
+            raise ValueError(
+                "ensemble trains must share shapes; got "
+                f"{(t.first.shape, t.mids.shape, t.last.shape)} vs {shapes}"
+            )
+    B = len(trains)
+
+    idx = jnp.asarray(idx)
+    if idx.ndim == 2:
+        idx = jnp.broadcast_to(idx[None], (B,) + idx.shape)
+    if idx.ndim != 3 or idx.shape[0] != B or idx.shape[2] != d:
+        raise ValueError(
+            f"idx must be (N, {d}) or ({B}, N, {d}); got {idx.shape}"
+        )
+    npts = idx.shape[1]
+
+    first_ens = jnp.stack([t.first for t in trains]).reshape(B * n, r)
+    mids_ens = jnp.moveaxis(
+        jnp.stack([t.mids for t in trains]), 0, 2
+    ).reshape(d - 2, r, B * n, r)
+    last_ens = jnp.moveaxis(
+        jnp.stack([t.last for t in trains]), 0, 1
+    ).reshape(r, B * n)
+
+    # clamp BEFORE the per-train symbol offset so out-of-range points
+    # stay inside their own train's symbol block
+    idx = jnp.clip(idx.astype(jnp.int32), 0, n - 1)
+    offs = (jnp.arange(B, dtype=jnp.int32) * n)[:, None, None]
+    idx_ens = (idx + offs).reshape(B * npts, d)
+
+    out = _eval_routed(first_ens, mids_ens, last_ens, idx_ens, precision)
+    return out.reshape(B, npts)
 
 
 def norm(a: PackedTT) -> jnp.ndarray:
