@@ -802,6 +802,72 @@ def main():
                 else:
                     eval_mpts_bf16 = max(eval_mpts_bf16, mpts)
 
+        # ensemble fold (round 3): B same-shape trains folded into the
+        # mode axis run as ONE ragged evaluation — measures how the
+        # per-step overhead amortizes across independent evaluate calls
+        # (same per-train batch as the single-train probes above)
+        eval_ens_mpts = float("nan")
+        if on_tpu:
+            from tensor_networks_tpu.kernels.ragged_eval import (
+                tt_evaluate_ragged,
+            )
+
+            n_ens = 8
+            rng_e = np.random.default_rng(7)
+            f_e = jnp.asarray(
+                rng_e.standard_normal((n_ens * N, R)), dtype
+            )
+            m_e = jnp.asarray(
+                rng_e.standard_normal((D - 2, R, n_ens * N, R))
+                / np.sqrt(R),
+                dtype,
+            )
+            l_e = jnp.asarray(
+                rng_e.standard_normal((R, n_ens * N)), dtype
+            )
+            offs = (
+                rng_e.integers(0, n_ens, size=(n_ens * n_pts, 1)) * N
+            )
+            idx_e = jnp.asarray(
+                rng_e.integers(0, N, size=(n_ens * n_pts, D)) + offs,
+                jnp.int32,
+            )
+
+            @partial(jax.jit, static_argnames=("k",))
+            def eval_ens_repeat(first, mids, last, idx, k):
+                def body(acc, _):
+                    scale = 1.0 + acc * jnp.asarray(1e-24, dtype)
+                    vals = tt_evaluate_ragged(
+                        first * scale, mids, last, idx, "highest"
+                    )
+                    return jnp.sum(vals).astype(dtype), None
+
+                acc, _ = jax.lax.scan(
+                    body,
+                    jnp.asarray(0.0, dtype),
+                    jnp.arange(k, dtype=dtype),
+                )
+                return acc
+
+            try:
+                t_ens = timed_repeat(
+                    lambda k: eval_ens_repeat(f_e, m_e, l_e, idx_e, k=k),
+                    2,
+                    10,
+                )
+                eval_ens_mpts = n_ens * n_pts / t_ens / 1e6
+                print(
+                    f"[bench] evaluate (ensemble x{n_ens}, f32): "
+                    f"{eval_ens_mpts:.2f} Mpts/s aggregate "
+                    f"({t_ens*1e3:.2f} ms / {n_ens}x{n_pts} pts)",
+                    file=sys.stderr,
+                )
+            except Exception as exc:
+                print(
+                    f"[bench] ensemble evaluate failed: {exc}",
+                    file=sys.stderr,
+                )
+
         # honest baseline labeling: the reference-style evaluation is
         # minutes-slow at full batch, so the numpy number is MEASURED on
         # a 512-point slice and the speedup compares per-point times
@@ -822,6 +888,7 @@ def main():
         print(f"[bench] evaluate path failed: {exc}", file=sys.stderr)
         eval_mpts = float("nan")
         eval_mpts_bf16 = float("nan")
+        eval_ens_mpts = float("nan")
         eval_speedup = float("nan")
         numpy_eval_pts = 512
 
@@ -1160,6 +1227,7 @@ def main():
             "round_gflops_est": round(gflops, 1),
             "evaluate_mpts_per_s": round(eval_mpts, 2),
             "evaluate_mpts_per_s_bf16": round(eval_mpts_bf16, 2),
+            "evaluate_ensemble_mpts_per_s": round(eval_ens_mpts, 2),
             # per-point speedup vs numpy MEASURED on 512 points (full-
             # batch numpy would take minutes; labeled, not hidden)
             # per-point ratio: numpy measured on 512 pts, TPU rate
