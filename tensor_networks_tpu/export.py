@@ -12,9 +12,13 @@ No reference counterpart (the reference has no compiled-program story).
 Design notes (TPU-first):
 
 * the batch axis is exported symbolically (``jax.export.symbolic_shape``)
-  so one artifact serves every request size with one executable per
-  backend — no pow2 bucketing, no per-shape remote compiles through a
-  TPU relay;
+  so ONE artifact admits every request size — no re-export, no Python
+  retrace.  Execution still specializes per concrete shape (XLA
+  compiles static shapes), so the evaluator pads requests to pow2
+  buckets by default: any request stream compiles at most
+  ``log2(max_batch)`` specializations per backend instead of one per
+  distinct size — the difference between bounded and unbounded compile
+  cost through a 20-60 s-per-compile TPU relay;
 * node values are *arguments* of the exported function, not constants
   baked into it: a serving process can hot-swap refreshed weights of the
   same structure (:meth:`ExportedEvaluator.update_values`) without
@@ -53,7 +57,11 @@ class ExportedEvaluator:
     ``ev(points)`` evaluates the network at an ``(N, k)`` integer
     multi-index array (columns ordered like the exported ``indices``)
     and returns an ``(N,)`` NumPy array, for any ``N >= 1``, without
-    retracing.  Construct via :func:`export_evaluator` or :func:`load`.
+    Python retracing.  ``bucket_batches`` (default True) pads each
+    request to the next power of two so a serving process compiles at
+    most ``log2(max_batch)`` XLA specializations per backend; set it
+    False to run exact request shapes (one specialization per distinct
+    size).  Construct via :func:`export_evaluator` or :func:`load`.
     """
 
     def __init__(
@@ -62,11 +70,13 @@ class ExportedEvaluator:
         values: Sequence[jnp.ndarray],
         index_names: Sequence[str],
         index_sizes: Sequence[int],
+        bucket_batches: bool = True,
     ):
         self._exported = exported
         self._values = [jnp.asarray(v) for v in values]
         self.index_names = list(index_names)
         self.index_sizes = [int(s) for s in index_sizes]
+        self.bucket_batches = bucket_batches
 
     # -- serving ------------------------------------------------------------------------------
 
@@ -77,12 +87,19 @@ class ExportedEvaluator:
                 f"points must be (N, {len(self.index_names)}) for indices "
                 f"{self.index_names}, got {pts.shape}"
             )
-        if pts.shape[0] == 0:
+        npts = pts.shape[0]
+        if npts == 0:
             return np.empty((0,), dtype=np.asarray(self._values[0]).dtype)
+        if self.bucket_batches:
+            m = 1 << (npts - 1).bit_length()
+            if m > npts:
+                pts = np.concatenate(
+                    [pts, np.repeat(pts[-1:], m - npts, axis=0)]
+                )
         out = self._exported.call(
             self._values, jnp.asarray(pts.astype(np.int32))
         )
-        return np.asarray(out)
+        return np.asarray(out)[:npts]
 
     @property
     def platforms(self) -> List[str]:

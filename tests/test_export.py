@@ -102,6 +102,22 @@ def test_rejects_bad_inputs(tt_net):
     assert ev(np.empty((0, len(indices)))).shape == (0,)
 
 
+def test_batch_bucketing(tt_net):
+    """Pow2 bucketing pads requests (results unchanged, including at
+    exact powers of two and N=1) and can be disabled."""
+    net, indices = tt_net
+    ev = export_evaluator(net, indices)
+    assert ev.bucket_batches
+    for n in (1, 2, 3, 64, 65, 100):
+        pts = _points(indices, n)
+        got = ev(pts)
+        assert got.shape == (n,)
+        ev.bucket_batches = False
+        exact = ev(pts)
+        ev.bucket_batches = True
+        np.testing.assert_allclose(got, exact, rtol=0, atol=0)
+
+
 def test_dtype_cast_for_tpu_serving(tt_net):
     net, indices = tt_net
     ev = export_evaluator(net, indices, dtype=np.float32)
