@@ -55,8 +55,10 @@ from tensor_networks_tpu.ops.als import (
 from tensor_networks_tpu.ops.packed import (
     PackedTT,
     PackedTTOp,
+    add,
     norm_exact,
     pad_rank,
+    scale,
     svd_round,
     ttop_add,
     ttop_apply_packed,
@@ -75,6 +77,7 @@ def evolve_theta(
     steps: int,
     theta: float = 1.0,
     mass: PackedTTOp = None,
+    source=None,
     rank: int = None,
     sweeps: int = 4,
     tol: float = 1e-10,
@@ -82,12 +85,17 @@ def evolve_theta(
     callback: Optional[Callable[[int, PackedTT], None]] = None,
     **solve_kw,
 ) -> Tuple[PackedTT, List[float]]:
-    """Integrate ``M du/dt = -A u`` for ``steps`` steps of size ``dt``.
+    """Integrate ``M du/dt = -A u + f`` for ``steps`` steps of size ``dt``.
 
     Returns ``(u_final, residuals)`` with one ALS residual per step.
-    ``rank`` bounds the solution rank (default: ``u0``'s rank); the
-    right-hand side ``(M - (1-theta) dt A) u_n`` is rounded back to it
-    each step, so every shape in the loop is static.  ``callback(n, u)``
+    ``source`` is the forcing ``f``: a :class:`PackedTT` for a constant
+    source, or a callable ``t -> PackedTT`` evaluated at the theta
+    quadrature points (``dt (theta f(t_{n+1}) + (1-theta) f(t_n))``
+    joins the right-hand side each step; a callable with constant bond
+    rank keeps every shape in the loop static).  ``rank`` bounds the
+    solution rank (default: ``u0``'s rank); the right-hand side
+    ``(M - (1-theta) dt A) u_n [+ source]`` is rounded back to it each
+    step, so every shape in the loop is static.  ``callback(n, u)``
     observes the trajectory.  Extra keyword arguments reach
     :func:`als_solve` (e.g. ``spd=True`` for symmetric ``A``/``M`` —
     the step operator of a parabolic problem is SPD).
@@ -111,10 +119,28 @@ def evolve_theta(
         rhs_op = M
     rank = int(rank) if rank is not None else u0.rank
 
+    g_const = None
+    if source is not None and not callable(source):
+        # constant f: theta dt f + (1-theta) dt f = dt f
+        g_const = scale(source, dt)
+
     u = svd_round(u0, rank) if u0.rank != rank else u0
     residuals: List[float] = []
     for step in range(steps):
-        b = svd_round(ttop_apply_packed(rhs_op, u), rank)
+        b = ttop_apply_packed(rhs_op, u)
+        if source is not None:
+            if g_const is not None:
+                g = g_const
+            else:
+                f1 = scale(source((step + 1) * dt), theta * dt)
+                if theta < 1.0:
+                    g = add(
+                        f1, scale(source(step * dt), (1.0 - theta) * dt)
+                    )
+                else:
+                    g = f1
+            b = add(b, g)
+        b = svd_round(b, rank)
         u, res, _ = als_solve(
             lhs, b, u, sweeps=sweeps,
             tol=tol * float(norm_exact(b)), **solve_kw,

@@ -100,6 +100,70 @@ def test_evolve_with_fem_mass():
     assert np.linalg.norm(uf - ud) / np.linalg.norm(ud) < 1e-6
 
 
+@pytest.mark.parametrize("theta", [1.0, 0.5])
+def test_evolve_with_constant_source(theta):
+    """Inhomogeneous heat equation du/dt = -A u + f (constant f)
+    matches the dense theta trajectory."""
+    K = 5
+    n = 2**K
+    A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)
+    u0 = pk.pad_rank(qtt_exponential(K, c=3.0), 8)
+    f = qtt_exponential(K, c=-2.0)
+    dt, steps = 0.05, 12
+    u, res = evolve_theta(
+        A, u0, dt, steps, theta=theta, source=f, spd=True
+    )
+    assert res[-1] < 1e-9
+
+    Ad = _dense_heat(K)
+    lin = _lin_perm(K)
+    ud = np.zeros(n)
+    ud[lin] = _dense_vec(u0)
+    fd = np.zeros(n)
+    fd[lin] = _dense_vec(f)
+    L = np.eye(n) + theta * dt * Ad
+    R = np.eye(n) - (1 - theta) * dt * Ad
+    for _ in range(steps):
+        ud = np.linalg.solve(L, R @ ud + dt * fd)
+    uf = np.zeros(n)
+    uf[lin] = _dense_vec(u)
+    assert np.linalg.norm(uf - ud) / np.linalg.norm(ud) < 1e-6
+
+
+def test_evolve_with_time_dependent_source():
+    """Callable source f(t) = cos(t) f0 hits the theta quadrature
+    points; Crank-Nicolson trajectory matches dense."""
+    K = 5
+    n = 2**K
+    theta = 0.5
+    A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)
+    u0 = pk.pad_rank(qtt_exponential(K, c=3.0), 8)
+    f0 = qtt_exponential(K, c=-2.0)
+    dt, steps = 0.05, 10
+    u, res = evolve_theta(
+        A, u0, dt, steps, theta=theta,
+        source=lambda t: pk.scale(f0, np.cos(t)), spd=True,
+    )
+    assert res[-1] < 1e-9
+
+    Ad = _dense_heat(K)
+    lin = _lin_perm(K)
+    ud = np.zeros(n)
+    ud[lin] = _dense_vec(u0)
+    fd = np.zeros(n)
+    fd[lin] = _dense_vec(f0)
+    L = np.eye(n) + theta * dt * Ad
+    R = np.eye(n) - (1 - theta) * dt * Ad
+    for s in range(steps):
+        g = dt * (
+            theta * np.cos((s + 1) * dt) + (1 - theta) * np.cos(s * dt)
+        )
+        ud = np.linalg.solve(L, R @ ud + g * fd)
+    uf = np.zeros(n)
+    uf[lin] = _dense_vec(u)
+    assert np.linalg.norm(uf - ud) / np.linalg.norm(ud) < 1e-6
+
+
 def _dense_heat(K):
     n = 2**K
     return (
