@@ -808,48 +808,51 @@ def main():
         # (same per-train batch as the single-train probes above)
         eval_ens_mpts = float("nan")
         if on_tpu:
-            from tensor_networks_tpu.kernels.ragged_eval import (
-                tt_evaluate_ragged,
-            )
-
-            n_ens = 8
-            rng_e = np.random.default_rng(7)
-            f_e = jnp.asarray(
-                rng_e.standard_normal((n_ens * N, R)), dtype
-            )
-            m_e = jnp.asarray(
-                rng_e.standard_normal((D - 2, R, n_ens * N, R))
-                / np.sqrt(R),
-                dtype,
-            )
-            l_e = jnp.asarray(
-                rng_e.standard_normal((R, n_ens * N)), dtype
-            )
-            offs = (
-                rng_e.integers(0, n_ens, size=(n_ens * n_pts, 1)) * N
-            )
-            idx_e = jnp.asarray(
-                rng_e.integers(0, N, size=(n_ens * n_pts, D)) + offs,
-                jnp.int32,
-            )
-
-            @partial(jax.jit, static_argnames=("k",))
-            def eval_ens_repeat(first, mids, last, idx, k):
-                def body(acc, _):
-                    scale = 1.0 + acc * jnp.asarray(1e-24, dtype)
-                    vals = tt_evaluate_ragged(
-                        first * scale, mids, last, idx, "highest"
-                    )
-                    return jnp.sum(vals).astype(dtype), None
-
-                acc, _ = jax.lax.scan(
-                    body,
-                    jnp.asarray(0.0, dtype),
-                    jnp.arange(k, dtype=dtype),
-                )
-                return acc
-
+            # everything (import + ~0.5 GB of ensemble arrays) inside the
+            # try: a setup failure must not clobber the single-train
+            # numbers already measured above via the outer except
             try:
+                from tensor_networks_tpu.kernels.ragged_eval import (
+                    tt_evaluate_ragged,
+                )
+
+                n_ens = 8
+                rng_e = np.random.default_rng(7)
+                f_e = jnp.asarray(
+                    rng_e.standard_normal((n_ens * N, R)), dtype
+                )
+                m_e = jnp.asarray(
+                    rng_e.standard_normal((D - 2, R, n_ens * N, R))
+                    / np.sqrt(R),
+                    dtype,
+                )
+                l_e = jnp.asarray(
+                    rng_e.standard_normal((R, n_ens * N)), dtype
+                )
+                offs = (
+                    rng_e.integers(0, n_ens, size=(n_ens * n_pts, 1)) * N
+                )
+                idx_e = jnp.asarray(
+                    rng_e.integers(0, N, size=(n_ens * n_pts, D)) + offs,
+                    jnp.int32,
+                )
+
+                @partial(jax.jit, static_argnames=("k",))
+                def eval_ens_repeat(first, mids, last, idx, k):
+                    def body(acc, _):
+                        scale = 1.0 + acc * jnp.asarray(1e-24, dtype)
+                        vals = tt_evaluate_ragged(
+                            first * scale, mids, last, idx, "highest"
+                        )
+                        return jnp.sum(vals).astype(dtype), None
+
+                    acc, _ = jax.lax.scan(
+                        body,
+                        jnp.asarray(0.0, dtype),
+                        jnp.arange(k, dtype=dtype),
+                    )
+                    return acc
+
                 t_ens = timed_repeat(
                     lambda k: eval_ens_repeat(f_e, m_e, l_e, idx_e, k=k),
                     2,

@@ -36,6 +36,7 @@ values, and a JSON manifest (index names/sizes, column order, dtype);
 from __future__ import annotations
 
 import json
+import os
 from typing import List, Optional, Sequence, Union
 
 import jax
@@ -136,8 +137,15 @@ class ExportedEvaluator:
 
     # -- persistence --------------------------------------------------------------------------
 
-    def save(self, path: str) -> None:
-        """Write the artifact (program + values + manifest) as one .npz."""
+    def save(self, path: str) -> str:
+        """Write the artifact (program + values + manifest) as one .npz.
+
+        Returns the path actually written: ``np.savez`` appends
+        ``.npz`` to extension-less paths, so ``save``/``load`` normalize
+        to that name instead of letting the pair silently diverge.
+        """
+        if not path.endswith(".npz"):
+            path = path + ".npz"
         blob = self._exported.serialize()
         meta = {
             "format": "tnt-exported-evaluator-v1",
@@ -145,6 +153,7 @@ class ExportedEvaluator:
             "index_sizes": self.index_sizes,
             "platforms": self.platforms,
             "n_values": len(self._values),
+            "bucket_batches": bool(self.bucket_batches),
         }
         arrays = {
             f"value_{i}": np.asarray(v) for i, v in enumerate(self._values)
@@ -157,10 +166,14 @@ class ExportedEvaluator:
             ),
             **arrays,
         )
+        return path
 
 
 def load(path: str) -> ExportedEvaluator:
     """Restore an :class:`ExportedEvaluator` written by ``save``."""
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        # mirror save's np.savez extension normalization
+        path = path + ".npz"
     with np.load(path) as data:
         meta = json.loads(bytes(data["manifest"].tobytes()).decode("utf-8"))
         if meta.get("format") != "tnt-exported-evaluator-v1":
@@ -171,7 +184,11 @@ def load(path: str) -> ExportedEvaluator:
             for i in range(meta["n_values"])
         ]
     return ExportedEvaluator(
-        exported, values, meta["index_names"], meta["index_sizes"]
+        exported,
+        values,
+        meta["index_names"],
+        meta["index_sizes"],
+        bucket_batches=bool(meta.get("bucket_batches", True)),
     )
 
 
@@ -194,7 +211,7 @@ def export_evaluator(
     indices = list(indices)
     free = set(net.free_indices())
     missing = [i for i in indices if i not in free]
-    if missing or len(indices) != len(free):
+    if missing or len(set(indices)) != len(indices) or len(indices) != len(free):
         raise ValueError(
             f"indices must be exactly the free indices of the network; "
             f"got {[i.name for i in indices]} vs "

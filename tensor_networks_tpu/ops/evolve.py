@@ -124,10 +124,15 @@ def evolve_theta(
         # constant f: theta dt f + (1-theta) dt f = dt f
         g_const = scale(source, dt)
 
+    # theta=1 with no mass makes the RHS operator the bare identity:
+    # applying it (and re-rounding the result) would burn a full
+    # operator apply + d-core sweep per step to reproduce u
+    identity_rhs = mass is None and theta == 1.0
+
     u = svd_round(u0, rank) if u0.rank != rank else u0
     residuals: List[float] = []
     for step in range(steps):
-        b = ttop_apply_packed(rhs_op, u)
+        b = u if identity_rhs else ttop_apply_packed(rhs_op, u)
         if source is not None:
             if g_const is not None:
                 g = g_const
@@ -140,7 +145,8 @@ def evolve_theta(
                 else:
                     g = f1
             b = add(b, g)
-        b = svd_round(b, rank)
+        if b is not u:
+            b = svd_round(b, rank)
         u, res, _ = als_solve(
             lhs, b, u, sweeps=sweeps,
             tol=tol * float(norm_exact(b)), **solve_kw,
@@ -263,6 +269,41 @@ def _split_right(core):
     return q.T.reshape(r1, n, r2), rmat.T
 
 
+def _unpack_state(u0: PackedTT) -> List[jnp.ndarray]:
+    """Core list with explicit boundary bonds: (1,n,r), (r,n,r)*, (r,n,1)."""
+    return [u0.first[None]] + list(u0.mids) + [u0.last[..., None]]
+
+
+def _unpack_op(A: PackedTTOp, dtp) -> List[jnp.ndarray]:
+    return (
+        [A.first[None].astype(dtp)]
+        + list(A.mids.astype(dtp))
+        + [A.last[..., None].astype(dtp)]
+    )
+
+
+def _right_canonicalize(xs: List[jnp.ndarray]) -> None:
+    """In-place right-to-left QR gauge; the represented state is unchanged
+    (each R factor folds into the left neighbor)."""
+    for k in range(len(xs) - 1, 0, -1):
+        xs[k], rmat = _split_right(xs[k])
+        xs[k - 1] = jnp.einsum(
+            "anb,bc->anc", xs[k - 1], rmat, precision="highest"
+        )
+
+
+def _repack(xs: List[jnp.ndarray]) -> PackedTT:
+    return PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0])
+
+
+def _right_envs(xs, as_, one3) -> List[jnp.ndarray]:
+    """Reversed right-environment prefixes: ``[I, env(d-1), ..., env(d-1..1)]``."""
+    rev_rs = [one3]
+    for k in range(len(xs) - 1, 0, -1):
+        rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
+    return rev_rs
+
+
 def evolve_tdvp(
     A: PackedTTOp,
     u0: PackedTT,
@@ -289,31 +330,22 @@ def evolve_tdvp(
     makes sense.  ``callback(n, u)`` observes the trajectory.
     """
     dtp = u0.first.dtype
-    xs = [u0.first[None]] + list(u0.mids) + [u0.last[..., None]]
-    as_ = (
-        [A.first[None].astype(dtp)]
-        + list(A.mids.astype(dtp))
-        + [A.last[..., None].astype(dtp)]
-    )
+    xs = _unpack_state(u0)
+    as_ = _unpack_op(A, dtp)
     d = len(xs)
     h = float(dt)
 
-    # right-canonicalize once; the R factor folds left so the
-    # represented state is unchanged
-    for k in range(d - 1, 0, -1):
-        xs[k], rmat = _split_right(xs[k])
-        xs[k - 1] = jnp.einsum(
-            "anb,bc->anc", xs[k - 1], rmat, precision="highest"
-        )
+    _right_canonicalize(xs)
 
     one3 = jnp.ones((1, 1, 1), dtp)
     norms: List[float] = []
+    # the backward half-sweep of each step leaves exactly the right-env
+    # chain the next forward pass needs (cores k..d-1 are final and
+    # right-canonical when env k is recorded), so it is built once here
+    # and thereafter reused across steps
+    rev_rs = _right_envs(xs, as_, one3)
 
     for step in range(steps):
-        # right-env prefixes for this step's forward pass
-        rev_rs = [one3]
-        for k in range(d - 1, 0, -1):
-            rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
         rs = rev_rs[::-1]
 
         # left -> right half step: site forward h/2, bond backward h/2
@@ -351,12 +383,9 @@ def evolve_tdvp(
 
         norms.append(float(jnp.linalg.norm(xs[0])))
         if callback is not None:
-            callback(
-                step,
-                PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0]),
-            )
+            callback(step, _repack(xs))
 
-    return PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0]), norms
+    return _repack(xs), norms
 
 
 # -- two-site TDVP (rank-adaptive up to a static max_rank) -------------------------
@@ -465,33 +494,24 @@ def evolve_tdvp2(
             "round u0 first"
         )
     dtp = u0.first.dtype
-    xs = [u0.first[None]] + list(u0.mids) + [u0.last[..., None]]
-    as_ = (
-        [A.first[None].astype(dtp)]
-        + list(A.mids.astype(dtp))
-        + [A.last[..., None].astype(dtp)]
-    )
+    xs = _unpack_state(u0)
+    as_ = _unpack_op(A, dtp)
     d = len(xs)
     h = float(dt)
     r = max_rank
     eps_j = jnp.asarray(eps, dtp)
 
-    for k in range(d - 1, 0, -1):
-        xs[k], rmat = _split_right(xs[k])
-        xs[k - 1] = jnp.einsum(
-            "anb,bc->anc", xs[k - 1], rmat, precision="highest"
-        )
+    _right_canonicalize(xs)
 
     one3 = jnp.ones((1, 1, 1), dtp)
     norms: List[float] = []
     ranks: List[int] = []
+    # as in evolve_tdvp: the backward half-sweep records env k+1 after
+    # core k+1's final split, so its chain is exactly the next step's
+    rev_rs = _right_envs(xs, as_, one3)
 
     for step in range(steps):
         keffs = []
-
-        rev_rs = [one3]
-        for k in range(d - 1, 0, -1):
-            rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
         rs = rev_rs[::-1]
 
         # left -> right: pair forward h/2, right core backward h/2

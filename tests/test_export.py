@@ -61,6 +61,38 @@ def test_save_load_roundtrip(tt_net, tmp_path):
     np.testing.assert_allclose(back(pts), ev(pts), rtol=0, atol=0)
 
 
+def test_save_load_extensionless_path(tt_net, tmp_path):
+    """np.savez appends .npz to extension-less paths; save/load must
+    agree on the final name instead of silently diverging."""
+    net, indices = tt_net
+    ev = export_evaluator(net, indices)
+    bare = str(tmp_path / "model")
+    written = ev.save(bare)
+    assert written == bare + ".npz"
+    pts = _points(indices, 9)
+    for p in (bare, written):  # both spellings load the same artifact
+        np.testing.assert_allclose(load(p)(pts), ev(pts), rtol=0, atol=0)
+
+
+def test_bucket_batches_persisted(tt_net, tmp_path):
+    net, indices = tt_net
+    ev = export_evaluator(net, indices)
+    ev.bucket_batches = False
+    path = ev.save(str(tmp_path / "exact.npz"))
+    assert load(path).bucket_batches is False
+    ev.bucket_batches = True
+    path = ev.save(str(tmp_path / "bucketed.npz"))
+    assert load(path).bucket_batches is True
+
+
+def test_duplicate_indices_rejected(tt_net):
+    """A duplicated column must not pass for the full free-index set
+    (the omitted index would be silently summed over)."""
+    net, indices = tt_net
+    with pytest.raises(ValueError):
+        export_evaluator(net, [indices[0]] + indices[:-1])
+
+
 def test_update_values_hot_swap(tt_net):
     net, indices = tt_net
     ev = export_evaluator(net, indices)
