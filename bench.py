@@ -870,6 +870,11 @@ def main():
                     f"[bench] ensemble evaluate failed: {exc}",
                     file=sys.stderr,
                 )
+            finally:
+                # the ensemble stack holds ~0.5 GB of HBM; the cross and
+                # search sections that follow should not share the chip
+                # with it
+                f_e = m_e = l_e = idx_e = None  # noqa: F841
 
         # honest baseline labeling: the reference-style evaluation is
         # minutes-slow at full batch, so the numpy number is MEASURED on

@@ -69,6 +69,9 @@ from tensor_networks_tpu.ops import (  # noqa: E402
     gmres,
     als_solve,
     als_eigsh,
+    evolve_theta,
+    evolve_tdvp,
+    evolve_tdvp2,
     packed,
     PackedTT,
     PackedTTOp,
@@ -121,6 +124,9 @@ __all__ = [
     "gmres_packed",
     "als_solve",
     "als_eigsh",
+    "evolve_theta",
+    "evolve_tdvp",
+    "evolve_tdvp2",
     "tt_inner_fast",
     "tt_inner_fn",
     "stack_tt_cores",

@@ -312,6 +312,7 @@ def evolve_tdvp(
     krylov: int = 24,
     dense_limit: int = 1024,
     callback: Optional[Callable[[int, PackedTT], None]] = None,
+    fused: Optional[bool] = None,
 ) -> Tuple[PackedTT, List[float]]:
     """Integrate ``du/dt = -A u`` by one-site projector-splitting TDVP.
 
@@ -328,7 +329,34 @@ def evolve_tdvp(
     ``krylov`` bounds the Lanczos space of the large local
     exponentials; 20-30 is plenty for the dt*||A|| regimes where TDVP
     makes sense.  ``callback(n, u)`` observes the trajectory.
+
+    ``fused`` (default on) runs each step — the whole trajectory, when
+    no callback observes it — as ONE jitted program (boundary cores
+    explicit, mid cores as ``lax.scan`` sweeps; arithmetic identical to
+    the host-loop form, which ``fused=False`` keeps for debugging).
+    Through a ~25 ms/dispatch TPU relay this is the difference between
+    ~6 d dispatches per step and one per trajectory.
     """
+    if fused is None:
+        fused = True
+    if fused:
+        dtp = u0.first.dtype
+        x0, X, xl, a0, Am, al = _fused_operands(A, u0)
+        h = jnp.asarray(float(dt), dtp)
+        if callback is None:
+            x0, X, xl, norms_dev = _tdvp_traj_fused(
+                x0, X, xl, a0, Am, al, h, steps, dense_limit, krylov
+            )
+            norms = [float(v) for v in np.asarray(norms_dev)]
+            return PackedTT(x0[0], X, xl[..., 0]), norms
+        norms = []
+        for step in range(steps):
+            x0, X, xl = _tdvp_step_fused(
+                x0, X, xl, a0, Am, al, h, dense_limit, krylov
+            )
+            norms.append(float(jnp.linalg.norm(x0)))
+            callback(step, PackedTT(x0[0], X, xl[..., 0]))
+        return PackedTT(x0[0], X, xl[..., 0]), norms
     dtp = u0.first.dtype
     xs = _unpack_state(u0)
     as_ = _unpack_op(A, dtp)
@@ -386,6 +414,126 @@ def evolve_tdvp(
             callback(step, _repack(xs))
 
     return _repack(xs), norms
+
+
+# -- fused one-site TDVP ------------------------------------------------------------
+# The host-loop form above dispatches ~6 d kernels per step (site/bond
+# exponentials, QR splits, env advances) — seconds per step through a
+# ~25 ms/dispatch TPU relay at QTT depths.  Packed trains are uniform
+# (mid cores (r, n, r), operator mids (s, n, n, s)), so the whole
+# symmetric step fuses into ONE program: boundary cores explicit, mid
+# cores as lax.scan sweeps, all static shapes.  Arithmetic is identical
+# to the host loop call for call (pinned by parity tests at 1e-12), so
+# the dense/Lanczos decision rule is shared too.
+
+
+def _tdvp_step_impl(x0, X, xl, a0, Am, al, h, dense_limit, kdim):
+    """One symmetric one-site TDVP step; inputs right-canonical.
+
+    ``x0 (1, n, r)``, ``X (m, r, n, r)``, ``xl (r, n, 1)``; operator
+    cores ``a0 (1, n, n, s)``, ``Am (m, s, n, n, s)``, ``al (s, n, n, 1)``.
+    Returns the same layout, right-canonical again.
+    """
+    dtp = x0.dtype
+    one3 = jnp.ones((1, 1, 1), dtp)
+
+    # right-env chain (rs[k] = env of cores k+1..d-1): emit the carry
+    # BEFORE absorbing mid j, so Rs_mid[j] is exactly what mid j needs
+    r_last = _adv_right(one3, xl, al)
+
+    def renv_body(R, inp):
+        xk, ak = inp
+        return _adv_right(R, xk, ak), R
+
+    r_front, rs_rev = jax.lax.scan(
+        renv_body, r_last, (X[::-1], Am[::-1])
+    )
+    rs_mid = rs_rev[::-1]
+
+    # forward half-sweep: core 0 explicit, mids as one scan
+    z = _site_evolve(one3, a0, r_front, x0, -0.5 * h, dense_limit, kdim)
+    x0q, smat = _split_left(z)
+    lenv = _adv_left(one3, x0q, a0)
+    smat = _bond_evolve(lenv, r_front, smat, +0.5 * h, dense_limit, kdim)
+
+    def fwd_body(carry, inp):
+        L, s = carry
+        xk, ak, Rk = inp
+        zk = jnp.einsum("ab,bnc->anc", s, xk, precision="highest")
+        zk = _site_evolve(L, ak, Rk, zk, -0.5 * h, dense_limit, kdim)
+        q, s2 = _split_left(zk)
+        Ln = _adv_left(L, q, ak)
+        s2 = _bond_evolve(Ln, Rk, s2, +0.5 * h, dense_limit, kdim)
+        # emit the PRE-update env: the backward sweep needs ls[k]
+        # (cores 0..k-1) at this site
+        return (Ln, s2), (q, L)
+
+    (l_back, smat), (Q, ls_mid) = jax.lax.scan(
+        fwd_body, (lenv, smat), (X, Am, rs_mid)
+    )
+
+    zl = jnp.einsum("ab,bnc->anc", smat, xl, precision="highest")
+    zl = _site_evolve(l_back, al, one3, zl, -0.5 * h, dense_limit, kdim)
+
+    # backward half-sweep (mirror): last core explicit, mids reversed
+    zl = _site_evolve(l_back, al, one3, zl, -0.5 * h, dense_limit, kdim)
+    xlq, smat = _split_right(zl)
+    renv = _adv_right(one3, xlq, al)
+    smat = _bond_evolve(l_back, renv, smat, +0.5 * h, dense_limit, kdim)
+
+    def bwd_body(carry, inp):
+        R, s = carry
+        qk, ak, Lk = inp
+        zk = jnp.einsum("anb,bc->anc", qk, s, precision="highest")
+        zk = _site_evolve(Lk, ak, R, zk, -0.5 * h, dense_limit, kdim)
+        vk, s2 = _split_right(zk)
+        Rn = _adv_right(R, vk, ak)
+        s2 = _bond_evolve(Lk, Rn, s2, +0.5 * h, dense_limit, kdim)
+        return (Rn, s2), vk
+
+    (r_back, smat), v_rev = jax.lax.scan(
+        bwd_body, (renv, smat), (Q[::-1], Am[::-1], ls_mid[::-1])
+    )
+    V = v_rev[::-1]
+
+    z0 = jnp.einsum("anb,bc->anc", x0q, smat, precision="highest")
+    z0 = _site_evolve(one3, a0, r_back, z0, -0.5 * h, dense_limit, kdim)
+    return z0, V, xlq
+
+
+_tdvp_step_fused = jax.jit(
+    _tdvp_step_impl, static_argnames=("dense_limit", "kdim")
+)
+
+
+@partial(jax.jit, static_argnames=("steps", "dense_limit", "kdim"))
+def _tdvp_traj_fused(x0, X, xl, a0, Am, al, h, steps, dense_limit, kdim):
+    """A whole TDVP trajectory as one XLA program (scan over steps)."""
+
+    def body(carry, _):
+        c0, cm, cl = carry
+        c0, cm, cl = _tdvp_step_impl(
+            c0, cm, cl, a0, Am, al, h, dense_limit, kdim
+        )
+        return (c0, cm, cl), jnp.linalg.norm(c0)
+
+    (x0, X, xl), norms = jax.lax.scan(
+        body, (x0, X, xl), None, length=steps
+    )
+    return x0, X, xl, norms
+
+
+def _fused_operands(A, u0):
+    """Right-canonicalized stacked state + operator stacks for the fused path."""
+    dtp = u0.first.dtype
+    xs = _unpack_state(u0)
+    _right_canonicalize(xs)
+    x0, xl = xs[0], xs[-1]
+    X = jnp.stack(xs[1:-1]) if len(xs) > 2 else u0.mids.astype(dtp)
+    a0 = A.first[None].astype(dtp)
+    Am = A.mids.astype(dtp)
+    al = A.last[..., None].astype(dtp)
+    return x0, X, xl, a0, Am, al
 
 
 # -- two-site TDVP (rank-adaptive up to a static max_rank) -------------------------

@@ -14,6 +14,7 @@ os.environ["XLA_FLAGS"] = (
 )
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
@@ -22,3 +23,19 @@ jax.config.update("jax_enable_x64", True)
 # TNT_DEBUG_NANS=1 makes every kernel fail loudly on NaN production
 if os.environ.get("TNT_DEBUG_NANS") == "1":
     jax.config.update("jax_debug_nans", True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles thousands of distinct XLA programs in one
+    process; with all of them kept alive the XLA:CPU compiler segfaulted
+    twice (2026-08-18) at ~265 tests in — in *different* tests but at the
+    same cumulative position, i.e. a per-process accumulation limit, not
+    a test bug.  Executables rarely cross module boundaries, so clearing
+    per module costs little recompilation and keeps the live-executable
+    count bounded.
+    """
+    yield
+    jax.clear_caches()

@@ -234,6 +234,40 @@ def test_tdvp_skew_flow_preserves_norm():
     assert abs(norms[-1] - n0) / n0 < 1e-12
 
 
+def test_tdvp_fused_matches_host_loop():
+    """The fused single-program step is the host loop's arithmetic,
+    reorganized: trajectories agree to roundoff on both the dense and
+    the Lanczos local-exponential paths."""
+    K = 5
+    A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)
+    u0 = pk.svd_round(pk.pad_rank(qtt_exponential(K, c=3.0), 4), 4)
+    for kw in ({}, {"dense_limit": 0, "krylov": 20}):
+        u_f, n_f = evolve_tdvp(A, u0, 0.04, 5, fused=True, **kw)
+        u_h, n_h = evolve_tdvp(A, u0, 0.04, 5, fused=False, **kw)
+        ref = _dense_of(u_h, K)
+        got = _dense_of(u_f, K)
+        assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-12
+        np.testing.assert_allclose(n_f, n_h, rtol=1e-12)
+
+
+def test_tdvp_fused_callback_path():
+    """With a callback the fused path steps one jitted program at a
+    time; the observed trajectory equals the scan-over-steps one."""
+    K = 4
+    A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)
+    u0 = pk.pad_rank(qtt_exponential(K, c=3.0), 4)
+    seen = []
+    u_cb, n_cb = evolve_tdvp(
+        A, u0, 0.05, 4, callback=lambda s, u: seen.append(_dense_of(u, K))
+    )
+    u_sc, n_sc = evolve_tdvp(A, u0, 0.05, 4)
+    assert len(seen) == 4
+    np.testing.assert_allclose(n_cb, n_sc, rtol=1e-12)
+    np.testing.assert_allclose(
+        seen[-1], _dense_of(u_sc, K), rtol=0, atol=1e-12
+    )
+
+
 def test_tdvp2_grows_rank_to_exactness():
     """Two-site TDVP from a RANK-1 start with max_rank = the full bond
     dimension grows onto the exact manifold: the trajectory matches

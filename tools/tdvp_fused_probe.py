@@ -1,0 +1,72 @@
+"""On-chip probe: fused vs host-loop one-site TDVP dispatch cost.
+
+Times one TDVP step of a K=22 QTT heat state (rank 8, f32) in both
+forms on the real chip.  The host loop pays ~6*K relay dispatches per
+step; the fused form is ONE program per step (or per trajectory).
+Run through the serialized chip session only (single-client relay).
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("TNT_ENABLE_X64", "0")
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"[tdvp-probe] device: {dev.device_kind}")
+
+    from tensor_networks_tpu.ops import packed as pk
+    from tensor_networks_tpu.ops.evolve import (
+        _fused_operands,
+        _tdvp_step_fused,
+        evolve_tdvp,
+    )
+    from tensor_networks_tpu.ops.qtt import qtt_exponential, qtt_tridiagonal
+
+    K, rank = 22, 8
+    A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)
+    u0 = pk.pad_rank(qtt_exponential(K, c=3.0), rank)
+    f32 = jnp.float32
+    A = type(A)(*(x.astype(f32) for x in A))
+    u0 = type(u0)(*(x.astype(f32) for x in u0))
+    dt = 1e-4
+
+    # fused: compile once, then time steady-state steps
+    x0, X, xl, a0, Am, al = _fused_operands(A, u0)
+    h = jnp.asarray(dt, f32)
+    t0 = time.perf_counter()
+    o = _tdvp_step_fused(x0, X, xl, a0, Am, al, h, 1024, 24)
+    print(f"[tdvp-probe] fused first call (compile): "
+          f"{time.perf_counter() - t0:.1f} s, norm {float(jnp.linalg.norm(o[0])):.6f}")
+    reps = 10
+    t0 = time.perf_counter()
+    c = (x0, X, xl)
+    for _ in range(reps):
+        c = _tdvp_step_fused(c[0], c[1], c[2], a0, Am, al, h, 1024, 24)
+    barrier = float(jnp.linalg.norm(c[0]))  # host fetch = the only real sync
+    t_fused = (time.perf_counter() - t0) / reps
+    print(f"[tdvp-probe] fused step: {t_fused * 1e3:.1f} ms "
+          f"(norm {barrier:.6f})")
+
+    # host loop, same shapes (2 steps is enough to time the dispatches)
+    t0 = time.perf_counter()
+    _, norms = evolve_tdvp(A, u0, dt, 1, fused=False)
+    print(f"[tdvp-probe] host-loop first step (incl. compiles): "
+          f"{time.perf_counter() - t0:.1f} s")
+    t0 = time.perf_counter()
+    _, norms = evolve_tdvp(A, u0, dt, 2, fused=False)
+    t_host = (time.perf_counter() - t0) / 2
+    print(f"[tdvp-probe] host-loop step: {t_host * 1e3:.1f} ms "
+          f"(norm {norms[-1]:.6f})")
+    print(f"[tdvp-probe] fused speedup: {t_host / t_fused:.1f}x")
+
+
+if __name__ == "__main__":
+    main()
