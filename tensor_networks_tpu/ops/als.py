@@ -49,6 +49,13 @@ from tensor_networks_tpu.ops.packed import (
 
 __all__ = ["als_solve", "als_solve_adaptive"]
 
+_STALL_MSG = (
+    "ALS sweep reduced the residual <2% (now {res:.2e}) with local "
+    "systems of {size} unknowns above dense_limit={dense_limit} "
+    "({path}); if it stays flat, raise dense_limit or cg_iters, or "
+    "lower the rank{spd_hint}"
+)
+
 
 # -- environment advances ------------------------------------------------------
 # Index conventions: ket core X (a, j, a2); the SAME core is the bra
@@ -182,9 +189,118 @@ def _solve_core(L, R, Lb, Rb, ak, bk, vk, lam, dense_limit, cg_iters,
     # sweep stalls orders of magnitude above the dense path (observed:
     # 1.4e-2 vs 1e-13 on a K=6 QTT system; every LOCAL residual at
     # 1e-15).  From x0 = 0 the Krylov space lives in range(H), so CG
-    # returns the same minimum-norm solution lstsq does.
-    v0 = vk if warm else jnp.zeros_like(vk)
+    # returns the same minimum-norm solution lstsq does.  ``warm`` may
+    # be a Python bool (host path) or a traced scalar (fused sweep).
+    v0 = jnp.where(warm, vk, jnp.zeros_like(vk))
     return _local_cg(L, ak, R, rhs, v0, lam, cg_iters, spd)
+
+
+# -- fused sweep ----------------------------------------------------------------
+# The host loop below dispatches ~10 d kernels per sweep (2d local
+# solves, 2(d-2) orthogonalizations, ~4d env advances) — seconds per
+# sweep through a ~25 ms/dispatch TPU relay at QTT depths.  Packed
+# trains are uniform, so the whole sweep fuses into ONE program:
+# boundary cores explicit, mid cores as lax.scan sweeps.  Arithmetic is
+# identical to the host loop call for call (the env chains recomputed
+# at the top of the program equal the ones the previous backward half
+# recorded, because they are functions of the same right-canonical
+# cores); on structurally full-rank trains the two paths agree to
+# roundoff (pinned by tests).  On PADDED trains the cores are rank-
+# deficient, so the QR null-space gauge is arbitrary and XLA picks it
+# differently inside the fused program — the paths then converge
+# equally well but are not bitwise-comparable.
+
+
+def _als_sweep_impl(x0c, X, xlc, a0, Am, al, b0, Bm, bl, lam,
+                    warm_first, warm_mid, warm_last,
+                    dense_limit, cg_iters, spd):
+    """One full ALS sweep (left->right, right->left) as a single program.
+
+    ``x0c (1, n, r)``, ``X (m, r, n, r)``, ``xlc (r, n, 1)`` — right-
+    canonical with the mass in core 0 on entry and on exit.  ``warm_*``
+    are the per-position CG warm-start gates (traced booleans;
+    ``warm_mid`` is a ``(m,)`` vector).
+    """
+    dt = x0c.dtype
+    one3 = jnp.ones((1, 1, 1), dt)
+    one2 = jnp.ones((1, 1), dt)
+
+    # right-env chains of the current cores, emitted pre-absorb so
+    # entry j is what mid j consumes (env of cores j+2..d-1)
+    r_last = _adv_right(one3, xlc, al)
+    rb_last = _adv_right_b(one2, xlc, bl)
+
+    def renv(carry, inp):
+        R, Rb = carry
+        xk, ak, bk = inp
+        return (
+            (_adv_right(R, xk, ak), _adv_right_b(Rb, xk, bk)),
+            (R, Rb),
+        )
+
+    (r_front, rb_front), (rs_mid, rbs_mid) = jax.lax.scan(
+        renv, (r_last, rb_last), (X[::-1], Am[::-1], Bm[::-1])
+    )
+    rs_mid, rbs_mid = rs_mid[::-1], rbs_mid[::-1]
+
+    # left -> right half: core 0 explicit, mids as one scan
+    z0 = _solve_core(one3, r_front, one2, rb_front, a0, b0, x0c,
+                     lam, dense_limit, cg_iters, spd, warm_first)
+    q0 = _left_orth(z0)
+    lenv = _adv_left(one3, q0, a0)
+    lbenv = _adv_left_b(one2, q0, b0)
+
+    def fwd(carry, inp):
+        L, Lb = carry
+        xk, ak, bk, Rk, Rbk, wk = inp
+        zk = _solve_core(L, Rk, Lb, Rbk, ak, bk, xk,
+                         lam, dense_limit, cg_iters, spd, wk)
+        qk = _left_orth(zk)
+        Ln = _adv_left(L, qk, ak)
+        Lbn = _adv_left_b(Lb, qk, bk)
+        # emit the PRE-update envs: the return half needs ls[k]/lbs[k]
+        return (Ln, Lbn), (qk, L, Lb)
+
+    (l_back, lb_back), (Q, ls_mid, lbs_mid) = jax.lax.scan(
+        fwd, (lenv, lbenv), (X, Am, Bm, rs_mid, rbs_mid, warm_mid)
+    )
+
+    # last core: solved by the forward half (no orth), then again
+    # first thing in the return half — the host loop's exact order
+    zl = _solve_core(l_back, one3, lb_back, one2, al, bl, xlc,
+                     lam, dense_limit, cg_iters, spd, warm_last)
+    zl = _solve_core(l_back, one3, lb_back, one2, al, bl, zl,
+                     lam, dense_limit, cg_iters, spd, warm_last)
+    vl = _right_orth(zl)
+    renv2 = _adv_right(one3, vl, al)
+    rbenv2 = _adv_right_b(one2, vl, bl)
+
+    def bwd(carry, inp):
+        R, Rb = carry
+        qk, ak, bk, Lk, Lbk, wk = inp
+        zk = _solve_core(Lk, R, Lbk, Rb, ak, bk, qk,
+                         lam, dense_limit, cg_iters, spd, wk)
+        vk = _right_orth(zk)
+        Rn = _adv_right(R, vk, ak)
+        Rbn = _adv_right_b(Rb, vk, bk)
+        return (Rn, Rbn), vk
+
+    (r_back, rb_back), v_rev = jax.lax.scan(
+        bwd, (renv2, rbenv2),
+        (Q[::-1], Am[::-1], Bm[::-1], ls_mid[::-1], lbs_mid[::-1],
+         warm_mid[::-1]),
+    )
+    V = v_rev[::-1]
+
+    z0 = _solve_core(one3, r_back, one2, rb_back, a0, b0, q0,
+                     lam, dense_limit, cg_iters, spd, warm_first)
+    return z0, V, vl
+
+
+_als_sweep_fused = jax.jit(
+    _als_sweep_impl,
+    static_argnames=("dense_limit", "cg_iters", "spd"),
+)
 
 
 def _residual_train(op: PackedTTOp, rhs: PackedTT, x: PackedTT) -> PackedTT:
@@ -223,6 +339,7 @@ def als_solve(
     dense_limit: int = 1024,
     cg_iters: int = 200,
     spd: bool = False,
+    fused: bool = None,
 ) -> Tuple[PackedTT, float, List[float]]:
     """Solve ``op @ x = rhs`` by one-site ALS at the ranks of ``x0``.
 
@@ -240,7 +357,14 @@ def als_solve(
     regularizes the local solves (useful when the Galerkin projection
     of a strongly nonsymmetric ``A`` is near-singular).  Grow ranks by
     restarting from ``packed.pad_rank(x, r2)``.
+
+    ``fused`` (default on) runs each full sweep as ONE jitted program
+    (boundary cores explicit, mid cores as ``lax.scan`` sweeps) instead
+    of ~10 d separate dispatches — arithmetic identical to the host
+    loop, which ``fused=False`` keeps for debugging.
     """
+    if fused is None:
+        fused = True
     dt = x0.first.dtype
     # uniform 3D/4D core lists with explicit size-1 end bonds
     xs = [x0.first[None]] + list(x0.mids) + [x0.last[..., None]]
@@ -294,16 +418,54 @@ def als_solve(
     res = float("inf")
     warned_stall = False
     lam_d = jnp.asarray(lam, dt)
+    # sweeps=0 returns the (canonicalized) start unchanged
+    x = PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0])
 
-    # right-environment prefixes for the first left-to-right pass;
-    # subsequent passes get them from the preceding right-to-left pass
-    # (each half-sweep records the prefixes the next one consumes)
-    rev_rs, rev_rbs = [one3], [one2]
-    for k in range(d - 1, 0, -1):
-        rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
-        rev_rbs.append(_adv_right_b(rev_rbs[-1], xs[k], bs[k]))
+    if fused:
+        # stacked operands for the single-program sweep
+        fz = (xs[0], jnp.stack(xs[1:-1]), xs[-1])
+        a_stk = (as_[0], op.mids.astype(dt), as_[-1])
+        b_stk = (bs[0], rhs.mids.astype(dt), bs[-1])
+        warm_f = jnp.asarray(warm_ok[0])
+        warm_m = jnp.asarray(warm_ok[1:-1])
+        warm_l = jnp.asarray(warm_ok[-1])
+    else:
+        # right-environment prefixes for the first left-to-right pass;
+        # subsequent passes get them from the preceding right-to-left
+        # pass (each half-sweep records the prefixes the next consumes)
+        rev_rs, rev_rbs = [one3], [one2]
+        for k in range(d - 1, 0, -1):
+            rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
+            rev_rbs.append(_adv_right_b(rev_rbs[-1], xs[k], bs[k]))
 
     for _sweep in range(sweeps):
+        if fused:
+            fz = _als_sweep_fused(
+                *fz, *a_stk, *b_stk, lam_d, warm_f, warm_m, warm_l,
+                dense_limit, cg_iters, spd,
+            )
+            x = PackedTT(fz[0][0], fz[1], fz[2][..., 0])
+            res = _residual(op, rhs, x)
+            history.append(res)
+            if res < tol:
+                break
+            if (
+                not warned_stall
+                and len(history) >= 2
+                and history[-1] > 0.98 * history[-2]
+            ):
+                size = x0.rank * x0.mode * x0.rank
+                if size > dense_limit:
+                    warned_stall = True
+                    warnings.warn(_STALL_MSG.format(
+                        res=res, size=size, dense_limit=dense_limit,
+                        path=("plain CG on the SPD projection" if spd
+                              else "CG on normal equations"),
+                        spd_hint=("" if spd
+                                  else "; for SPD operators pass spd=True"),
+                    ), RuntimeWarning, stacklevel=2)
+            continue
+
         rs = rev_rs[::-1]  # rs[k] = env right of core k
         rbs = rev_rbs[::-1]
 
@@ -357,27 +519,14 @@ def als_solve(
             size = x0.rank * x0.mode * x0.rank
             if size > dense_limit:
                 warned_stall = True
-                warnings.warn(
-                    f"ALS sweep reduced the residual <2% (now "
-                    f"{res:.2e}) with local systems of {size} unknowns "
-                    f"above dense_limit={dense_limit} ("
-                    + (
-                        "plain CG on the SPD projection"
-                        if spd
-                        else "CG on normal equations"
-                    )
-                    + "); if it stays flat, raise dense_limit or "
-                    "cg_iters, or lower the rank"
-                    + (
-                        ""
-                        if spd
-                        else "; for SPD operators pass spd=True"
-                    ),
-                    RuntimeWarning,
-                    stacklevel=2,
-                )
+                warnings.warn(_STALL_MSG.format(
+                    res=res, size=size, dense_limit=dense_limit,
+                    path=("plain CG on the SPD projection" if spd
+                          else "CG on normal equations"),
+                    spd_hint=("" if spd
+                              else "; for SPD operators pass spd=True"),
+                ), RuntimeWarning, stacklevel=2)
 
-    x = PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0])
     return x, res, history
 
 

@@ -78,6 +78,54 @@ def test_als_solve_general_operator():
     assert res / float(pk.norm_exact(rhs_p)) < 1e-5
 
 
+def test_als_fused_matches_host_loop():
+    """The fused single-program sweep is the host loop's arithmetic,
+    reorganized.  On structurally FULL-RANK trains the two paths agree
+    to roundoff (identical histories and solutions, dense and CG local
+    paths).  On padded trains the cores are rank-deficient, so the QR
+    null-space gauge is arbitrary and XLA picks it differently inside
+    the fused program — there the contract is equal convergence
+    quality, not bitwise parity."""
+    from tensor_networks_tpu.ops.qtt import (
+        qtt_exponential,
+        qtt_tridiagonal,
+    )
+
+    # full-rank start: exact parity on the dense and CG local paths
+    _, packed_op, rhs, x0, _, _ = _setup(spd=True)
+    rhs_p = pk.pack(rhs, jnp.float64)
+    x0_p = pk.pack(x0, jnp.float64)  # rank 4, no padding
+    for kw in ({}, {"dense_limit": 0, "spd": True, "cg_iters": 400}):
+        x_f, res_f, h_f = als_solve(
+            packed_op, rhs_p, x0_p, sweeps=4, tol=0.0, fused=True, **kw
+        )
+        x_h, res_h, h_h = als_solve(
+            packed_op, rhs_p, x0_p, sweeps=4, tol=0.0, fused=False, **kw
+        )
+        np.testing.assert_allclose(h_f, h_h, rtol=1e-9)
+        d_f = np.asarray(pk.unpack(x_f).contract().value).reshape(-1)
+        d_h = np.asarray(pk.unpack(x_h).contract().value).reshape(-1)
+        assert (
+            np.linalg.norm(d_f - d_h) < 1e-10 * np.linalg.norm(d_h)
+        )
+
+    # padded QTT system (rank 8 > end-bond mode products: warm_ok
+    # varies along the train and cores are rank-deficient): both paths
+    # must converge equally well even though the gauge differs
+    K = 6
+    A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)
+    b = pk.pad_rank(qtt_exponential(K, c=3.0), 8)
+    z0 = pk.pad_rank(qtt_exponential(K, c=-1.0), 8)
+    _, res_f, h_f = als_solve(
+        A, b, z0, sweeps=3, tol=0.0, spd=True, fused=True
+    )
+    _, res_h, h_h = als_solve(
+        A, b, z0, sweeps=3, tol=0.0, spd=True, fused=False
+    )
+    bn = float(pk.norm_exact(b))
+    assert res_f / bn < 1e-10 and res_h / bn < 1e-10
+
+
 def test_als_warm_start_preserved():
     """Canonicalization must not change the represented tensor: one
     sweep from a converged x0 stays converged (the R factors are

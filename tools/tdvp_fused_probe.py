@@ -67,6 +67,25 @@ def main():
           f"(norm {norms[-1]:.6f})")
     print(f"[tdvp-probe] fused speedup: {t_host / t_fused:.1f}x")
 
+    # same pair for the ALS sweep (the theta-stepping workhorse)
+    from tensor_networks_tpu.ops.als import als_solve
+
+    b = pk.pad_rank(qtt_exponential(K, c=-1.0), rank)
+    b = type(b)(*(x.astype(f32) for x in b))
+    for label, fl in (("fused", True), ("host-loop", False)):
+        t0 = time.perf_counter()
+        _, res, _ = als_solve(
+            A, b, u0, sweeps=1, tol=0.0, spd=True, fused=fl
+        )
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _, res, _ = als_solve(
+            A, b, u0, sweeps=2, tol=0.0, spd=True, fused=fl
+        )
+        t_sweep = (time.perf_counter() - t0) / 2
+        print(f"[als-probe] {label} sweep: {t_sweep * 1e3:.1f} ms "
+              f"(first {t_first:.1f} s, res {res:.3e})")
+
 
 if __name__ == "__main__":
     main()
