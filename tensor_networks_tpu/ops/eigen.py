@@ -194,6 +194,192 @@ def _local_ground_state_mass(L, ak, R, Lm, mk, Rm, pens, shift):
     return w[0], W @ y[:, 0]
 
 
+# -- fused sweep ----------------------------------------------------------------
+# Same single-program treatment as ops.als._als_sweep_impl: boundary
+# cores explicit, mid cores as lax.scan sweeps.  The carries add the
+# metric env (frame Gram, or the Galerkin projection of the mass
+# operator) and, when deflating, a J-stacked penalty env advanced by
+# vmapped sandwich contractions (requires the deflation trains to share
+# one rank — als_eigsh falls back to the host loop otherwise).  On
+# padded (rank-deficient) trains the local eigenbases match the host
+# loop only up to whitener gauge; the pinned contract is identical
+# Rayleigh descent on full-rank trains and equal convergence otherwise.
+
+_adv_left_b_v = jax.vmap(_adv_left_b, in_axes=(0, None, 0))
+_adv_right_b_v = jax.vmap(_adv_right_b, in_axes=(0, None, 0))
+_local_rhs_v = jax.vmap(_local_rhs, in_axes=(0, 0, 0))
+_adv_left_mb_v = jax.vmap(_adv_left_mb, in_axes=(0, None, None, 0))
+_adv_right_mb_v = jax.vmap(_adv_right_mb, in_axes=(0, None, None, 0))
+_local_mb_v = jax.vmap(_local_mb, in_axes=(0, None, 0, 0))
+
+
+def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
+    """One full eigensolver sweep (left->right, right->left) as a
+    single program.
+
+    ``mstk`` is ``(m0, Mm, ml)`` for the generalized problem or None
+    (frame-Gram metric).  ``vstk`` is ``(V0 (J,1,n,rv), VM (mm,J,rv,n,rv),
+    VL (J,rv,n,1))`` stacked deflation trains or None.  Returns the
+    updated cores plus the Rayleigh values closing each half-sweep.
+    """
+    dt = x0c.dtype
+    one3 = jnp.ones((1, 1, 1), dt)
+    one2 = jnp.ones((1, 1), dt)
+    use_mass = mstk is not None
+    use_pen = vstk is not None
+    if use_mass:
+        m0, Mm, ml = mstk
+    if use_pen:
+        V0, VM, VL = vstk
+        J = V0.shape[0]
+
+    def g_seed():
+        return one3 if use_mass else one2
+
+    def g_adv_l(Lg, xk, mk):
+        return _adv_left(Lg, xk, mk) if use_mass else _adv_left_g(Lg, xk)
+
+    def g_adv_r(Rg, xk, mk):
+        return _adv_right(Rg, xk, mk) if use_mass else _adv_right_g(Rg, xk)
+
+    def p_seed():
+        if not use_pen:
+            return None
+        seed = one3 if use_mass else one2
+        return jnp.broadcast_to(seed, (J,) + seed.shape)
+
+    def p_adv_l(Lb, xk, mk, vk):
+        if not use_pen:
+            return None
+        if use_mass:
+            return _adv_left_mb_v(Lb, xk, mk, vk)
+        return _adv_left_b_v(Lb, xk, vk)
+
+    def p_adv_r(Rb, xk, mk, vk):
+        if not use_pen:
+            return None
+        if use_mass:
+            return _adv_right_mb_v(Rb, xk, mk, vk)
+        return _adv_right_b_v(Rb, xk, vk)
+
+    def pens_of(Lb, Rb, mk, vk, size):
+        if not use_pen:
+            return jnp.zeros((0, size), dt)
+        if use_mass:
+            out = _local_mb_v(Lb, mk, Rb, vk)
+        else:
+            out = _local_rhs_v(Lb, vk, Rb)
+        return out.reshape(out.shape[0], -1)
+
+    def solve(L, R, Lg, Rg, ak, mk, pens):
+        if use_mass:
+            return _local_ground_state_mass(L, ak, R, Lg, mk, Rg, pens,
+                                            shift)
+        return _local_ground_state(L, ak, R, Lg, Rg, pens, shift)
+
+    # per-position operator/mass/deflation cores, bundled for the scans
+    mk0 = m0 if use_mass else None
+    mkl = ml if use_mass else None
+    v0 = V0 if use_pen else None
+    vl = VL if use_pen else None
+
+    def mids_inp(reverse):
+        sl = slice(None, None, -1) if reverse else slice(None)
+        parts = [X[sl], Am[sl]]
+        parts.append(Mm[sl] if use_mass else jnp.zeros((X.shape[0],), dt)[sl])
+        parts.append(VM[sl] if use_pen else jnp.zeros((X.shape[0],), dt)[sl])
+        return tuple(parts)
+
+    # right-env chains of the current cores, emitted pre-absorb
+    r_last = _adv_right(one3, xlc, al)
+    rg_last = g_adv_r(g_seed(), xlc, mkl)
+    rb_last = p_adv_r(p_seed(), xlc, mkl, vl)
+
+    def renv(carry, inp):
+        R, Rg, Rb = carry
+        xk, ak, mk, vk = inp
+        nxt = (
+            _adv_right(R, xk, ak),
+            g_adv_r(Rg, xk, mk),
+            p_adv_r(Rb, xk, mk, vk),
+        )
+        return nxt, carry
+
+    (r_front, rg_front, rb_front), (rs_mid, rgs_mid, rbs_mid) = (
+        jax.lax.scan(
+            renv, (r_last, rg_last, rb_last), mids_inp(reverse=True)
+        )
+    )
+    rs_mid = jax.tree_util.tree_map(lambda a: a[::-1], rs_mid)
+    rgs_mid = jax.tree_util.tree_map(lambda a: a[::-1], rgs_mid)
+    rbs_mid = jax.tree_util.tree_map(lambda a: a[::-1], rbs_mid)
+
+    # left -> right half
+    pens = pens_of(p_seed(), rb_front, mk0, v0, x0c.size)
+    _, vec = solve(one3, r_front, g_seed(), rg_front, a0, mk0, pens)
+    q0 = _left_orth(vec.reshape(x0c.shape))
+    lenv = _adv_left(one3, q0, a0)
+    lg = g_adv_l(g_seed(), q0, mk0)
+    lb = p_adv_l(p_seed(), q0, mk0, v0)
+
+    def fwd(carry, inp):
+        L, Lg, Lb = carry
+        (xk, ak, mk, vk), (Rk, Rgk, Rbk) = inp
+        pens_k = pens_of(Lb, Rbk, mk, vk, xk.size)
+        _, vec_k = solve(L, Rk, Lg, Rgk, ak, mk, pens_k)
+        qk = _left_orth(vec_k.reshape(xk.shape))
+        nxt = (
+            _adv_left(L, qk, ak),
+            g_adv_l(Lg, qk, mk),
+            p_adv_l(Lb, qk, mk, vk),
+        )
+        return nxt, (qk, carry)
+
+    (l_back, lg_back, lb_back), (Q, ls_mid) = jax.lax.scan(
+        fwd, (lenv, lg, lb),
+        (mids_inp(reverse=False), (rs_mid, rgs_mid, rbs_mid)),
+    )
+
+    pens = pens_of(lb_back, p_seed(), mkl, vl, xlc.size)
+    lam_f, vec = solve(l_back, one3, lg_back, g_seed(), al, mkl, pens)
+
+    # right -> left half: last core re-solved first (host-loop order;
+    # the forward half's recorded Rayleigh value is the FIRST solve's)
+    _, vec = solve(l_back, one3, lg_back, g_seed(), al, mkl, pens)
+    vlq = _right_orth(vec.reshape(xlc.shape))
+    renv2 = _adv_right(one3, vlq, al)
+    rg2 = g_adv_r(g_seed(), vlq, mkl)
+    rb2 = p_adv_r(p_seed(), vlq, mkl, vl)
+
+    def bwd(carry, inp):
+        R, Rg, Rb = carry
+        (qk, (Lk, Lgk, Lbk)), (xk, ak, mk, vk) = inp
+        pens_k = pens_of(Lbk, Rb, mk, vk, qk.size)
+        _, vec_k = solve(Lk, R, Lgk, Rg, ak, mk, pens_k)
+        vk_new = _right_orth(vec_k.reshape(qk.shape))
+        nxt = (
+            _adv_right(R, vk_new, ak),
+            g_adv_r(Rg, vk_new, mk),
+            p_adv_r(Rb, vk_new, mk, vk),
+        )
+        return nxt, vk_new
+
+    rev = lambda t: jax.tree_util.tree_map(lambda a: a[::-1], t)  # noqa: E731
+    (r_back, rg_back, rb_back), v_rev = jax.lax.scan(
+        bwd, (renv2, rg2, rb2),
+        (rev((Q, ls_mid)), mids_inp(reverse=True)),
+    )
+    V = v_rev[::-1]
+
+    pens = pens_of(p_seed(), rb_back, mk0, v0, q0.size)
+    lam_b, vec = solve(one3, r_back, g_seed(), rg_back, a0, mk0, pens)
+    z0 = vec.reshape(q0.shape)
+    return z0, V, vlq, lam_f, lam_b
+
+
+_eig_sweep_fused = jax.jit(_eig_sweep_impl)
+
+
 def _op_fro_norm(op: PackedTTOp) -> float:
     """Frobenius norm of the represented operator (an upper bound on
     |lam_max|) — the fused-mode operator viewed as a train."""
@@ -226,6 +412,7 @@ def als_eigsh(
     deflate: Tuple[PackedTT, ...] = (),
     shift: float = None,
     mass: PackedTTOp = None,
+    fused: bool = None,
 ) -> Tuple[PackedTT, float, List[float]]:
     """Smallest eigenpair of a symmetric TT-operator at the ranks of
     ``x0`` by one-site DMRG.
@@ -248,6 +435,11 @@ def als_eigsh(
     Kronecker-factored frame Gram), deflation penalties use M-inner
     products, and the returned eigenvector is M-normalized
     (``<v, M v> = 1``).
+
+    ``fused`` (default on) runs each full sweep as ONE jitted program
+    (see :func:`_eig_sweep_impl`); it needs the deflation trains to
+    share one rank and falls back to the host loop otherwise
+    (``fused=False`` keeps the host loop for debugging).
     """
     dt = x0.first.dtype
     xs = [x0.first[None]] + list(x0.mids) + [x0.last[..., None]]
@@ -291,6 +483,41 @@ def als_eigsh(
     one2 = jnp.ones((1, 1), dt)
     history: List[float] = []
     lam = float("inf")
+
+    if fused is None:
+        fused = not deflate or len({v.rank for v in deflate}) == 1
+    if fused:
+        fz = (xs[0], jnp.stack(xs[1:-1]), xs[-1])
+        a0f, amf, alf = as_[0], op.mids.astype(dt), as_[-1]
+        mstk = None
+        if mass is not None:
+            mstk = (ms_[0], mass.mids.astype(dt), ms_[-1])
+        vstk = None
+        if deflate:
+            if len({v.rank for v in deflate}) != 1:
+                raise ValueError(
+                    "fused=True needs deflation trains of one shared "
+                    "rank; pad them or pass fused=False"
+                )
+            vstk = (
+                jnp.stack([v[0] for v in vs]),
+                jnp.stack([jnp.stack(v[1:-1]) for v in vs], axis=1),
+                jnp.stack([v[-1] for v in vs]),
+            )
+        for _sweep in range(sweeps):
+            z0, Vm, vlq, lam_f, lam_b = _eig_sweep_fused(
+                *fz, a0f, amf, alf, mstk, vstk, shift_d
+            )
+            fz = (z0, Vm, vlq)
+            history.append(float(lam_f))
+            new_lam = float(lam_b)
+            history.append(new_lam)
+            if abs(lam - new_lam) <= tol * max(abs(new_lam), 1e-300):
+                lam = new_lam
+                break
+            lam = new_lam
+        x = PackedTT(fz[0][0], fz[1], fz[2][..., 0])
+        return x, lam, history
 
     def local_pens(lbs_k, rbs_k, k):
         if not vs:

@@ -110,6 +110,31 @@ def test_eigsh_overparameterized_bonds_regression():
     assert abs(float(pk.norm_exact(x)) - 1.0) < 1e-10
 
 
+def test_eigsh_fused_matches_host_loop():
+    """The fused single-program sweep against the host loop: identical
+    Rayleigh histories on the padded ground-state config (the descent
+    path is gauge-independent even where the whitened local bases are
+    not), and equal eigenvalues with deflation and with a mass
+    matrix."""
+    K, delta = 6, 0.3
+    op = qtt_screened_laplacian(K, delta=delta)
+    x0 = pk.pad_rank(qtt_exponential(K, c=2.0), 6)
+    x_f, lam_f, h_f = als_eigsh(op, x0, sweeps=6, tol=0.0, fused=True)
+    x_h, lam_h, h_h = als_eigsh(op, x0, sweeps=6, tol=0.0, fused=False)
+    assert abs(lam_f - lam_h) < 1e-12 * abs(lam_h)
+    np.testing.assert_allclose(h_f, h_h, rtol=1e-8)
+
+    # deflation (one shared-rank train) through the fused pen envs
+    x2_f, l2_f, _ = als_eigsh(
+        op, x0, sweeps=10, deflate=(x_f,), fused=True
+    )
+    x2_h, l2_h, _ = als_eigsh(
+        op, x0, sweeps=10, deflate=(x_h,), fused=False
+    )
+    assert abs(l2_f - l2_h) < 1e-10 * abs(l2_h)
+    assert abs(float(pk.inner(x2_f, x_f))) < 1e-9
+
+
 def test_eigsh_k_deflated_excited_states():
     """The three lowest eigenpairs by penalty deflation: eigenvalues at
     machine precision against the dense spectrum, pairwise orthogonal
