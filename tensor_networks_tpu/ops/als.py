@@ -445,58 +445,39 @@ def als_solve(
                 dense_limit, cg_iters, spd,
             )
             x = PackedTT(fz[0][0], fz[1], fz[2][..., 0])
-            res = _residual(op, rhs, x)
-            history.append(res)
-            if res < tol:
-                break
-            if (
-                not warned_stall
-                and len(history) >= 2
-                and history[-1] > 0.98 * history[-2]
-            ):
-                size = x0.rank * x0.mode * x0.rank
-                if size > dense_limit:
-                    warned_stall = True
-                    warnings.warn(_STALL_MSG.format(
-                        res=res, size=size, dense_limit=dense_limit,
-                        path=("plain CG on the SPD projection" if spd
-                              else "CG on normal equations"),
-                        spd_hint=("" if spd
-                                  else "; for SPD operators pass spd=True"),
-                    ), RuntimeWarning, stacklevel=2)
-            continue
+        else:
+            rs = rev_rs[::-1]  # rs[k] = env right of core k
+            rbs = rev_rbs[::-1]
 
-        rs = rev_rs[::-1]  # rs[k] = env right of core k
-        rbs = rev_rbs[::-1]
-
-        # left -> right, recording left prefixes for the return pass
-        ls, lbs = [one3], [one2]
-        for k in range(d):
-            xs[k] = _solve_core(
-                ls[-1], rs[k], lbs[-1], rbs[k], as_[k], bs[k], xs[k],
-                lam_d, dense_limit, cg_iters, spd, warm_ok[k],
-            )
-            if k < d - 1:
-                xs[k] = _left_orth(xs[k])
-                ls.append(_adv_left(ls[-1], xs[k], as_[k]))
-                lbs.append(_adv_left_b(lbs[-1], xs[k], bs[k]))
-
-        # right -> left, recording right prefixes for the next sweep
-        rev_rs, rev_rbs = [one3], [one2]
-        for k in range(d - 1, -1, -1):
-            xs[k] = _solve_core(
-                ls[k], rev_rs[-1], lbs[k], rev_rbs[-1],
-                as_[k], bs[k], xs[k],
-                lam_d, dense_limit, cg_iters, spd, warm_ok[k],
-            )
-            if k > 0:
-                xs[k] = _right_orth(xs[k])
-                rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
-                rev_rbs.append(
-                    _adv_right_b(rev_rbs[-1], xs[k], bs[k])
+            # left -> right, recording left prefixes for the return pass
+            ls, lbs = [one3], [one2]
+            for k in range(d):
+                xs[k] = _solve_core(
+                    ls[-1], rs[k], lbs[-1], rbs[k], as_[k], bs[k], xs[k],
+                    lam_d, dense_limit, cg_iters, spd, warm_ok[k],
                 )
+                if k < d - 1:
+                    xs[k] = _left_orth(xs[k])
+                    ls.append(_adv_left(ls[-1], xs[k], as_[k]))
+                    lbs.append(_adv_left_b(lbs[-1], xs[k], bs[k]))
 
-        x = PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0])
+            # right -> left, recording right prefixes for the next sweep
+            rev_rs, rev_rbs = [one3], [one2]
+            for k in range(d - 1, -1, -1):
+                xs[k] = _solve_core(
+                    ls[k], rev_rs[-1], lbs[k], rev_rbs[-1],
+                    as_[k], bs[k], xs[k],
+                    lam_d, dense_limit, cg_iters, spd, warm_ok[k],
+                )
+                if k > 0:
+                    xs[k] = _right_orth(xs[k])
+                    rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
+                    rev_rbs.append(
+                        _adv_right_b(rev_rbs[-1], xs[k], bs[k])
+                    )
+
+            x = PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0])
+
         res = _residual(op, rhs, x)
         history.append(res)
         if res < tol:
@@ -559,6 +540,11 @@ def als_solve_adaptive(
     (few) rank levels, and the caller no longer has to guess the
     solution rank.  Returns ``(x, absolute residual, concatenated
     per-sweep history)``.
+
+    Compile note: every rank level is a new shape, so the (default)
+    fused sweep traces one whole-sweep program per level; on a TPU
+    whose remote compiles cost minutes, pass ``fused=False`` (in
+    ``**kw``) when the ladder is deep and sweeps-per-level are few.
     """
     from tensor_networks_tpu.ops.packed import norm_exact, pad_rank
 

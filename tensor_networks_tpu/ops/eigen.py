@@ -283,9 +283,10 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
     v0 = V0 if use_pen else None
     vl = VL if use_pen else None
 
-    def mids_inp(reverse):
+    def mids_inp(reverse, with_state=True):
         sl = slice(None, None, -1) if reverse else slice(None)
-        parts = [X[sl], Am[sl]]
+        parts = [X[sl]] if with_state else []
+        parts.append(Am[sl])
         parts.append(Mm[sl] if use_mass else jnp.zeros((X.shape[0],), dt)[sl])
         parts.append(VM[sl] if use_pen else jnp.zeros((X.shape[0],), dt)[sl])
         return tuple(parts)
@@ -343,9 +344,10 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
     pens = pens_of(lb_back, p_seed(), mkl, vl, xlc.size)
     lam_f, vec = solve(l_back, one3, lg_back, g_seed(), al, mkl, pens)
 
-    # right -> left half: last core re-solved first (host-loop order;
-    # the forward half's recorded Rayleigh value is the FIRST solve's)
-    _, vec = solve(l_back, one3, lg_back, g_seed(), al, mkl, pens)
+    # right -> left half.  The host loop re-solves the last core here,
+    # but the eigen local solve does not depend on the current core
+    # value (no warm start), so the re-solve is bit-identical to the
+    # forward one — skipped
     vlq = _right_orth(vec.reshape(xlc.shape))
     renv2 = _adv_right(one3, vlq, al)
     rg2 = g_adv_r(g_seed(), vlq, mkl)
@@ -353,7 +355,7 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
 
     def bwd(carry, inp):
         R, Rg, Rb = carry
-        (qk, (Lk, Lgk, Lbk)), (xk, ak, mk, vk) = inp
+        (qk, (Lk, Lgk, Lbk)), (ak, mk, vk) = inp
         pens_k = pens_of(Lbk, Rb, mk, vk, qk.size)
         _, vec_k = solve(Lk, R, Lgk, Rg, ak, mk, pens_k)
         vk_new = _right_orth(vec_k.reshape(qk.shape))
@@ -367,7 +369,7 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
     rev = lambda t: jax.tree_util.tree_map(lambda a: a[::-1], t)  # noqa: E731
     (r_back, rg_back, rb_back), v_rev = jax.lax.scan(
         bwd, (renv2, rg2, rb2),
-        (rev((Q, ls_mid)), mids_inp(reverse=True)),
+        (rev((Q, ls_mid)), mids_inp(reverse=True, with_state=False)),
     )
     V = v_rev[::-1]
 
@@ -437,9 +439,10 @@ def als_eigsh(
     (``<v, M v> = 1``).
 
     ``fused`` (default on) runs each full sweep as ONE jitted program
-    (see :func:`_eig_sweep_impl`); it needs the deflation trains to
-    share one rank and falls back to the host loop otherwise
-    (``fused=False`` keeps the host loop for debugging).
+    (see :func:`_eig_sweep_impl`).  It needs the deflation trains to
+    share one rank: the DEFAULT (``fused=None``) auto-falls-back to
+    the host loop on mixed ranks, while an explicit ``fused=True``
+    raises.  ``fused=False`` keeps the host loop for debugging.
     """
     dt = x0.first.dtype
     xs = [x0.first[None]] + list(x0.mids) + [x0.last[..., None]]
@@ -650,6 +653,12 @@ def als_eigsh_k(
     found eigenvectors deflated; the reported eigenvalue is the clean
     Rayleigh quotient ``<v, A v> / <v, M v>`` (penalty leakage
     removed).  Returns ``(vectors, values)`` sorted ascending.
+
+    Compile note: each deflation count ``J`` is a new shape for the
+    fused sweep program, so ``k`` eigenpairs trace ``k`` programs; on a
+    TPU whose remote compiles cost minutes, pass ``fused=False`` (in
+    ``**kw``) when ``k`` is large and the per-sweep dispatch saving
+    does not amortize.
     """
     from tensor_networks_tpu.ops.packed import inner
 

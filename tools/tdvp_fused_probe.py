@@ -19,6 +19,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    # CLAUDE.md benchmarking protocol: numbers from a degraded relay
+    # are meaningless — probe health FIRST, in a child process BEFORE
+    # this process initializes the (single-client) relay backend
+    import subprocess
+
+    health = subprocess.run(
+        ["timeout", "400", "python3",
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "chip_health.py")],
+        capture_output=True, text=True,
+    )
+    tail = (health.stdout or health.stderr).strip().splitlines()
+    print(f"[tdvp-probe] chip_health rc={health.returncode}: "
+          f"{tail[-1] if tail else 'no output'}")
+    if health.returncode != 0:
+        print("[tdvp-probe] relay DEGRADED or unreachable — timings "
+              "below are unreliable")
+
     dev = jax.devices()[0]
     print(f"[tdvp-probe] device: {dev.device_kind}")
 
