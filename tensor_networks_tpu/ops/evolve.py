@@ -18,7 +18,9 @@ Two integrators for ``M du/dt = -A u`` in TT format:
   instead of being frozen by the initial state.  The compute shapes
   stay static at ``max_rank`` — the TPU-native form of adaptivity:
   rank growth costs zero recompiles, and the split reports effective
-  ranks for observability.
+  ranks for observability.  Like the other members of the family it
+  runs each step (whole trajectories, when unobserved) as ONE jitted
+  program by default.
 
 * :func:`evolve_tdvp` — the one-site projector-splitting integrator
   (TDVP / KSL, Lubich-Oseledets): instead of solving a linear system
@@ -293,7 +295,12 @@ def _right_canonicalize(xs: List[jnp.ndarray]) -> None:
 
 
 def _repack(xs: List[jnp.ndarray]) -> PackedTT:
-    return PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0])
+    if len(xs) > 2:
+        mids = jnp.stack(xs[1:-1])
+    else:  # d=2: no mid cores — (0, r, n, r) placeholder
+        _, n, r = xs[0].shape
+        mids = jnp.zeros((0, r, n, r), xs[0].dtype)
+    return PackedTT(xs[0][0], mids, xs[-1][..., 0])
 
 
 def _right_envs(xs, as_, one3) -> List[jnp.ndarray]:
@@ -603,6 +610,135 @@ def _merge2(x1, x2):
     return jnp.einsum("ajb,blc->ajlc", x1, x2, precision="highest")
 
 
+def _tdvp2_step_impl(x0, X, xl, a0, Am, al, h, eps, dense_limit, kdim, rank):
+    """One symmetric two-site TDVP step; inputs right-canonical, d >= 3.
+
+    ``x0 (1, n, r)``, ``X (m, r, n, r)``, ``xl (r, n, 1)`` with
+    ``r == rank`` static; operator cores ``a0 (1, n, n, s)``,
+    ``Am (m, s, n, n, s)``, ``al (s, n, n, 1)``.  Same layout out,
+    right-canonical again, plus the effective bond ranks of all
+    ``2 (d-1)`` splits.  Arithmetic is the host loop's call for call
+    (three theta shape classes — first/mid/last pair — each sharing
+    the host's dense-vs-Lanczos decision rule).
+    """
+    dtp = x0.dtype
+    one3 = jnp.ones((1, 1, 1), dtp)
+
+    # right-env chain: rs_mid[j] = env right of core j+1 (cores j+2..d-1)
+    r_last = _adv_right(one3, xl, al)
+
+    def renv_body(R, inp):
+        xk, ak = inp
+        return _adv_right(R, xk, ak), R
+
+    _, rs_rev = jax.lax.scan(renv_body, r_last, (X[::-1], Am[::-1]))
+    rs_mid = rs_rev[::-1]
+
+    # forward half-sweep: pair (0,1) explicit, pairs (k,k+1) k=1..d-3
+    # as one scan, pair (d-2,d-1) explicit
+    theta = _merge2(x0, X[0])
+    theta = _theta_evolve(
+        one3, a0, Am[0], rs_mid[0], theta, -0.5 * h, dense_limit, kdim
+    )
+    u0q, s, v3, k0 = _split_theta(theta, rank, eps)
+    lenv = _adv_left(one3, u0q, a0)
+    sv = s[:, None, None] * v3
+    sv = _site_evolve(
+        lenv, Am[0], rs_mid[0], sv, +0.5 * h, dense_limit, kdim
+    )
+
+    def fwd_body(carry, inp):
+        L, c = carry
+        xk1, a1, a2, Rk = inp
+        th = _merge2(c, xk1)
+        th = _theta_evolve(L, a1, a2, Rk, th, -0.5 * h, dense_limit, kdim)
+        q, sk, vk, keff = _split_theta(th, rank, eps)
+        Ln = _adv_left(L, q, a1)
+        svk = sk[:, None, None] * vk
+        svk = _site_evolve(Ln, a2, Rk, svk, +0.5 * h, dense_limit, kdim)
+        # emit the PRE-update env: the backward sweep needs ls[k]
+        # (cores 0..k-1) at this pair
+        return (Ln, svk), (q, L, keff)
+
+    (l_back, c), (Q, ls_mid, kf_mid) = jax.lax.scan(
+        fwd_body, (lenv, sv), (X[1:], Am[:-1], Am[1:], rs_mid[1:])
+    )
+
+    theta = _merge2(c, xl)
+    theta = _theta_evolve(
+        l_back, Am[-1], al, one3, theta, -0.5 * h, dense_limit, kdim
+    )
+    ulq, s, vl, kl = _split_theta(theta, rank, eps)
+    svl = s[:, None, None] * vl  # not back-evolved: the last pair ends
+    # the forward half-sweep, and the backward one re-merges it first
+
+    # backward half-sweep (mirror): pair (d-2,d-1) explicit first
+    theta = _merge2(ulq, svl)
+    theta = _theta_evolve(
+        l_back, Am[-1], al, one3, theta, -0.5 * h, dense_limit, kdim
+    )
+    ub, s, xln, kl2 = _split_theta(theta, rank, eps)
+    renv = _adv_right(one3, xln, al)
+    us = ub * s[None, None, :]
+    us = _site_evolve(l_back, Am[-1], renv, us, +0.5 * h, dense_limit, kdim)
+
+    def bwd_body(carry, inp):
+        R, c2 = carry
+        qk, a1, a2, Lk = inp
+        th = _merge2(qk, c2)
+        th = _theta_evolve(Lk, a1, a2, R, th, -0.5 * h, dense_limit, kdim)
+        uk, sk, vk, keff = _split_theta(th, rank, eps)
+        Rn = _adv_right(R, vk, a2)
+        usk = uk * sk[None, None, :]
+        usk = _site_evolve(Lk, a1, Rn, usk, +0.5 * h, dense_limit, kdim)
+        return (Rn, usk), (vk, keff)
+
+    (r_back, c2), (V_rev, kb_mid) = jax.lax.scan(
+        bwd_body, (renv, us),
+        (Q[::-1], Am[:-1][::-1], Am[1:][::-1], ls_mid[::-1]),
+    )
+
+    # final pair (0,1): no backward site evolve on the new first core
+    theta = _merge2(u0q, c2)
+    theta = _theta_evolve(
+        one3, a0, Am[0], r_back, theta, -0.5 * h, dense_limit, kdim
+    )
+    z0, s, v1, k0b = _split_theta(theta, rank, eps)
+    z0 = z0 * s[None, None, :]
+
+    Xn = jnp.concatenate([v1[None], V_rev[::-1]])
+    keffs = jnp.concatenate([
+        jnp.stack([k0, kl, kl2, k0b]), kf_mid, kb_mid,
+    ])
+    return z0, Xn, xln, keffs
+
+
+_tdvp2_step_fused = jax.jit(
+    _tdvp2_step_impl, static_argnames=("dense_limit", "kdim", "rank")
+)
+
+
+@partial(
+    jax.jit, static_argnames=("steps", "dense_limit", "kdim", "rank")
+)
+def _tdvp2_traj_fused(
+    x0, X, xl, a0, Am, al, h, eps, steps, dense_limit, kdim, rank
+):
+    """A whole two-site trajectory as one XLA program (scan over steps)."""
+
+    def body(carry, _):
+        c0, cm, cl = carry
+        c0, cm, cl, keffs = _tdvp2_step_impl(
+            c0, cm, cl, a0, Am, al, h, eps, dense_limit, kdim, rank
+        )
+        return (c0, cm, cl), (jnp.linalg.norm(c0), jnp.max(keffs))
+
+    (x0, X, xl), (norms, kmax) = jax.lax.scan(
+        body, (x0, X, xl), None, length=steps
+    )
+    return x0, X, xl, norms, kmax
+
+
 def evolve_tdvp2(
     A: PackedTTOp,
     u0: PackedTT,
@@ -613,6 +749,7 @@ def evolve_tdvp2(
     krylov: int = 24,
     dense_limit: int = 4096,
     callback: Optional[Callable[[int, PackedTT], None]] = None,
+    fused: Optional[bool] = None,
 ) -> Tuple[PackedTT, List[float], List[int]]:
     """Integrate ``du/dt = -A u`` by two-site projector-splitting TDVP.
 
@@ -631,6 +768,16 @@ def evolve_tdvp2(
     in each step.  Second order in ``dt`` (symmetric half-sweeps); at
     ``max_rank`` large enough to hold the exact solution and
     ``eps=0`` it inherits the one-site exactness property.
+
+    ``fused`` (default on) runs each step — the whole trajectory, when
+    no callback observes it — as ONE jitted program (boundary pairs
+    explicit, mid pairs as ``lax.scan`` sweeps; arithmetic identical
+    to the host-loop form, pinned at roundoff by the parity tests).
+    The static-``max_rank`` split makes this possible: rank adaptivity
+    lives INSIDE the fused program as masking, not as shape changes.
+    The DEFAULT (``fused=None``) falls back to the host loop below
+    3 cores (no mid pairs to scan); an explicit ``fused=True`` raises
+    there, and ``fused=False`` keeps the host loop for debugging.
     """
     if max_rank is None:
         max_rank = u0.rank
@@ -642,6 +789,37 @@ def evolve_tdvp2(
             "round u0 first"
         )
     dtp = u0.first.dtype
+    if fused is None:
+        fused = u0.d >= 3
+    elif fused and u0.d < 3:
+        raise ValueError(
+            "fused two-site TDVP needs >= 3 cores; pass fused=False"
+        )
+    if fused:
+        x0, X, xl, a0, Am, al = _fused_operands(A, u0)
+        h = jnp.asarray(float(dt), dtp)
+        ej = jnp.asarray(eps, dtp)
+        r = int(max_rank)
+        if callback is None:
+            x0, X, xl, norms_dev, kmax_dev = _tdvp2_traj_fused(
+                x0, X, xl, a0, Am, al, h, ej, steps,
+                dense_limit, krylov, r,
+            )
+            return (
+                PackedTT(x0[0], X, xl[..., 0]),
+                [float(v) for v in np.asarray(norms_dev)],
+                [int(v) for v in np.asarray(kmax_dev)],
+            )
+        norms2: List[float] = []
+        ranks2: List[int] = []
+        for step in range(steps):
+            x0, X, xl, keffs = _tdvp2_step_fused(
+                x0, X, xl, a0, Am, al, h, ej, dense_limit, krylov, r
+            )
+            norms2.append(float(jnp.linalg.norm(x0)))
+            ranks2.append(int(jnp.max(keffs)))
+            callback(step, PackedTT(x0[0], X, xl[..., 0]))
+        return PackedTT(x0[0], X, xl[..., 0]), norms2, ranks2
     xs = _unpack_state(u0)
     as_ = _unpack_op(A, dtp)
     d = len(xs)
@@ -707,11 +885,7 @@ def evolve_tdvp2(
         if callback is not None:
             callback(
                 step,
-                PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0]),
+                _repack(xs),
             )
 
-    return (
-        PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0]),
-        norms,
-        ranks,
-    )
+    return _repack(xs), norms, ranks

@@ -189,11 +189,12 @@ def qtt_rank1_from_weights(ws, dtype=jnp.float64) -> PackedTT:
     """Rank-1 binary-mode train with per-position mode weights
     ``[1, ws[p]]`` — separable functions factor over bits this way."""
     first = jnp.asarray([[1.0], [ws[0]]], dtype)  # (n, r)
-    mids = jnp.stack(
-        [
-            jnp.asarray([[[1.0]], [[w]]], dtype).transpose(2, 0, 1)
-            for w in ws[1:-1]
-        ]
+    inner = [
+        jnp.asarray([[[1.0]], [[w]]], dtype).transpose(2, 0, 1)
+        for w in ws[1:-1]
+    ]
+    mids = (
+        jnp.stack(inner) if inner else jnp.zeros((0, 1, 2, 1), dtype)
     )  # (d-2, 1, 2, 1)
     last = jnp.asarray([[1.0, ws[-1]]], dtype)  # (r, n)
     return PackedTT(first, mids, last)

@@ -331,6 +331,64 @@ def test_tdvp2_eps_truncation_and_rank_reporting():
     )
 
 
+def test_tdvp2_fused_matches_host_loop():
+    """The fused single-program two-site step is the host loop's
+    arithmetic, reorganized: trajectories, norms, and reported
+    effective ranks agree on both local-exponential paths, including
+    rank GROWTH from a rank-1 start and eps truncation."""
+    K = 5
+    A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)
+    u0 = qtt_exponential(K, c=3.0)
+    for kw in (
+        {},
+        {"dense_limit": 0, "krylov": 24},
+        {"eps": 1e-6},
+    ):
+        u_f, n_f, r_f = evolve_tdvp2(
+            A, u0, 0.04, 4, max_rank=8, fused=True, **kw
+        )
+        u_h, n_h, r_h = evolve_tdvp2(
+            A, u0, 0.04, 4, max_rank=8, fused=False, **kw
+        )
+        ref = _dense_of(u_h, K)
+        got = _dense_of(u_f, K)
+        assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-10
+        np.testing.assert_allclose(n_f, n_h, rtol=1e-10)
+        assert r_f == r_h
+
+
+def test_tdvp2_fused_callback_path():
+    """With a callback the fused path steps one jitted program at a
+    time; the observed trajectory equals the scan-over-steps one and
+    d=3 (no mid pairs — zero-length scans) works."""
+    K = 3
+    A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)
+    u0 = qtt_exponential(K, c=3.0)
+    seen = []
+    u_cb, n_cb, r_cb = evolve_tdvp2(
+        A, u0, 0.05, 4, max_rank=4,
+        callback=lambda s, u: seen.append(_dense_of(u, K)),
+    )
+    u_sc, n_sc, r_sc = evolve_tdvp2(A, u0, 0.05, 4, max_rank=4)
+    assert len(seen) == 4
+    np.testing.assert_allclose(n_cb, n_sc, rtol=1e-12)
+    assert r_cb == r_sc
+    np.testing.assert_allclose(
+        seen[-1], _dense_of(u_sc, K), rtol=0, atol=1e-12
+    )
+
+
+def test_tdvp2_fused_rejects_two_cores():
+    """d=2 has no mid pairs to scan: explicit fused=True raises, the
+    default silently keeps the host loop."""
+    A = qtt_tridiagonal(2, 2.0, -1.0, -1.0)
+    u0 = qtt_exponential(2, c=1.0)
+    with pytest.raises(ValueError):
+        evolve_tdvp2(A, u0, 0.1, 1, max_rank=4, fused=True)
+    u, _, _ = evolve_tdvp2(A, u0, 0.1, 1, max_rank=4)  # host fallback
+    assert np.isfinite(_dense_of(u, 2)).all()
+
+
 def test_tdvp2_rejects_shrinking_max_rank():
     A = qtt_tridiagonal(4, 2.0, -1.0, -1.0)
     u0 = pk.pad_rank(qtt_exponential(4), 6)
