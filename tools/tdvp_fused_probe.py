@@ -85,6 +85,49 @@ def main():
           f"(norm {norms[-1]:.6f})")
     print(f"[tdvp-probe] fused speedup: {t_host / t_fused:.1f}x")
 
+    # two-site (rank-adaptive) pair: K is smaller — the merged-pair
+    # exponential works on r*n x n*r blocks, a heavier step by design
+    from tensor_networks_tpu.ops.evolve import evolve_tdvp2
+
+    from tensor_networks_tpu.ops.evolve import _tdvp2_step_fused
+
+    K2 = 16
+    A2 = qtt_tridiagonal(K2, 2.0, -1.0, -1.0)
+    A2 = type(A2)(*(x.astype(f32) for x in A2))
+    u2 = pk.pad_rank(qtt_exponential(K2, c=3.0), rank)
+    u2 = type(u2)(*(x.astype(f32) for x in u2))
+    ej = jnp.asarray(1e-6, f32)
+    x0, X, xl, a0, Am, al = _fused_operands(A2, u2)
+    t0 = time.perf_counter()
+    o = _tdvp2_step_fused(x0, X, xl, a0, Am, al, h, ej, 1024, 24, rank)
+    print(f"[tdvp2-probe] fused first call (compile): "
+          f"{time.perf_counter() - t0:.1f} s, "
+          f"norm {float(jnp.linalg.norm(o[0])):.6f}")
+    t0 = time.perf_counter()
+    c = (x0, X, xl)
+    for _ in range(reps):
+        c = _tdvp2_step_fused(
+            c[0], c[1], c[2], a0, Am, al, h, ej, 1024, 24, rank
+        )[:3]
+    barrier = float(jnp.linalg.norm(c[0]))
+    t2_fused = (time.perf_counter() - t0) / reps
+    print(f"[tdvp2-probe] fused step: {t2_fused * 1e3:.1f} ms "
+          f"(norm {barrier:.6f})")
+    t0 = time.perf_counter()
+    _, n1, _ = evolve_tdvp2(
+        A2, u2, dt, 1, max_rank=rank, eps=1e-6, fused=False
+    )
+    print(f"[tdvp2-probe] host-loop first step (incl. compiles): "
+          f"{time.perf_counter() - t0:.1f} s")
+    t0 = time.perf_counter()
+    _, n2, rk = evolve_tdvp2(
+        A2, u2, dt, 2, max_rank=rank, eps=1e-6, fused=False
+    )
+    t2_host = (time.perf_counter() - t0) / 2
+    print(f"[tdvp2-probe] host-loop step: {t2_host * 1e3:.1f} ms "
+          f"(norm {n2[-1]:.6f}, ranks {rk}); "
+          f"fused speedup {t2_host / t2_fused:.1f}x")
+
     # same pair for the ALS sweep (the theta-stepping workhorse)
     from tensor_networks_tpu.ops.als import als_solve
 
