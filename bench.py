@@ -1191,13 +1191,45 @@ def main():
             "l1 = 2 - 2 * _np.cos(_np.pi / (N + 1))\n"
             "out['eigsh_32cubed_err'] = float(\n"
             "    f\"{abs(lam - (1.0 + 3 * l1)):.2e}\")\n"
+            # two-site TDVP: rank-adaptive trajectory, solve-free; error
+            # vs the analytic spectral solution of the heat equation
+            "from tensor_networks_tpu.ops.evolve import evolve_tdvp2\n"
+            "from tensor_networks_tpu.ops.qtt import qtt_tridiagonal\n"
+            "K = 12; n = 2 ** K; T = 0.2; steps = 10\n"
+            "A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)\n"
+            "u0 = qtt_exponential(K, c=3.0)\n"
+            "t0 = time.time()\n"
+            "u, _, rks = evolve_tdvp2(A, u0, T / steps, steps,\n"
+            "                         max_rank=12, eps=1e-8)\n"
+            "out['tdvp2_2pow12_wall_s'] = round(time.time() - t0, 2)\n"
+            "cs = ([_np.asarray(u.first)[None]]\n"
+            "      + [_np.asarray(u.mids[i]) for i in range(K - 2)]\n"
+            "      + [_np.asarray(u.last)[..., None]])\n"
+            "v = cs[0]\n"
+            "for c in cs[1:]:\n"
+            "    v = _np.einsum('...r,rjs->...js', v, c)\n"
+            "got = _np.zeros(n)\n"
+            "for pos in range(n):\n"
+            "    rem, lin = pos, 0\n"
+            "    for b in range(K):\n"
+            "        lin |= (rem % 2) << (K - 1 - b); rem //= 2\n"
+            "    got[lin] = v.reshape(-1)[pos]\n"
+            "ii = _np.arange(1, n + 1)\n"
+            "V = _np.sqrt(2.0 / (n + 1)) * _np.sin(\n"
+            "    _np.outer(ii, ii) * _np.pi / (n + 1))\n"
+            "lams = 2 - 2 * _np.cos(ii * _np.pi / (n + 1))\n"
+            "w0 = _np.exp(-3.0 * _np.arange(n) / n)\n"
+            "ref = V @ (_np.exp(-lams * T) * (V @ w0))\n"
+            "out['tdvp2_2pow12_rel_err'] = float(\n"
+            "    f\"{_np.linalg.norm(got - ref) / _np.linalg.norm(ref):.2e}\")\n"
+            "out['tdvp2_2pow12_max_rank_seen'] = int(max(rks))\n"
             "print('SOLVER_JSON ' + json.dumps(out))\n"
         )
         import subprocess
 
         proc = subprocess.run(
             [sys.executable, "-c", child_src],
-            capture_output=True, text=True, timeout=300,
+            capture_output=True, text=True, timeout=420,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         for line in proc.stdout.splitlines():
