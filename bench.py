@@ -1227,10 +1227,16 @@ def main():
         )
         import subprocess
 
+        # the parent exports TNT_ENABLE_X64=0 for the TPU program; the
+        # child is a CPU f64 accuracy demonstration — re-enable x64 or
+        # every "f64" number below silently truncates to f32
+        child_env = dict(os.environ)
+        child_env["TNT_ENABLE_X64"] = "1"
         proc = subprocess.run(
             [sys.executable, "-c", child_src],
             capture_output=True, text=True, timeout=420,
             cwd=os.path.dirname(os.path.abspath(__file__)),
+            env=child_env,
         )
         for line in proc.stdout.splitlines():
             if line.startswith("SOLVER_JSON "):

@@ -188,6 +188,11 @@ def qtt_screened_laplacian_nd(
 def qtt_rank1_from_weights(ws, dtype=jnp.float64) -> PackedTT:
     """Rank-1 binary-mode train with per-position mode weights
     ``[1, ws[p]]`` — separable functions factor over bits this way."""
+    if len(ws) < 2:
+        raise ValueError(
+            f"need >= 2 positions (a PackedTT has >= 2 cores), got "
+            f"{len(ws)}"
+        )
     first = jnp.asarray([[1.0], [ws[0]]], dtype)  # (n, r)
     inner = [
         jnp.asarray([[[1.0]], [[w]]], dtype).transpose(2, 0, 1)

@@ -34,8 +34,12 @@ def main():
     print(f"[tdvp-probe] chip_health rc={health.returncode}: "
           f"{tail[-1] if tail else 'no output'}")
     if health.returncode != 0:
-        print("[tdvp-probe] relay DEGRADED or unreachable — timings "
-              "below are unreliable")
+        # rc=124: backend init hung (relay UNREACHABLE) — proceeding
+        # would wedge this process at jax.devices() too.  rc=1:
+        # DEGRADED — CLAUDE.md protocol: timings are meaningless.
+        print("[tdvp-probe] relay DEGRADED or unreachable — aborting "
+              "(timings would be unreliable)")
+        sys.exit(2)
 
     dev = jax.devices()[0]
     print(f"[tdvp-probe] device: {dev.device_kind}")
@@ -115,13 +119,15 @@ def main():
           f"(norm {barrier:.6f})")
     t0 = time.perf_counter()
     _, n1, _ = evolve_tdvp2(
-        A2, u2, dt, 1, max_rank=rank, eps=1e-6, fused=False
+        A2, u2, dt, 1, max_rank=rank, eps=1e-6, fused=False,
+        dense_limit=1024, krylov=24,
     )
     print(f"[tdvp2-probe] host-loop first step (incl. compiles): "
           f"{time.perf_counter() - t0:.1f} s")
     t0 = time.perf_counter()
     _, n2, rk = evolve_tdvp2(
-        A2, u2, dt, 2, max_rank=rank, eps=1e-6, fused=False
+        A2, u2, dt, 2, max_rank=rank, eps=1e-6, fused=False,
+        dense_limit=1024, krylov=24,
     )
     t2_host = (time.perf_counter() - t0) / 2
     print(f"[tdvp2-probe] host-loop step: {t2_host * 1e3:.1f} ms "
