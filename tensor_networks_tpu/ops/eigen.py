@@ -645,6 +645,7 @@ def als_eigsh_k(
     sweeps: int = 10,
     shift: float = None,
     mass: PackedTTOp = None,
+    slots: bool = True,
     **kw,
 ) -> Tuple[List[PackedTT], List[float]]:
     """The ``k`` lowest eigenpairs by sequential penalty deflation.
@@ -654,13 +655,16 @@ def als_eigsh_k(
     Rayleigh quotient ``<v, A v> / <v, M v>`` (penalty leakage
     removed).  Returns ``(vectors, values)`` sorted ascending.
 
-    Compile note: each deflation count ``J`` is a new shape for the
-    fused sweep program, so ``k`` eigenpairs trace ``k`` programs; on a
-    TPU whose remote compiles cost minutes, pass ``fused=False`` (in
-    ``**kw``) when ``k`` is large and the per-sweep dispatch saving
-    does not amortize.
+    ``slots`` (default on) fixes the deflation count at ``k - 1`` (+
+    caller-supplied trains) from the FIRST eigenpair, filling unfound
+    slots with zero trains at a shared rank: a zero train's penalty
+    projections are exactly zero (``pw^T pw = 0``, bit-exact), so the
+    result is unchanged while every eigenpair reuses ONE fused-sweep
+    program shape — k compiles become 1 on a TPU whose remote compiles
+    cost minutes.  ``slots=False`` grows the deflation stack per pair
+    (one trace per J; marginally fewer FLOPs per sweep on CPU).
     """
-    from tensor_networks_tpu.ops.packed import inner
+    from tensor_networks_tpu.ops.packed import inner, pad_rank
 
     # compute the default penalty shift ONCE (it involves a QR-sweep
     # norm and, with a mass matrix, a cheap DMRG on M) instead of once
@@ -672,12 +676,38 @@ def als_eigsh_k(
     # eigenvectors) with the ones found here
     base_deflate = tuple(kw.pop("deflate", ()))
 
+    nslots = 0
+    zero_slot = None
+    if slots:
+        rv = max([x0.rank] + [v.rank for v in base_deflate])
+        base_deflate = tuple(
+            pad_rank(v, rv) if v.rank < rv else v for v in base_deflate
+        )
+        if x0.rank < rv:
+            x0 = pad_rank(x0, rv)
+        nslots = len(base_deflate) + k - 1
+        dtz = x0.first.dtype
+        d, n = x0.d, x0.mode
+        zero_slot = PackedTT(
+            jnp.zeros((n, rv), dtz),
+            jnp.zeros((d - 2, rv, n, rv), dtz),
+            jnp.zeros((rv, n), dtz),
+        )
+        if nslots and shift is None:
+            # non-empty deflate makes als_eigsh derive a default shift
+            # per call; pin it once here instead (zero slots need no
+            # penalty, but the shape-stable path still passes one)
+            shift = _default_shift(op, x0, mass)
+
     found: List[PackedTT] = []
     vals: List[float] = []
     for _ in range(k):
+        defl = base_deflate + tuple(found)
+        if slots and len(defl) < nslots:
+            defl = defl + (zero_slot,) * (nslots - len(defl))
         v, _, _ = als_eigsh(
             op, x0, sweeps=sweeps,
-            deflate=base_deflate + tuple(found), shift=shift,
+            deflate=defl, shift=shift,
             mass=mass, **kw,
         )
         denom = float(

@@ -157,6 +157,35 @@ def test_eigsh_k_deflated_excited_states():
             assert abs(float(pk.inner(vecs[i], vecs[j]))) < 1e-10
 
 
+def test_eigsh_k_slots_compile_once_and_match():
+    """Zero-filled deflation slots keep ONE fused-sweep program shape
+    across all k eigenpairs (a zero train's penalty is exactly zero),
+    where the growing-stack form traces one program per deflation
+    count; eigenvalues agree to roundoff."""
+    from tensor_networks_tpu.ops.eigen import _eig_sweep_fused, als_eigsh_k
+
+    K, delta = 5, 0.3
+    op = qtt_screened_laplacian(K, delta=delta)
+    x0 = pk.pad_rank(qtt_exponential(K, c=2.0), 4)
+    before = _eig_sweep_fused._cache_size()
+    _, vals = als_eigsh_k(op, x0, 3, sweeps=8)
+    grew = _eig_sweep_fused._cache_size() - before
+    assert grew <= 1, f"slots path traced {grew} programs"
+    before = _eig_sweep_fused._cache_size()
+    _, vals2 = als_eigsh_k(op, x0, 3, sweeps=8, slots=False)
+    grew2 = _eig_sweep_fused._cache_size() - before
+    assert grew2 >= 2, f"expected per-J traces without slots, got {grew2}"
+    np.testing.assert_allclose(vals, vals2, rtol=1e-9, atol=1e-11)
+
+    n = 2**K
+    A = (2.0 + delta) * np.eye(n)
+    A -= np.diag(np.ones(n - 1), 1)
+    A += -np.diag(np.ones(n - 1), -1)
+    ref = np.linalg.eigvalsh(A)[:3]
+    for v, r in zip(vals, ref):
+        assert abs(v - r) < 1e-10, (v, r)
+
+
 def test_eigsh_generalized_fem_sturm_liouville():
     """Generalized problem A v = lam M v: 1D FEM stiffness/mass pair
     (qtt_tridiagonal) against scipy's dense generalized eigh — the
