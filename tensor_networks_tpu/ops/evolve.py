@@ -85,6 +85,7 @@ def evolve_theta(
     tol: float = 1e-10,
     op_eps: float = 1e-13,
     callback: Optional[Callable[[int, PackedTT], None]] = None,
+    observables: Tuple[PackedTTOp, ...] = (),
     **solve_kw,
 ) -> Tuple[PackedTT, List[float]]:
     """Integrate ``M du/dt = -A u + f`` for ``steps`` steps of size ``dt``.
@@ -98,9 +99,12 @@ def evolve_theta(
     solution rank (default: ``u0``'s rank); the right-hand side
     ``(M - (1-theta) dt A) u_n [+ source]`` is rounded back to it each
     step, so every shape in the loop is static.  ``callback(n, u)``
-    observes the trajectory.  Extra keyword arguments reach
-    :func:`als_solve` (e.g. ``spd=True`` for symmetric ``A``/``M`` —
-    the step operator of a parabolic problem is SPD).
+    observes the trajectory.  ``observables``: TT-operators whose raw
+    expectations ``<u, O u>`` are recorded after every step (same
+    convention as :func:`evolve_tdvp`); when given, the return gains a
+    third element with the per-step value tuples.  Extra keyword
+    arguments reach :func:`als_solve` (e.g. ``spd=True`` for symmetric
+    ``A``/``M`` — the step operator of a parabolic problem is SPD).
     """
     if not 0.0 <= theta <= 1.0:
         raise ValueError(f"theta must be in [0, 1], got {theta}")
@@ -133,6 +137,7 @@ def evolve_theta(
 
     u = svd_round(u0, rank) if u0.rank != rank else u0
     residuals: List[float] = []
+    obs: List[Tuple[float, ...]] = []
     for step in range(steps):
         b = u if identity_rhs else ttop_apply_packed(rhs_op, u)
         if source is not None:
@@ -154,8 +159,12 @@ def evolve_theta(
             tol=tol * float(norm_exact(b)), **solve_kw,
         )
         residuals.append(res)
+        if observables:
+            obs.append(_obs_host(observables, u))
         if callback is not None:
             callback(step, u)
+    if observables:
+        return u, residuals, obs
     return u, residuals
 
 
@@ -311,6 +320,43 @@ def _right_envs(xs, as_, one3) -> List[jnp.ndarray]:
     return rev_rs
 
 
+def _sandwich_fused(x0, X, xl, o0, Om, ol):
+    """``<x, O x>`` on the stacked layout — one left-env scan over the
+    train (the observable hook of the fused trajectories)."""
+    one3 = jnp.ones((1, 1, 1), x0.dtype)
+    env = _adv_left(one3, x0, o0)
+
+    def body(L, inp):
+        xk, ok = inp
+        return _adv_left(L, xk, ok), None
+
+    env, _ = jax.lax.scan(body, env, (X, Om))
+    env = _adv_left(env, xl, ol)
+    return env[0, 0, 0]
+
+
+def _obs_stacks(observables, dtp):
+    """Per-observable stacked cores ``(o0, Om, ol)`` for the fused paths."""
+    return tuple(
+        (
+            o.first[None].astype(dtp),
+            o.mids.astype(dtp),
+            o.last[..., None].astype(dtp),
+        )
+        for o in observables
+    )
+
+
+def _obs_host(observables, u: PackedTT) -> Tuple[float, ...]:
+    """Host-path observable values ``<u, O u>`` (parity with the fused
+    hook at roundoff)."""
+    from tensor_networks_tpu.ops.packed import inner
+
+    return tuple(
+        float(inner(u, ttop_apply_packed(o, u))) for o in observables
+    )
+
+
 def evolve_tdvp(
     A: PackedTTOp,
     u0: PackedTT,
@@ -320,6 +366,7 @@ def evolve_tdvp(
     dense_limit: int = 1024,
     callback: Optional[Callable[[int, PackedTT], None]] = None,
     fused: Optional[bool] = None,
+    observables: Tuple[PackedTTOp, ...] = (),
 ) -> Tuple[PackedTT, List[float]]:
     """Integrate ``du/dt = -A u`` by one-site projector-splitting TDVP.
 
@@ -343,6 +390,12 @@ def evolve_tdvp(
     the host-loop form, which ``fused=False`` keeps for debugging).
     Through a ~25 ms/dispatch TPU relay this is the difference between
     ~6 d dispatches per step and one per trajectory.
+
+    ``observables``: TT-operators ``O`` whose raw expectations
+    ``<u, O u>`` are recorded after every step — INSIDE the fused
+    trajectory program (one extra env scan each per step), so tracking
+    e.g. the energy costs no callback round-trips.  When given, the
+    return gains a third element: a list of per-step value tuples.
     """
     if fused is None:
         fused = True
@@ -350,20 +403,33 @@ def evolve_tdvp(
         dtp = u0.first.dtype
         x0, X, xl, a0, Am, al = _fused_operands(A, u0)
         h = jnp.asarray(float(dt), dtp)
+        obs_stk = _obs_stacks(observables, dtp)
         if callback is None:
-            x0, X, xl, norms_dev = _tdvp_traj_fused(
-                x0, X, xl, a0, Am, al, h, steps, dense_limit, krylov
+            x0, X, xl, norms_dev, obs_dev = _tdvp_traj_fused(
+                x0, X, xl, a0, Am, al, h, obs_stk,
+                steps, dense_limit, krylov,
             )
             norms = [float(v) for v in np.asarray(norms_dev)]
-            return PackedTT(x0[0], X, xl[..., 0]), norms
+            u = PackedTT(x0[0], X, xl[..., 0])
+            if observables:
+                obs = [tuple(row) for row in np.asarray(obs_dev).tolist()]
+                return u, norms, obs
+            return u, norms
         norms = []
+        obs: List[Tuple[float, ...]] = []
         for step in range(steps):
             x0, X, xl = _tdvp_step_fused(
                 x0, X, xl, a0, Am, al, h, dense_limit, krylov
             )
             norms.append(float(jnp.linalg.norm(x0)))
+            if observables:
+                obs.append(tuple(
+                    float(_sandwich_jit(x0, X, xl, *stk))
+                    for stk in obs_stk
+                ))
             callback(step, PackedTT(x0[0], X, xl[..., 0]))
-        return PackedTT(x0[0], X, xl[..., 0]), norms
+        u = PackedTT(x0[0], X, xl[..., 0])
+        return (u, norms, obs) if observables else (u, norms)
     dtp = u0.first.dtype
     xs = _unpack_state(u0)
     as_ = _unpack_op(A, dtp)
@@ -374,6 +440,7 @@ def evolve_tdvp(
 
     one3 = jnp.ones((1, 1, 1), dtp)
     norms: List[float] = []
+    obs: List[Tuple[float, ...]] = []
     # the backward half-sweep of each step leaves exactly the right-env
     # chain the next forward pass needs (cores k..d-1 are final and
     # right-canonical when env k is recorded), so it is built once here
@@ -417,9 +484,13 @@ def evolve_tdvp(
                 )
 
         norms.append(float(jnp.linalg.norm(xs[0])))
+        if observables:
+            obs.append(_obs_host(observables, _repack(xs)))
         if callback is not None:
             callback(step, _repack(xs))
 
+    if observables:
+        return _repack(xs), norms, obs
     return _repack(xs), norms
 
 
@@ -513,21 +584,32 @@ _tdvp_step_fused = jax.jit(
 )
 
 
+_sandwich_jit = jax.jit(_sandwich_fused)
+
+
 @partial(jax.jit, static_argnames=("steps", "dense_limit", "kdim"))
-def _tdvp_traj_fused(x0, X, xl, a0, Am, al, h, steps, dense_limit, kdim):
-    """A whole TDVP trajectory as one XLA program (scan over steps)."""
+def _tdvp_traj_fused(
+    x0, X, xl, a0, Am, al, h, obs_stk, steps, dense_limit, kdim
+):
+    """A whole TDVP trajectory as one XLA program (scan over steps).
+
+    ``obs_stk``: stacked observable cores; each contributes one
+    ``<u, O u>`` env scan per step, emitted alongside the norm."""
 
     def body(carry, _):
         c0, cm, cl = carry
         c0, cm, cl = _tdvp_step_impl(
             c0, cm, cl, a0, Am, al, h, dense_limit, kdim
         )
-        return (c0, cm, cl), jnp.linalg.norm(c0)
+        vals = jnp.stack(
+            [_sandwich_fused(c0, cm, cl, *stk) for stk in obs_stk]
+        ) if obs_stk else jnp.zeros((0,), c0.dtype)
+        return (c0, cm, cl), (jnp.linalg.norm(c0), vals)
 
-    (x0, X, xl), norms = jax.lax.scan(
+    (x0, X, xl), (norms, obs) = jax.lax.scan(
         body, (x0, X, xl), None, length=steps
     )
-    return x0, X, xl, norms
+    return x0, X, xl, norms, obs
 
 
 def _fused_operands(A, u0):
@@ -722,7 +804,7 @@ _tdvp2_step_fused = jax.jit(
     jax.jit, static_argnames=("steps", "dense_limit", "kdim", "rank")
 )
 def _tdvp2_traj_fused(
-    x0, X, xl, a0, Am, al, h, eps, steps, dense_limit, kdim, rank
+    x0, X, xl, a0, Am, al, h, eps, obs_stk, steps, dense_limit, kdim, rank
 ):
     """A whole two-site trajectory as one XLA program (scan over steps)."""
 
@@ -731,12 +813,15 @@ def _tdvp2_traj_fused(
         c0, cm, cl, keffs = _tdvp2_step_impl(
             c0, cm, cl, a0, Am, al, h, eps, dense_limit, kdim, rank
         )
-        return (c0, cm, cl), (jnp.linalg.norm(c0), jnp.max(keffs))
+        vals = jnp.stack(
+            [_sandwich_fused(c0, cm, cl, *stk) for stk in obs_stk]
+        ) if obs_stk else jnp.zeros((0,), c0.dtype)
+        return (c0, cm, cl), (jnp.linalg.norm(c0), jnp.max(keffs), vals)
 
-    (x0, X, xl), (norms, kmax) = jax.lax.scan(
+    (x0, X, xl), (norms, kmax, obs) = jax.lax.scan(
         body, (x0, X, xl), None, length=steps
     )
-    return x0, X, xl, norms, kmax
+    return x0, X, xl, norms, kmax, obs
 
 
 def evolve_tdvp2(
@@ -750,6 +835,7 @@ def evolve_tdvp2(
     dense_limit: int = 4096,
     callback: Optional[Callable[[int, PackedTT], None]] = None,
     fused: Optional[bool] = None,
+    observables: Tuple[PackedTTOp, ...] = (),
 ) -> Tuple[PackedTT, List[float], List[int]]:
     """Integrate ``du/dt = -A u`` by two-site projector-splitting TDVP.
 
@@ -778,6 +864,11 @@ def evolve_tdvp2(
     The DEFAULT (``fused=None``) falls back to the host loop below
     3 cores (no mid pairs to scan); an explicit ``fused=True`` raises
     there, and ``fused=False`` keeps the host loop for debugging.
+
+    ``observables``: TT-operators whose raw expectations ``<u, O u>``
+    are recorded after every step inside the trajectory program (see
+    :func:`evolve_tdvp`); when given, the return gains a FOURTH
+    element: a list of per-step value tuples.
     """
     if max_rank is None:
         max_rank = u0.rank
@@ -800,26 +891,40 @@ def evolve_tdvp2(
         h = jnp.asarray(float(dt), dtp)
         ej = jnp.asarray(eps, dtp)
         r = int(max_rank)
+        obs_stk = _obs_stacks(observables, dtp)
         if callback is None:
-            x0, X, xl, norms_dev, kmax_dev = _tdvp2_traj_fused(
-                x0, X, xl, a0, Am, al, h, ej, steps,
+            x0, X, xl, norms_dev, kmax_dev, obs_dev = _tdvp2_traj_fused(
+                x0, X, xl, a0, Am, al, h, ej, obs_stk, steps,
                 dense_limit, krylov, r,
             )
-            return (
+            out = (
                 PackedTT(x0[0], X, xl[..., 0]),
                 [float(v) for v in np.asarray(norms_dev)],
                 [int(v) for v in np.asarray(kmax_dev)],
             )
+            if observables:
+                obs = [tuple(row) for row in np.asarray(obs_dev).tolist()]
+                return out + (obs,)
+            return out
         norms2: List[float] = []
         ranks2: List[int] = []
+        obs2: List[Tuple[float, ...]] = []
         for step in range(steps):
             x0, X, xl, keffs = _tdvp2_step_fused(
                 x0, X, xl, a0, Am, al, h, ej, dense_limit, krylov, r
             )
             norms2.append(float(jnp.linalg.norm(x0)))
             ranks2.append(int(jnp.max(keffs)))
+            if observables:
+                obs2.append(tuple(
+                    float(_sandwich_jit(x0, X, xl, *stk))
+                    for stk in obs_stk
+                ))
             callback(step, PackedTT(x0[0], X, xl[..., 0]))
-        return PackedTT(x0[0], X, xl[..., 0]), norms2, ranks2
+        u = PackedTT(x0[0], X, xl[..., 0])
+        if observables:
+            return u, norms2, ranks2, obs2
+        return u, norms2, ranks2
     xs = _unpack_state(u0)
     as_ = _unpack_op(A, dtp)
     d = len(xs)
@@ -832,6 +937,7 @@ def evolve_tdvp2(
     one3 = jnp.ones((1, 1, 1), dtp)
     norms: List[float] = []
     ranks: List[int] = []
+    obs: List[Tuple[float, ...]] = []
     # as in evolve_tdvp: the backward half-sweep records env k+1 after
     # core k+1's final split, so its chain is exactly the next step's
     rev_rs = _right_envs(xs, as_, one3)
@@ -882,10 +988,14 @@ def evolve_tdvp2(
 
         norms.append(float(jnp.linalg.norm(xs[0])))
         ranks.append(int(np.max(np.asarray(jnp.stack(keffs)))))
+        if observables:
+            obs.append(_obs_host(observables, _repack(xs)))
         if callback is not None:
             callback(
                 step,
                 _repack(xs),
             )
 
+    if observables:
+        return _repack(xs), norms, ranks, obs
     return _repack(xs), norms, ranks

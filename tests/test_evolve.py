@@ -331,6 +331,47 @@ def test_tdvp2_eps_truncation_and_rank_reporting():
     )
 
 
+def test_observables_inside_fused_trajectories():
+    """Per-step expectations <u, O u> recorded INSIDE the fused
+    trajectory programs match host-side computation; the identity
+    observable reproduces the norm history squared; the heat-flow
+    energy decays monotonically."""
+    K = 5
+    A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)
+    u0 = pk.pad_rank(qtt_exponential(K, c=3.0), 4)
+    eye = pk.ttop_identity(K, 2, u0.first.dtype)
+
+    u_f, n_f, e_f = evolve_tdvp(A, u0, 0.04, 5, observables=(A, eye))
+    seen = []
+    evolve_tdvp(
+        A, u0, 0.04, 5, fused=False,
+        callback=lambda s, u: seen.append(
+            float(pk.inner(u, pk.ttop_apply_packed(A, u)))
+        ),
+    )
+    np.testing.assert_allclose([e[0] for e in e_f], seen, rtol=1e-10)
+    np.testing.assert_allclose(
+        [e[1] for e in e_f], [n**2 for n in n_f], rtol=1e-12
+    )
+    energies = [e[0] for e in e_f]
+    assert all(b < a for a, b in zip(energies, energies[1:]))
+
+    # two-site: fused vs host hook
+    u2, n2, r2, e2 = evolve_tdvp2(
+        A, u0, 0.04, 4, max_rank=6, observables=(A,)
+    )
+    _, _, _, e2h = evolve_tdvp2(
+        A, u0, 0.04, 4, max_rank=6, fused=False, observables=(A,)
+    )
+    np.testing.assert_allclose(e2, e2h, rtol=1e-10)
+
+    # theta integrator: host hook, same convention
+    _, res3, e3 = evolve_theta(
+        A, u0, 0.05, 3, observables=(A,), spd=True
+    )
+    assert len(e3) == 3 and all(len(t) == 1 for t in e3)
+
+
 def test_tdvp2_fused_matches_host_loop():
     """The fused single-program two-site step is the host loop's
     arithmetic, reorganized: trajectories, norms, and reported
