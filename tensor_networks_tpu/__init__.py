@@ -70,6 +70,7 @@ from tensor_networks_tpu.ops import (  # noqa: E402
     als_solve,
     als_eigsh,
     evolve_theta,
+    tdvp_trajectory,
     evolve_tdvp,
     evolve_tdvp2,
     packed,
@@ -125,6 +126,7 @@ __all__ = [
     "als_solve",
     "als_eigsh",
     "evolve_theta",
+    "tdvp_trajectory",
     "evolve_tdvp",
     "evolve_tdvp2",
     "tt_inner_fast",

@@ -31,6 +31,7 @@ from tensor_networks_tpu.ops.evolve import (
     evolve_tdvp,
     evolve_tdvp2,
     evolve_theta,
+    tdvp_trajectory,
 )
 from tensor_networks_tpu.ops.eigen import (
     als_eigsh,
@@ -77,6 +78,7 @@ __all__ = [
     "evolve_tdvp",
     "evolve_tdvp2",
     "evolve_theta",
+    "tdvp_trajectory",
     "qtt",
     "packed",
     "PackedTT",

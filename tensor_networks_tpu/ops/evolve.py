@@ -69,7 +69,12 @@ from tensor_networks_tpu.ops.packed import (
     ttop_scale,
 )
 
-__all__ = ["evolve_theta", "evolve_tdvp", "evolve_tdvp2"]
+__all__ = [
+    "evolve_theta",
+    "evolve_tdvp",
+    "evolve_tdvp2",
+    "tdvp_trajectory",
+]
 
 
 def evolve_theta(
@@ -610,6 +615,41 @@ def _tdvp_traj_fused(
         body, (x0, X, xl), None, length=steps
     )
     return x0, X, xl, norms, obs
+
+
+def tdvp_trajectory(
+    A: PackedTTOp,
+    u0: PackedTT,
+    dt,
+    steps: int,
+    observables: Tuple[PackedTTOp, ...] = (),
+    krylov: int = 24,
+    dense_limit: int = 1024,
+) -> Tuple[PackedTT, jnp.ndarray, jnp.ndarray]:
+    """The fused one-site TDVP trajectory as a PURE TRACED function.
+
+    Same integrator as :func:`evolve_tdvp` (fused path), but nothing
+    is fetched to the host: returns ``(u_final, norms (steps,),
+    obs (steps, n_obs))`` as device arrays, so the whole trajectory
+    composes with jax transforms — in particular it is
+    DIFFERENTIABLE: reverse-mode gradients w.r.t. the operator cores,
+    the initial state, and ``dt`` flow through the scan-of-steps
+    (adjoint sensitivities for parameter fitting / optimal control;
+    validated against central finite differences at ~5e-9 rel).
+
+    Caveats: ``A`` symmetric (the TDVP regime); for reverse mode every
+    bond rank must not exceed the mode product on either side — the QR
+    pullback is unimplemented for wide matrices, so OVERPARAMETERIZED
+    (padded) trains raise under ``jax.grad``.
+    """
+    dtp = u0.first.dtype
+    x0, X, xl, a0, Am, al = _fused_operands(A, u0)
+    x0, X, xl, norms, obs = _tdvp_traj_fused(
+        x0, X, xl, a0, Am, al, jnp.asarray(dt, dtp),
+        _obs_stacks(observables, dtp),
+        steps, dense_limit, krylov,
+    )
+    return PackedTT(x0[0], X, xl[..., 0]), norms, obs
 
 
 def _fused_operands(A, u0):
