@@ -82,10 +82,17 @@ def main():
           f"dt={dt}, {steps} steps, max_rank={max_rank}")
 
     t0 = time.perf_counter()
-    u, norms, ranks = evolve_tdvp2(
-        A, u0, dt, steps, max_rank=max_rank, eps=1e-10, dense_limit=256
+    # the energy <u, A u> is recorded INSIDE the fused trajectory
+    # program (one extra env scan per step) — no callback round-trips
+    u, norms, ranks, obs = evolve_tdvp2(
+        A, u0, dt, steps, max_rank=max_rank, eps=1e-10, dense_limit=256,
+        observables=(A,),
     )
     wall = time.perf_counter() - t0
+    energies = [e[0] for e in obs]
+    assert all(b < a for a, b in zip(energies, energies[1:])), (
+        "heat-flow energy must decay monotonically"
+    )
 
     # exact spectral oracle: DST-I diagonalizes the Dirichlet tridiagonal
     lin = _lin_perm(K)
@@ -99,7 +106,9 @@ def main():
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
 
     print(f"rank history (max effective per step): {ranks}")
-    print(f"norm decay: {norms[0]:.6f} -> {norms[-1]:.6f}")
+    print(f"norm decay: {norms[0]:.6f} -> {norms[-1]:.6f}; "
+          f"energy decay (in-program observable): "
+          f"{energies[0]:.4f} -> {energies[-1]:.4f}")
     print(f"rel error vs spectral oracle: {rel:.3e}")
     print(f"wall: {wall:.1f}s ({wall / steps * 1e3:.0f} ms/step, "
           f"no linear solves)")
