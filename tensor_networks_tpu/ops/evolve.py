@@ -221,7 +221,10 @@ def _lanczos_expm_apply(mv, operands, v, coef, kdim):
     safe = jnp.maximum(nrm, jnp.asarray(1e-300 if dt == jnp.float64 else 1e-30, dt))
     q0 = v0 / safe
 
-    V0 = jnp.zeros((kdim, m), dt)
+    # derive the zero initializers from v so they inherit its
+    # varying-axes type under shard_map (fresh zeros would make the
+    # scan carry types mismatch inside the sharded TDVP sweep)
+    V0 = jnp.broadcast_to(v0 * 0.0, (kdim, m))
 
     def body(carry, j):
         V, q, q_prev, beta_prev = carry
@@ -239,7 +242,7 @@ def _lanczos_expm_apply(mv, operands, v, coef, kdim):
         return (V, q_next, q, beta), (alpha, beta)
 
     (V, _, _, _), (alphas, betas) = jax.lax.scan(
-        body, (V0, q0, jnp.zeros_like(q0), jnp.zeros((), dt)),
+        body, (V0, q0, jnp.zeros_like(q0), v0[0] * 0.0),
         jnp.arange(kdim),
     )
     T = (

@@ -29,8 +29,14 @@ from tensor_networks_tpu.parallel.sweeps import (
     tt_inner_train_sharded,
     place_train_sharded,
 )
+from tensor_networks_tpu.parallel.evolve import (
+    evolve_tdvp_sharded,
+    tdvp_step_sharded,
+)
 
 __all__ = [
+    "evolve_tdvp_sharded",
+    "tdvp_step_sharded",
     "make_mesh",
     "make_hybrid_mesh",
     "default_mesh",

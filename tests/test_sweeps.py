@@ -261,3 +261,47 @@ def test_distributed_programs_are_cached(mesh8):
     sw.tt_gram_round_sharded(mesh8, first, mids_sh, last_sh, 1e-6)
     sw.tt_gram_round_sharded(mesh8, first, mids_sh, last_sh, 1e-3)
     assert sw._gram_sharded_fn.cache_info().hits >= g0 + 1
+
+
+def test_sharded_tdvp_matches_fused(mesh8):
+    """Train-sharded one-site TDVP (pipeline placement, ppermute
+    carries, per-device environment blocks) reproduces the fused
+    single-device trajectory at roundoff — norms AND the represented
+    state — on both the dense and Lanczos local-exponential paths."""
+    from tensor_networks_tpu.ops import packed as pk
+    from tensor_networks_tpu.ops.evolve import evolve_tdvp
+    from tensor_networks_tpu.ops.qtt import qtt_exponential, qtt_tridiagonal
+    from tensor_networks_tpu.parallel.evolve import evolve_tdvp_sharded
+
+    K = 10  # d - 2 = 8 middle cores over 8 devices
+    A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)
+    u0 = pk.pad_rank(qtt_exponential(K, c=3.0), 4)
+
+    def dense_vec(u):
+        cs = (
+            [np.asarray(u.first)[None]]
+            + [np.asarray(u.mids[i]) for i in range(K - 2)]
+            + [np.asarray(u.last)[..., None]]
+        )
+        v = cs[0]
+        for c in cs[1:]:
+            v = np.einsum("...r,rjs->...js", v, c)
+        return v.reshape(-1)
+
+    for kw in ({}, {"dense_limit": 0, "krylov": 20}):
+        u_sh, n_sh = evolve_tdvp_sharded(mesh8, A, u0, 0.03, 3, **kw)
+        u_rf, n_rf = evolve_tdvp(A, u0, 0.03, 3, **kw)
+        np.testing.assert_allclose(n_sh, n_rf, rtol=1e-10)
+        ref = dense_vec(u_rf)
+        got = dense_vec(u_sh)
+        assert (
+            np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-10
+        )
+
+
+def test_sharded_tdvp_program_cached(mesh8):
+    """Step executable reused across steps and step sizes."""
+    from tensor_networks_tpu.parallel import evolve as pe
+
+    info0 = pe._tdvp_sharded_fn.cache_info()
+    assert info0.hits > 0  # the 3-step trajectories above reused it
