@@ -511,6 +511,50 @@ def evolve_tdvp(
 # cores as lax.scan sweeps, all static shapes.  Arithmetic is identical
 # to the host loop call for call (pinned by parity tests at 1e-12), so
 # the dense/Lanczos decision rule is shared too.
+#
+# The scan bodies are module-level builders (not closures of the step)
+# so the DISTRIBUTED step (parallel/evolve.py) runs the SAME arithmetic
+# by construction — its per-device scans import these.
+
+
+def _tdvp_renv_body(R, inp):
+    """Right-env scan body, emitting the PRE-absorb env at each core."""
+    xk, ak = inp
+    return _adv_right(R, xk, ak), R
+
+
+def _tdvp_fwd_body_of(h, dense_limit, kdim):
+    """Forward mid-core half-sweep body: absorb the bond factor, evolve
+    the site forward, split left, evolve the new bond backward.  Emits
+    (orthogonal core, PRE-update left env — the backward sweep's ls[k])."""
+
+    def fwd_body(carry, inp):
+        L, s = carry
+        xk, ak, Rk = inp
+        zk = jnp.einsum("ab,bnc->anc", s, xk, precision="highest")
+        zk = _site_evolve(L, ak, Rk, zk, -0.5 * h, dense_limit, kdim)
+        q, s2 = _split_left(zk)
+        Ln = _adv_left(L, q, ak)
+        s2 = _bond_evolve(Ln, Rk, s2, +0.5 * h, dense_limit, kdim)
+        return (Ln, s2), (q, L)
+
+    return fwd_body
+
+
+def _tdvp_bwd_body_of(h, dense_limit, kdim):
+    """Backward mid-core half-sweep body (mirror of the forward one)."""
+
+    def bwd_body(carry, inp):
+        R, s = carry
+        qk, ak, Lk = inp
+        zk = jnp.einsum("anb,bc->anc", qk, s, precision="highest")
+        zk = _site_evolve(Lk, ak, R, zk, -0.5 * h, dense_limit, kdim)
+        vk, s2 = _split_right(zk)
+        Rn = _adv_right(R, vk, ak)
+        s2 = _bond_evolve(Lk, Rn, s2, +0.5 * h, dense_limit, kdim)
+        return (Rn, s2), vk
+
+    return bwd_body
 
 
 def _tdvp_step_impl(x0, X, xl, a0, Am, al, h, dense_limit, kdim):
@@ -527,12 +571,8 @@ def _tdvp_step_impl(x0, X, xl, a0, Am, al, h, dense_limit, kdim):
     # BEFORE absorbing mid j, so Rs_mid[j] is exactly what mid j needs
     r_last = _adv_right(one3, xl, al)
 
-    def renv_body(R, inp):
-        xk, ak = inp
-        return _adv_right(R, xk, ak), R
-
     r_front, rs_rev = jax.lax.scan(
-        renv_body, r_last, (X[::-1], Am[::-1])
+        _tdvp_renv_body, r_last, (X[::-1], Am[::-1])
     )
     rs_mid = rs_rev[::-1]
 
@@ -542,20 +582,9 @@ def _tdvp_step_impl(x0, X, xl, a0, Am, al, h, dense_limit, kdim):
     lenv = _adv_left(one3, x0q, a0)
     smat = _bond_evolve(lenv, r_front, smat, +0.5 * h, dense_limit, kdim)
 
-    def fwd_body(carry, inp):
-        L, s = carry
-        xk, ak, Rk = inp
-        zk = jnp.einsum("ab,bnc->anc", s, xk, precision="highest")
-        zk = _site_evolve(L, ak, Rk, zk, -0.5 * h, dense_limit, kdim)
-        q, s2 = _split_left(zk)
-        Ln = _adv_left(L, q, ak)
-        s2 = _bond_evolve(Ln, Rk, s2, +0.5 * h, dense_limit, kdim)
-        # emit the PRE-update env: the backward sweep needs ls[k]
-        # (cores 0..k-1) at this site
-        return (Ln, s2), (q, L)
-
     (l_back, smat), (Q, ls_mid) = jax.lax.scan(
-        fwd_body, (lenv, smat), (X, Am, rs_mid)
+        _tdvp_fwd_body_of(h, dense_limit, kdim), (lenv, smat),
+        (X, Am, rs_mid),
     )
 
     zl = jnp.einsum("ab,bnc->anc", smat, xl, precision="highest")
@@ -567,18 +596,9 @@ def _tdvp_step_impl(x0, X, xl, a0, Am, al, h, dense_limit, kdim):
     renv = _adv_right(one3, xlq, al)
     smat = _bond_evolve(l_back, renv, smat, +0.5 * h, dense_limit, kdim)
 
-    def bwd_body(carry, inp):
-        R, s = carry
-        qk, ak, Lk = inp
-        zk = jnp.einsum("anb,bc->anc", qk, s, precision="highest")
-        zk = _site_evolve(Lk, ak, R, zk, -0.5 * h, dense_limit, kdim)
-        vk, s2 = _split_right(zk)
-        Rn = _adv_right(R, vk, ak)
-        s2 = _bond_evolve(Lk, Rn, s2, +0.5 * h, dense_limit, kdim)
-        return (Rn, s2), vk
-
     (r_back, smat), v_rev = jax.lax.scan(
-        bwd_body, (renv, smat), (Q[::-1], Am[::-1], ls_mid[::-1])
+        _tdvp_bwd_body_of(h, dense_limit, kdim), (renv, smat),
+        (Q[::-1], Am[::-1], ls_mid[::-1]),
     )
     V = v_rev[::-1]
 

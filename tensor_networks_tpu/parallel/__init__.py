@@ -31,11 +31,13 @@ from tensor_networks_tpu.parallel.sweeps import (
 )
 from tensor_networks_tpu.parallel.evolve import (
     evolve_tdvp_sharded,
+    place_tdvp_sharded,
     tdvp_step_sharded,
 )
 
 __all__ = [
     "evolve_tdvp_sharded",
+    "place_tdvp_sharded",
     "tdvp_step_sharded",
     "make_mesh",
     "make_hybrid_mesh",

@@ -8,13 +8,17 @@ ENVIRONMENT chains are the memory hog of DMRG-style algorithms
 device stores only its block's environments, so the integrator's
 working set scales as ``1/P`` per chip while the sweep's carries — an
 ``(r, s, r)`` operator environment plus an ``(r, r)`` bond factor —
-hop between neighbors over ICI via ``lax.ppermute``.
+hop between neighbors over ICI via ``lax.ppermute``.  The initial
+right-canonicalization is distributed too
+(:func:`sweeps.tt_right_orth_sharded`), so no step materializes the
+full train on one device.
 
 The sweep is inherently sequential along the train (one device active
 per stage, as in :func:`sweeps.tt_gram_round_sharded`): the win is
-CAPACITY, not wall-clock.  Arithmetic is the fused single-device step
-(:func:`ops.evolve._tdvp_step_impl`) call for call, pinned by parity
-tests at roundoff.
+CAPACITY, not wall-clock.  The per-device scans run the scan bodies of
+the fused single-device step (``ops.evolve._tdvp_fwd_body_of`` etc.)
+— the same arithmetic BY CONSTRUCTION, pinned by parity tests at
+roundoff.
 
 No reference counterpart (``pytens`` has neither time integration nor
 multi-device execution).
@@ -27,21 +31,27 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tensor_networks_tpu.ops.evolve import (
     _adv_left,
     _adv_right,
     _bond_evolve,
-    _fused_operands,
     _site_evolve,
     _split_left,
     _split_right,
+    _tdvp_bwd_body_of,
+    _tdvp_fwd_body_of,
+    _tdvp_renv_body,
 )
 from tensor_networks_tpu.ops.packed import PackedTT, PackedTTOp
+from tensor_networks_tpu.parallel.sweeps import tt_right_orth_sharded
 
-__all__ = ["evolve_tdvp_sharded", "tdvp_step_sharded"]
+__all__ = [
+    "evolve_tdvp_sharded",
+    "place_tdvp_sharded",
+    "tdvp_step_sharded",
+]
 
 
 def _replicate_from(x, my, src):
@@ -49,6 +59,49 @@ def _replicate_from(x, my, src):
     return jax.lax.psum(
         jnp.where(my == src, x, jnp.zeros_like(x)), "model"
     )
+
+
+def _staged_sweep(my, n_stages, reverse, carry, blocks, scan_fn,
+                  passive_outs):
+    """The staged-pipeline skeleton shared by every sweep here: device
+    ``stage`` runs ``lax.scan(scan_fn)`` over its local blocks while
+    everyone else forwards, then the carry hops to the neighbor via
+    ppermute.  ``passive_outs(carry, blocks)`` builds the zero emitted
+    blocks for inactive devices — derived from varying operands so the
+    cond branches agree on shard_map's varying-axes types.  Returns
+    ``(carry on the boundary device, per-device emitted blocks)``.
+    """
+    stages = (
+        range(n_stages - 1, -1, -1) if reverse else range(n_stages)
+    )
+    last_stage = 0 if reverse else n_stages - 1
+    shift = -1 if reverse else 1
+    outs = passive_outs(carry, blocks)
+    for stage in stages:
+        def active(args):
+            c, blk = args
+            return jax.lax.scan(scan_fn, c, blk, reverse=reverse)
+
+        def passive(args):
+            c, blk = args
+            return c, passive_outs(c, blk)
+
+        new_carry, emitted = jax.lax.cond(
+            my == stage, active, passive, (carry, blocks)
+        )
+        outs = jax.tree_util.tree_map(
+            lambda o, e: jnp.where(my == stage, e, o), outs, emitted
+        )
+        if stage != last_stage:
+            perm = [
+                (s, (s + shift) % n_stages) for s in range(n_stages)
+            ]
+            carry = jax.tree_util.tree_map(
+                lambda c: jax.lax.ppermute(c, "model", perm), new_carry
+            )
+        else:
+            carry = new_carry
+    return carry, outs
 
 
 @lru_cache(maxsize=16)
@@ -62,45 +115,28 @@ def _tdvp_sharded_fn(mesh: Mesh, dense_limit: int, kdim: int):
         my = jax.lax.axis_index("model")
         dtp = x0.dtype
         one3 = jnp.ones((1, 1, 1), dtp)
+        m_local = X_local.shape[0]
+
+        def tuple_emit(body_fn):
+            # wrap a body emitting one array into the pytree shape the
+            # staged sweep's passive_outs builders use (1-tuples)
+            def wrapped(c, inp):
+                nc, em = body_fn(c, inp)
+                return nc, (em,)
+
+            return wrapped
 
         # ---- right-env chain (staged right-to-left), envs stay local --
         r_last = _adv_right(one3, xl, al)
         carry = jax.lax.pcast(r_last, ("model",), to="varying")
-        rs_local = jnp.zeros(
-            (X_local.shape[0],) + r_last.shape, dtp
+        r_front_dev, (rs_local,) = _staged_sweep(
+            my, n_stages, True, carry, (X_local, Am_local),
+            tuple_emit(_tdvp_renv_body),
+            lambda c, blk: (
+                jnp.broadcast_to(c * 0.0, (m_local,) + c.shape),
+            ),
         )
-
-        def renv_body(R, inp):
-            xk, ak = inp
-            return _adv_right(R, xk, ak), R
-
-        for stage in range(n_stages - 1, -1, -1):
-            def active(args):
-                c, bx, ba = args
-                # reverse scan emitting the PRE-absorb env at each core:
-                # rs[j] = env of everything right of local core j
-                return jax.lax.scan(
-                    renv_body, c, (bx, ba), reverse=True
-                )
-
-            def passive(args):
-                c, bx, _ = args
-                # derive zeros from the (varying) carry so the cond
-                # branches agree on shard_map's varying-axes types
-                return c, jnp.broadcast_to(
-                    c * 0.0, (bx.shape[0],) + c.shape
-                )
-
-            new_carry, rs_blk = jax.lax.cond(
-                my == stage, active, passive, (carry, X_local, Am_local)
-            )
-            rs_local = jnp.where(my == stage, rs_blk, rs_local)
-            if stage > 0:
-                perm = [(s, (s - 1) % n_stages) for s in range(n_stages)]
-                carry = jax.lax.ppermute(new_carry, "model", perm)
-            else:
-                carry = new_carry
-        r_front = _replicate_from(carry, my, 0)
+        r_front = _replicate_from(r_front_dev, my, 0)
 
         # ---- forward half-sweep: boundary replicated, mids staged -----
         z = _site_evolve(one3, a0, r_front, x0, -0.5 * h, dense_limit, kdim)
@@ -108,51 +144,19 @@ def _tdvp_sharded_fn(mesh: Mesh, dense_limit: int, kdim: int):
         lenv = _adv_left(one3, x0q, a0)
         smat = _bond_evolve(lenv, r_front, smat, +0.5 * h, dense_limit, kdim)
 
-        def fwd_body(c, inp):
-            L, s = c
-            xk, ak, Rk = inp
-            zk = jnp.einsum("ab,bnc->anc", s, xk, precision="highest")
-            zk = _site_evolve(L, ak, Rk, zk, -0.5 * h, dense_limit, kdim)
-            q, s2 = _split_left(zk)
-            Ln = _adv_left(L, q, ak)
-            s2 = _bond_evolve(Ln, Rk, s2, +0.5 * h, dense_limit, kdim)
-            return (Ln, s2), (q, L)  # emit the PRE-update env
-
         carryL = jax.lax.pcast(lenv, ("model",), to="varying")
         carryS = jax.lax.pcast(smat, ("model",), to="varying")
-        Q_local = jnp.zeros_like(X_local)
-        ls_local = jnp.zeros((X_local.shape[0],) + lenv.shape, dtp)
-        for stage in range(n_stages):
-            def active_f(args):
-                cl, cs, bx, ba, brs = args
-                (cl2, cs2), (qs, lss) = jax.lax.scan(
-                    fwd_body, (cl, cs), (bx, ba, brs)
-                )
-                return cl2, cs2, qs, lss
-
-            def passive_f(args):
-                cl, cs, bx, _, _ = args
-                return (
-                    cl, cs, bx * 0.0,
-                    jnp.broadcast_to(
-                        cl * 0.0, (bx.shape[0],) + cl.shape
-                    ),
-                )
-
-            ncl, ncs, qs, lss = jax.lax.cond(
-                my == stage, active_f, passive_f,
-                (carryL, carryS, X_local, Am_local, rs_local),
-            )
-            Q_local = jnp.where(my == stage, qs, Q_local)
-            ls_local = jnp.where(my == stage, lss, ls_local)
-            if stage < n_stages - 1:
-                perm = [(s, (s + 1) % n_stages) for s in range(n_stages)]
-                carryL = jax.lax.ppermute(ncl, "model", perm)
-                carryS = jax.lax.ppermute(ncs, "model", perm)
-            else:
-                carryL, carryS = ncl, ncs
-        l_back = _replicate_from(carryL, my, n_stages - 1)
-        smat = _replicate_from(carryS, my, n_stages - 1)
+        (l_back, smat), (Q_local, ls_local) = _staged_sweep(
+            my, n_stages, False, (carryL, carryS),
+            (X_local, Am_local, rs_local),
+            _tdvp_fwd_body_of(h, dense_limit, kdim),
+            lambda c, blk: (
+                blk[0] * 0.0,
+                jnp.broadcast_to(c[0] * 0.0, (m_local,) + c[0].shape),
+            ),
+        )
+        l_back = _replicate_from(l_back, my, n_stages - 1)
+        smat = _replicate_from(smat, my, n_stages - 1)
 
         # ---- last core (replicated; evolved twice = a full -h step,
         # matching the fused single-device form) ------------------------
@@ -164,44 +168,16 @@ def _tdvp_sharded_fn(mesh: Mesh, dense_limit: int, kdim: int):
         smat = _bond_evolve(l_back, renv, smat, +0.5 * h, dense_limit, kdim)
 
         # ---- backward half-sweep (staged right-to-left) ----------------
-        def bwd_body(c, inp):
-            R, s = c
-            qk, ak, Lk = inp
-            zk = jnp.einsum("anb,bc->anc", qk, s, precision="highest")
-            zk = _site_evolve(Lk, ak, R, zk, -0.5 * h, dense_limit, kdim)
-            vk, s2 = _split_right(zk)
-            Rn = _adv_right(R, vk, ak)
-            s2 = _bond_evolve(Lk, Rn, s2, +0.5 * h, dense_limit, kdim)
-            return (Rn, s2), vk
-
         carryR = jax.lax.pcast(renv, ("model",), to="varying")
         carryS = jax.lax.pcast(smat, ("model",), to="varying")
-        V_local = jnp.zeros_like(X_local)
-        for stage in range(n_stages - 1, -1, -1):
-            def active_b(args):
-                cr, cs, bq, ba, bls = args
-                (cr2, cs2), vs = jax.lax.scan(
-                    bwd_body, (cr, cs), (bq, ba, bls), reverse=True
-                )
-                return cr2, cs2, vs
-
-            def passive_b(args):
-                cr, cs, bq, _, _ = args
-                return cr, cs, bq * 0.0
-
-            ncr, ncs, vs = jax.lax.cond(
-                my == stage, active_b, passive_b,
-                (carryR, carryS, Q_local, Am_local, ls_local),
-            )
-            V_local = jnp.where(my == stage, vs, V_local)
-            if stage > 0:
-                perm = [(s, (s - 1) % n_stages) for s in range(n_stages)]
-                carryR = jax.lax.ppermute(ncr, "model", perm)
-                carryS = jax.lax.ppermute(ncs, "model", perm)
-            else:
-                carryR, carryS = ncr, ncs
-        r_back = _replicate_from(carryR, my, 0)
-        smat = _replicate_from(carryS, my, 0)
+        (r_back, smat), (V_local,) = _staged_sweep(
+            my, n_stages, True, (carryR, carryS),
+            (Q_local, Am_local, ls_local),
+            tuple_emit(_tdvp_bwd_body_of(h, dense_limit, kdim)),
+            lambda c, blk: (blk[0] * 0.0,),
+        )
+        r_back = _replicate_from(r_back, my, 0)
+        smat = _replicate_from(smat, my, 0)
 
         # ---- first core (replicated) -----------------------------------
         z0 = jnp.einsum("anb,bc->anc", x0q, smat, precision="highest")
@@ -244,7 +220,8 @@ def tdvp_step_sharded(
 ):
     """One sharded symmetric one-site TDVP step on the stacked layout
     (``ops.evolve._tdvp_step_impl`` shapes; ``X``/``Am`` sharded along
-    the train).  Returns ``(x0', X', xl', norm)``."""
+    the train — see :func:`place_tdvp_sharded`).  Returns
+    ``(x0', X', xl', norm)``."""
     return _tdvp_sharded_fn(mesh, int(dense_limit), int(kdim))(
         x0, X, xl, a0, Am, al, h
     )
@@ -278,13 +255,19 @@ def evolve_tdvp_sharded(
 
     Same integrator and contracts as :func:`ops.evolve.evolve_tdvp`
     (symmetric ``A``, rank-preserving, exact on the rank manifold);
-    per-chip memory scales as ``1/P``.  Needs ``d - 2`` divisible by
+    per-chip memory scales as ``1/P``, including the initial
+    right-canonicalization (distributed QR sweep — the full train is
+    never materialized on one device).  Needs ``d - 2`` divisible by
     the model-axis size.  Returns ``(u_final, norms)``; the per-step
     norm fetch is the step barrier (one scalar per step).
     """
     dtp = u0.first.dtype
-    x0, X, xl, a0, Am, al = _fused_operands(A, u0)
-    X, Am = place_tdvp_sharded(mesh, X, Am)
+    X, Am = place_tdvp_sharded(mesh, u0.mids, A.mids.astype(dtp))
+    carry, X, last_q = tt_right_orth_sharded(mesh, X, u0.last)
+    x0 = jnp.matmul(u0.first, carry, precision="highest")[None]
+    xl = last_q[..., None]
+    a0 = A.first[None].astype(dtp)
+    al = A.last[..., None].astype(dtp)
     h = jnp.asarray(float(dt), dtp)
     norms: List[float] = []
     for _ in range(steps):

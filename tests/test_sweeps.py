@@ -300,8 +300,22 @@ def test_sharded_tdvp_matches_fused(mesh8):
 
 
 def test_sharded_tdvp_program_cached(mesh8):
-    """Step executable reused across steps and step sizes."""
+    """Step executable reused across steps AND step sizes (h is a
+    traced operand; self-contained — calls the step itself)."""
+    from tensor_networks_tpu.ops import packed as pk
+    from tensor_networks_tpu.ops.qtt import qtt_exponential, qtt_tridiagonal
     from tensor_networks_tpu.parallel import evolve as pe
 
-    info0 = pe._tdvp_sharded_fn.cache_info()
-    assert info0.hits > 0  # the 3-step trajectories above reused it
+    K = 10
+    A = qtt_tridiagonal(K, 2.0, -1.0, -1.0)
+    u0 = pk.pad_rank(qtt_exponential(K, c=2.0), 4)
+    dtp = u0.first.dtype
+    X, Am = pe.place_tdvp_sharded(mesh8, u0.mids, A.mids.astype(dtp))
+    x0 = u0.first[None]
+    xl = u0.last[..., None]
+    a0 = A.first[None].astype(dtp)
+    al = A.last[..., None].astype(dtp)
+    h0 = pe._tdvp_sharded_fn.cache_info().hits
+    pe.tdvp_step_sharded(mesh8, x0, X, xl, a0, Am, al, 0.01)
+    pe.tdvp_step_sharded(mesh8, x0, X, xl, a0, Am, al, 0.02)
+    assert pe._tdvp_sharded_fn.cache_info().hits >= h0 + 1
