@@ -211,6 +211,52 @@ def _solve_core(L, R, Lb, Rb, ak, bk, vk, lam, dense_limit, cg_iters,
 # equally well but are not bitwise-comparable.
 
 
+def _als_renv_body(carry, inp):
+    """Right-env scan body (operator + rhs chains), emitting the
+    PRE-absorb envs — entry j is what mid j consumes."""
+    R, Rb = carry
+    xk, ak, bk = inp
+    return (
+        (_adv_right(R, xk, ak), _adv_right_b(Rb, xk, bk)),
+        (R, Rb),
+    )
+
+
+def _als_fwd_body_of(lam, dense_limit, cg_iters, spd):
+    """Forward mid-core half-sweep body.  Emits (orthogonal core,
+    PRE-update operator/rhs left envs — the return half's ls/lbs).
+    Module-level builder so the DISTRIBUTED sweep (parallel/als.py)
+    runs the same arithmetic by construction."""
+
+    def fwd(carry, inp):
+        L, Lb = carry
+        xk, ak, bk, Rk, Rbk, wk = inp
+        zk = _solve_core(L, Rk, Lb, Rbk, ak, bk, xk,
+                         lam, dense_limit, cg_iters, spd, wk)
+        qk = _left_orth(zk)
+        Ln = _adv_left(L, qk, ak)
+        Lbn = _adv_left_b(Lb, qk, bk)
+        return (Ln, Lbn), (qk, L, Lb)
+
+    return fwd
+
+
+def _als_bwd_body_of(lam, dense_limit, cg_iters, spd):
+    """Backward mid-core half-sweep body (mirror of the forward one)."""
+
+    def bwd(carry, inp):
+        R, Rb = carry
+        qk, ak, bk, Lk, Lbk, wk = inp
+        zk = _solve_core(Lk, R, Lbk, Rb, ak, bk, qk,
+                         lam, dense_limit, cg_iters, spd, wk)
+        vk = _right_orth(zk)
+        Rn = _adv_right(R, vk, ak)
+        Rbn = _adv_right_b(Rb, vk, bk)
+        return (Rn, Rbn), vk
+
+    return bwd
+
+
 def _als_sweep_impl(x0c, X, xlc, a0, Am, al, b0, Bm, bl, lam,
                     warm_first, warm_mid, warm_last,
                     dense_limit, cg_iters, spd):
@@ -230,16 +276,8 @@ def _als_sweep_impl(x0c, X, xlc, a0, Am, al, b0, Bm, bl, lam,
     r_last = _adv_right(one3, xlc, al)
     rb_last = _adv_right_b(one2, xlc, bl)
 
-    def renv(carry, inp):
-        R, Rb = carry
-        xk, ak, bk = inp
-        return (
-            (_adv_right(R, xk, ak), _adv_right_b(Rb, xk, bk)),
-            (R, Rb),
-        )
-
     (r_front, rb_front), (rs_mid, rbs_mid) = jax.lax.scan(
-        renv, (r_last, rb_last), (X[::-1], Am[::-1], Bm[::-1])
+        _als_renv_body, (r_last, rb_last), (X[::-1], Am[::-1], Bm[::-1])
     )
     rs_mid, rbs_mid = rs_mid[::-1], rbs_mid[::-1]
 
@@ -250,19 +288,9 @@ def _als_sweep_impl(x0c, X, xlc, a0, Am, al, b0, Bm, bl, lam,
     lenv = _adv_left(one3, q0, a0)
     lbenv = _adv_left_b(one2, q0, b0)
 
-    def fwd(carry, inp):
-        L, Lb = carry
-        xk, ak, bk, Rk, Rbk, wk = inp
-        zk = _solve_core(L, Rk, Lb, Rbk, ak, bk, xk,
-                         lam, dense_limit, cg_iters, spd, wk)
-        qk = _left_orth(zk)
-        Ln = _adv_left(L, qk, ak)
-        Lbn = _adv_left_b(Lb, qk, bk)
-        # emit the PRE-update envs: the return half needs ls[k]/lbs[k]
-        return (Ln, Lbn), (qk, L, Lb)
-
     (l_back, lb_back), (Q, ls_mid, lbs_mid) = jax.lax.scan(
-        fwd, (lenv, lbenv), (X, Am, Bm, rs_mid, rbs_mid, warm_mid)
+        _als_fwd_body_of(lam, dense_limit, cg_iters, spd),
+        (lenv, lbenv), (X, Am, Bm, rs_mid, rbs_mid, warm_mid)
     )
 
     # last core: solved by the forward half (no orth), then again
@@ -275,18 +303,9 @@ def _als_sweep_impl(x0c, X, xlc, a0, Am, al, b0, Bm, bl, lam,
     renv2 = _adv_right(one3, vl, al)
     rbenv2 = _adv_right_b(one2, vl, bl)
 
-    def bwd(carry, inp):
-        R, Rb = carry
-        qk, ak, bk, Lk, Lbk, wk = inp
-        zk = _solve_core(Lk, R, Lbk, Rb, ak, bk, qk,
-                         lam, dense_limit, cg_iters, spd, wk)
-        vk = _right_orth(zk)
-        Rn = _adv_right(R, vk, ak)
-        Rbn = _adv_right_b(Rb, vk, bk)
-        return (Rn, Rbn), vk
-
     (r_back, rb_back), v_rev = jax.lax.scan(
-        bwd, (renv2, rbenv2),
+        _als_bwd_body_of(lam, dense_limit, cg_iters, spd),
+        (renv2, rbenv2),
         (Q[::-1], Am[::-1], Bm[::-1], ls_mid[::-1], lbs_mid[::-1],
          warm_mid[::-1]),
     )

@@ -34,8 +34,14 @@ from tensor_networks_tpu.parallel.evolve import (
     place_tdvp_sharded,
     tdvp_step_sharded,
 )
+from tensor_networks_tpu.parallel.als import (
+    als_solve_sharded,
+    place_als_sharded,
+)
 
 __all__ = [
+    "als_solve_sharded",
+    "place_als_sharded",
     "evolve_tdvp_sharded",
     "place_tdvp_sharded",
     "tdvp_step_sharded",

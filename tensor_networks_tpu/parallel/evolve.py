@@ -45,63 +45,17 @@ from tensor_networks_tpu.ops.evolve import (
     _tdvp_renv_body,
 )
 from tensor_networks_tpu.ops.packed import PackedTT, PackedTTOp
-from tensor_networks_tpu.parallel.sweeps import tt_right_orth_sharded
+from tensor_networks_tpu.parallel.sweeps import (
+    _replicate_from,
+    _staged_sweep,
+    tt_right_orth_sharded,
+)
 
 __all__ = [
     "evolve_tdvp_sharded",
     "place_tdvp_sharded",
     "tdvp_step_sharded",
 ]
-
-
-def _replicate_from(x, my, src):
-    """psum-replicate a value only device ``src`` holds."""
-    return jax.lax.psum(
-        jnp.where(my == src, x, jnp.zeros_like(x)), "model"
-    )
-
-
-def _staged_sweep(my, n_stages, reverse, carry, blocks, scan_fn,
-                  passive_outs):
-    """The staged-pipeline skeleton shared by every sweep here: device
-    ``stage`` runs ``lax.scan(scan_fn)`` over its local blocks while
-    everyone else forwards, then the carry hops to the neighbor via
-    ppermute.  ``passive_outs(carry, blocks)`` builds the zero emitted
-    blocks for inactive devices — derived from varying operands so the
-    cond branches agree on shard_map's varying-axes types.  Returns
-    ``(carry on the boundary device, per-device emitted blocks)``.
-    """
-    stages = (
-        range(n_stages - 1, -1, -1) if reverse else range(n_stages)
-    )
-    last_stage = 0 if reverse else n_stages - 1
-    shift = -1 if reverse else 1
-    outs = passive_outs(carry, blocks)
-    for stage in stages:
-        def active(args):
-            c, blk = args
-            return jax.lax.scan(scan_fn, c, blk, reverse=reverse)
-
-        def passive(args):
-            c, blk = args
-            return c, passive_outs(c, blk)
-
-        new_carry, emitted = jax.lax.cond(
-            my == stage, active, passive, (carry, blocks)
-        )
-        outs = jax.tree_util.tree_map(
-            lambda o, e: jnp.where(my == stage, e, o), outs, emitted
-        )
-        if stage != last_stage:
-            perm = [
-                (s, (s + shift) % n_stages) for s in range(n_stages)
-            ]
-            carry = jax.tree_util.tree_map(
-                lambda c: jax.lax.ppermute(c, "model", perm), new_carry
-            )
-        else:
-            carry = new_carry
-    return carry, outs
 
 
 @lru_cache(maxsize=16)
