@@ -213,6 +213,129 @@ _adv_right_mb_v = jax.vmap(_adv_right_mb, in_axes=(0, None, None, 0))
 _local_mb_v = jax.vmap(_local_mb, in_axes=(0, None, 0, 0))
 
 
+class _EigHelpers:
+    """The metric/deflation plumbing of the eigensolver sweep, bundled
+    so the fused single-device sweep (:func:`_eig_sweep_impl`) and the
+    DISTRIBUTED sweep (``parallel/eigen.py``) run the same arithmetic
+    by construction.  ``use_mass`` switches the local metric from the
+    frame Gram to the Galerkin projection of the mass operator;
+    ``use_pen`` carries J-stacked deflation environments.  ``mk``/``vk``
+    operands are ignored (dummy zeros) when the corresponding feature
+    is off."""
+
+    def __init__(self, use_mass: bool, use_pen: bool, dt, J: int = 0):
+        self.use_mass = use_mass
+        self.use_pen = use_pen
+        self.dt = dt
+        self.J = J
+        self.one3 = jnp.ones((1, 1, 1), dt)
+        self.one2 = jnp.ones((1, 1), dt)
+
+    def g_seed(self):
+        return self.one3 if self.use_mass else self.one2
+
+    def g_adv_l(self, Lg, xk, mk):
+        if self.use_mass:
+            return _adv_left(Lg, xk, mk)
+        return _adv_left_g(Lg, xk)
+
+    def g_adv_r(self, Rg, xk, mk):
+        if self.use_mass:
+            return _adv_right(Rg, xk, mk)
+        return _adv_right_g(Rg, xk)
+
+    def p_seed(self):
+        if not self.use_pen:
+            return None
+        seed = self.one3 if self.use_mass else self.one2
+        return jnp.broadcast_to(seed, (self.J,) + seed.shape)
+
+    def p_adv_l(self, Lb, xk, mk, vk):
+        if not self.use_pen:
+            return None
+        if self.use_mass:
+            return _adv_left_mb_v(Lb, xk, mk, vk)
+        return _adv_left_b_v(Lb, xk, vk)
+
+    def p_adv_r(self, Rb, xk, mk, vk):
+        if not self.use_pen:
+            return None
+        if self.use_mass:
+            return _adv_right_mb_v(Rb, xk, mk, vk)
+        return _adv_right_b_v(Rb, xk, vk)
+
+    def pens_of(self, Lb, Rb, mk, vk, size):
+        if not self.use_pen:
+            return jnp.zeros((0, size), self.dt)
+        if self.use_mass:
+            out = _local_mb_v(Lb, mk, Rb, vk)
+        else:
+            out = _local_rhs_v(Lb, vk, Rb)
+        return out.reshape(out.shape[0], -1)
+
+    def solve(self, L, R, Lg, Rg, ak, mk, pens, shift):
+        if self.use_mass:
+            return _local_ground_state_mass(L, ak, R, Lg, mk, Rg, pens,
+                                            shift)
+        return _local_ground_state(L, ak, R, Lg, Rg, pens, shift)
+
+
+def _eig_renv_body_of(h: _EigHelpers):
+    """Right-env scan body (operator + metric + deflation chains),
+    emitting the PRE-absorb envs — entry j is what mid j consumes."""
+
+    def renv(carry, inp):
+        R, Rg, Rb = carry
+        xk, ak, mk, vk = inp
+        nxt = (
+            _adv_right(R, xk, ak),
+            h.g_adv_r(Rg, xk, mk),
+            h.p_adv_r(Rb, xk, mk, vk),
+        )
+        return nxt, carry
+
+    return renv
+
+
+def _eig_fwd_body_of(h: _EigHelpers, shift):
+    """Forward mid-core half-sweep body.  Emits (orthogonal core,
+    PRE-update left envs — the return half's inputs)."""
+
+    def fwd(carry, inp):
+        L, Lg, Lb = carry
+        (xk, ak, mk, vk), (Rk, Rgk, Rbk) = inp
+        pens_k = h.pens_of(Lb, Rbk, mk, vk, xk.size)
+        _, vec_k = h.solve(L, Rk, Lg, Rgk, ak, mk, pens_k, shift)
+        qk = _left_orth(vec_k.reshape(xk.shape))
+        nxt = (
+            _adv_left(L, qk, ak),
+            h.g_adv_l(Lg, qk, mk),
+            h.p_adv_l(Lb, qk, mk, vk),
+        )
+        return nxt, (qk, carry)
+
+    return fwd
+
+
+def _eig_bwd_body_of(h: _EigHelpers, shift):
+    """Backward mid-core half-sweep body (mirror of the forward one)."""
+
+    def bwd(carry, inp):
+        R, Rg, Rb = carry
+        (qk, (Lk, Lgk, Lbk)), (ak, mk, vk) = inp
+        pens_k = h.pens_of(Lbk, Rb, mk, vk, qk.size)
+        _, vec_k = h.solve(Lk, R, Lgk, Rg, ak, mk, pens_k, shift)
+        vk_new = _right_orth(vec_k.reshape(qk.shape))
+        nxt = (
+            _adv_right(R, vk_new, ak),
+            h.g_adv_r(Rg, vk_new, mk),
+            h.p_adv_r(Rb, vk_new, mk, vk),
+        )
+        return nxt, vk_new
+
+    return bwd
+
+
 def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
     """One full eigensolver sweep (left->right, right->left) as a
     single program.
@@ -224,7 +347,6 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
     """
     dt = x0c.dtype
     one3 = jnp.ones((1, 1, 1), dt)
-    one2 = jnp.ones((1, 1), dt)
     use_mass = mstk is not None
     use_pen = vstk is not None
     if use_mass:
@@ -233,49 +355,19 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
         V0, VM, VL = vstk
         J = V0.shape[0]
 
-    def g_seed():
-        return one3 if use_mass else one2
-
-    def g_adv_l(Lg, xk, mk):
-        return _adv_left(Lg, xk, mk) if use_mass else _adv_left_g(Lg, xk)
-
-    def g_adv_r(Rg, xk, mk):
-        return _adv_right(Rg, xk, mk) if use_mass else _adv_right_g(Rg, xk)
-
-    def p_seed():
-        if not use_pen:
-            return None
-        seed = one3 if use_mass else one2
-        return jnp.broadcast_to(seed, (J,) + seed.shape)
-
-    def p_adv_l(Lb, xk, mk, vk):
-        if not use_pen:
-            return None
-        if use_mass:
-            return _adv_left_mb_v(Lb, xk, mk, vk)
-        return _adv_left_b_v(Lb, xk, vk)
-
-    def p_adv_r(Rb, xk, mk, vk):
-        if not use_pen:
-            return None
-        if use_mass:
-            return _adv_right_mb_v(Rb, xk, mk, vk)
-        return _adv_right_b_v(Rb, xk, vk)
+    h = _EigHelpers(use_mass, use_pen, dt, J if use_pen else 0)
+    g_seed = h.g_seed
+    g_adv_l = h.g_adv_l
+    g_adv_r = h.g_adv_r
+    p_seed = h.p_seed
+    p_adv_l = h.p_adv_l
+    p_adv_r = h.p_adv_r
 
     def pens_of(Lb, Rb, mk, vk, size):
-        if not use_pen:
-            return jnp.zeros((0, size), dt)
-        if use_mass:
-            out = _local_mb_v(Lb, mk, Rb, vk)
-        else:
-            out = _local_rhs_v(Lb, vk, Rb)
-        return out.reshape(out.shape[0], -1)
+        return h.pens_of(Lb, Rb, mk, vk, size)
 
     def solve(L, R, Lg, Rg, ak, mk, pens):
-        if use_mass:
-            return _local_ground_state_mass(L, ak, R, Lg, mk, Rg, pens,
-                                            shift)
-        return _local_ground_state(L, ak, R, Lg, Rg, pens, shift)
+        return h.solve(L, R, Lg, Rg, ak, mk, pens, shift)
 
     # per-position operator/mass/deflation cores, bundled for the scans
     mk0 = m0 if use_mass else None
@@ -296,19 +388,10 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
     rg_last = g_adv_r(g_seed(), xlc, mkl)
     rb_last = p_adv_r(p_seed(), xlc, mkl, vl)
 
-    def renv(carry, inp):
-        R, Rg, Rb = carry
-        xk, ak, mk, vk = inp
-        nxt = (
-            _adv_right(R, xk, ak),
-            g_adv_r(Rg, xk, mk),
-            p_adv_r(Rb, xk, mk, vk),
-        )
-        return nxt, carry
-
     (r_front, rg_front, rb_front), (rs_mid, rgs_mid, rbs_mid) = (
         jax.lax.scan(
-            renv, (r_last, rg_last, rb_last), mids_inp(reverse=True)
+            _eig_renv_body_of(h),
+            (r_last, rg_last, rb_last), mids_inp(reverse=True)
         )
     )
     rs_mid = jax.tree_util.tree_map(lambda a: a[::-1], rs_mid)
@@ -323,21 +406,8 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
     lg = g_adv_l(g_seed(), q0, mk0)
     lb = p_adv_l(p_seed(), q0, mk0, v0)
 
-    def fwd(carry, inp):
-        L, Lg, Lb = carry
-        (xk, ak, mk, vk), (Rk, Rgk, Rbk) = inp
-        pens_k = pens_of(Lb, Rbk, mk, vk, xk.size)
-        _, vec_k = solve(L, Rk, Lg, Rgk, ak, mk, pens_k)
-        qk = _left_orth(vec_k.reshape(xk.shape))
-        nxt = (
-            _adv_left(L, qk, ak),
-            g_adv_l(Lg, qk, mk),
-            p_adv_l(Lb, qk, mk, vk),
-        )
-        return nxt, (qk, carry)
-
     (l_back, lg_back, lb_back), (Q, ls_mid) = jax.lax.scan(
-        fwd, (lenv, lg, lb),
+        _eig_fwd_body_of(h, shift), (lenv, lg, lb),
         (mids_inp(reverse=False), (rs_mid, rgs_mid, rbs_mid)),
     )
 
@@ -353,22 +423,9 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
     rg2 = g_adv_r(g_seed(), vlq, mkl)
     rb2 = p_adv_r(p_seed(), vlq, mkl, vl)
 
-    def bwd(carry, inp):
-        R, Rg, Rb = carry
-        (qk, (Lk, Lgk, Lbk)), (ak, mk, vk) = inp
-        pens_k = pens_of(Lbk, Rb, mk, vk, qk.size)
-        _, vec_k = solve(Lk, R, Lgk, Rg, ak, mk, pens_k)
-        vk_new = _right_orth(vec_k.reshape(qk.shape))
-        nxt = (
-            _adv_right(R, vk_new, ak),
-            g_adv_r(Rg, vk_new, mk),
-            p_adv_r(Rb, vk_new, mk, vk),
-        )
-        return nxt, vk_new
-
     rev = lambda t: jax.tree_util.tree_map(lambda a: a[::-1], t)  # noqa: E731
     (r_back, rg_back, rb_back), v_rev = jax.lax.scan(
-        bwd, (renv2, rg2, rb2),
+        _eig_bwd_body_of(h, shift), (renv2, rg2, rb2),
         (rev((Q, ls_mid)), mids_inp(reverse=True, with_state=False)),
     )
     V = v_rev[::-1]

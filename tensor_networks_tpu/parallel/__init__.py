@@ -38,10 +38,16 @@ from tensor_networks_tpu.parallel.als import (
     als_solve_sharded,
     place_als_sharded,
 )
+from tensor_networks_tpu.parallel.eigen import (
+    als_eigsh_sharded,
+    place_eigsh_sharded,
+)
 
 __all__ = [
+    "als_eigsh_sharded",
     "als_solve_sharded",
     "place_als_sharded",
+    "place_eigsh_sharded",
     "evolve_tdvp_sharded",
     "place_tdvp_sharded",
     "tdvp_step_sharded",

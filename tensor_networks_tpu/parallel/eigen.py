@@ -1,0 +1,260 @@
+"""Distributed (train-sharded) DMRG eigensolver: ground and excited
+states past one chip's HBM.
+
+The one-site eigensolver (:func:`ops.eigen.als_eigsh`) with the
+iterate, the operator, the optional mass operator, the deflation
+trains, and ALL environment chains (operator, metric, deflation)
+sharded along the mesh's ``model`` axis — the same pipeline placement
+and staged ``ppermute`` carry schedule as the distributed rounding
+sweeps, :mod:`parallel.evolve`, and :mod:`parallel.als`.  Per-chip
+working set scales as ``1/P``; the carries are the ``(r, s, r)``
+operator environment, the bond-sized metric environment, and (when
+deflating) a J-stacked penalty environment.
+
+The per-device scans run the scan bodies of the fused single-device
+sweep (``ops.eigen._eig_renv_body_of`` etc.) — the same arithmetic BY
+CONSTRUCTION, including the generalized (mass-matrix) local solves and
+penalty deflation.  The Rayleigh values come from the replicated
+boundary-core solves, exactly where the fused sweep reads them.
+
+Reference counterpart: none (``pytens`` has no eigensolver; its only
+solver is a single-process GMRES, ``pytens/algs.py:2700``).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tensor_networks_tpu.ops.eigen import (
+    _adv_left,
+    _adv_right,
+    _EigHelpers,
+    _eig_bwd_body_of,
+    _eig_fwd_body_of,
+    _eig_renv_body_of,
+    _left_orth,
+    _op_fro_norm,
+    _right_orth,
+)
+from tensor_networks_tpu.ops.packed import PackedTT, PackedTTOp
+from tensor_networks_tpu.parallel.sweeps import (
+    _replicate_from,
+    _staged_sweep,
+    tt_right_orth_sharded,
+)
+
+__all__ = ["als_eigsh_sharded", "place_eigsh_sharded"]
+
+
+@lru_cache(maxsize=16)
+def _eig_sharded_fn(mesh: Mesh, use_mass: bool, use_pen: bool):
+    """Jitted shard_map program for one sharded eigensolver sweep,
+    cached per (mesh, mass?, deflation?) — ``shift`` is a traced
+    operand.  ``Mm``/``VM`` (and the matching boundary cores) are
+    dummy zeros when the feature is off; the shared helpers ignore
+    them."""
+    n_stages = mesh.shape["model"]
+
+    def body(x0, X_local, xl, a0, Am_local, al, mk0, Mm_local, mkl,
+             v0, VM_local, vl, shift):
+        my = jax.lax.axis_index("model")
+        dt = x0.dtype
+        J = v0.shape[0] if use_pen else 0
+        h = _EigHelpers(use_mass, use_pen, dt, J)
+        one3 = jnp.ones((1, 1, 1), dt)
+        m_local = X_local.shape[0]
+
+        def bcast(c):
+            return jnp.broadcast_to(c * 0.0, (m_local,) + c.shape)
+
+        def vary(tree):
+            return jax.tree_util.tree_map(
+                lambda c: jax.lax.pcast(c, ("model",), to="varying"),
+                tree,
+            )
+
+        def repl(tree, src):
+            return jax.tree_util.tree_map(
+                lambda c: _replicate_from(c, my, src), tree
+            )
+
+        mids = (X_local, Am_local, Mm_local, VM_local)
+
+        # ---- right-env chains (staged right-to-left), envs local ------
+        r_last = _adv_right(one3, xl, al)
+        rg_last = h.g_adv_r(h.g_seed(), xl, mkl)
+        rb_last = h.p_adv_r(h.p_seed(), xl, mkl, vl)
+        carry = vary((r_last, rg_last, rb_last))
+        (rf, rgf, rbf), rstash = _staged_sweep(
+            my, n_stages, True, carry, mids,
+            _eig_renv_body_of(h),
+            lambda c, blk: jax.tree_util.tree_map(bcast, c),
+        )
+        r_front, rg_front, rb_front = repl((rf, rgf, rbf), 0)
+
+        # ---- first core (replicated) -----------------------------------
+        pens = h.pens_of(h.p_seed(), rb_front, mk0, v0, x0.size)
+        _, vec = h.solve(one3, r_front, h.g_seed(), rg_front, a0, mk0,
+                         pens, shift)
+        q0 = _left_orth(vec.reshape(x0.shape))
+        lenv = _adv_left(one3, q0, a0)
+        lg = h.g_adv_l(h.g_seed(), q0, mk0)
+        lb = h.p_adv_l(h.p_seed(), q0, mk0, v0)
+
+        # ---- forward half: mids staged ---------------------------------
+        carry = vary((lenv, lg, lb))
+        lcarry, (Q_local, ls_local) = _staged_sweep(
+            my, n_stages, False, carry, (mids, rstash),
+            _eig_fwd_body_of(h, shift),
+            lambda c, blk: (
+                blk[0][0] * 0.0,
+                jax.tree_util.tree_map(bcast, c),
+            ),
+        )
+        l_back, lg_back, lb_back = repl(lcarry, n_stages - 1)
+
+        # ---- last core (replicated; the host loop's re-solve here is
+        # bit-identical — no warm start — and skipped, matching the
+        # fused sweep) ---------------------------------------------------
+        pens = h.pens_of(lb_back, h.p_seed(), mkl, vl, xl.size)
+        lam_f, vec = h.solve(l_back, one3, lg_back, h.g_seed(), al,
+                             mkl, pens, shift)
+        vlq = _right_orth(vec.reshape(xl.shape))
+        renv2 = _adv_right(one3, vlq, al)
+        rg2 = h.g_adv_r(h.g_seed(), vlq, mkl)
+        rb2 = h.p_adv_r(h.p_seed(), vlq, mkl, vl)
+
+        # ---- backward half (staged right-to-left) ----------------------
+        carry = vary((renv2, rg2, rb2))
+        rcarry, V_local = _staged_sweep(
+            my, n_stages, True, carry,
+            ((Q_local, ls_local), (Am_local, Mm_local, VM_local)),
+            _eig_bwd_body_of(h, shift),
+            lambda c, blk: blk[0][0] * 0.0,
+        )
+        r_back, rg_back, rb_back = repl(rcarry, 0)
+
+        # ---- first core (replicated) -----------------------------------
+        pens = h.pens_of(h.p_seed(), rb_back, mk0, v0, q0.size)
+        lam_b, vec = h.solve(one3, r_back, h.g_seed(), rg_back, a0,
+                             mk0, pens, shift)
+        z0 = vec.reshape(q0.shape)
+        return z0, V_local, vlq, lam_f, lam_b
+
+    shd = P("model")
+    rep = P()
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(rep, shd, rep, rep, shd, rep,
+                  rep, shd, rep, rep, shd, rep, rep),
+        out_specs=(rep, shd, rep, rep, rep),
+    )
+    return jax.jit(fn)
+
+
+def place_eigsh_sharded(mesh: Mesh, X, Am, Mm=None, VM=None):
+    """Shard the iterate / operator / mass / deflation mid-stacks along
+    the train (leading middle-core axis)."""
+    n_stages = mesh.shape["model"]
+    if X.shape[0] % n_stages != 0:
+        raise ValueError(
+            f"train sharding needs the middle-core count ({X.shape[0]}) "
+            f"divisible by the model axis ({n_stages}); pad the train or "
+            "choose a different mesh"
+        )
+    spec = NamedSharding(mesh, P("model"))
+    out = [jax.device_put(X, spec), jax.device_put(Am, spec)]
+    out.append(None if Mm is None else jax.device_put(Mm, spec))
+    out.append(None if VM is None else jax.device_put(VM, spec))
+    return tuple(out)
+
+
+def als_eigsh_sharded(
+    mesh: Mesh,
+    op: PackedTTOp,
+    x0: PackedTT,
+    sweeps: int = 10,
+    tol: float = 1e-10,
+    deflate: Tuple[PackedTT, ...] = (),
+    shift: float = None,
+    mass: PackedTTOp = None,
+) -> Tuple[PackedTT, float, List[float]]:
+    """Smallest eigenpair of a symmetric TT-operator by one-site DMRG
+    with the trains AND every environment chain sharded along the
+    mesh's ``model`` axis.
+
+    Same contracts as :func:`ops.eigen.als_eigsh` (generalized local
+    solves under ``mass``, penalty deflation via ``deflate``/``shift``,
+    stop when the per-sweep Rayleigh improvement drops below
+    ``tol * |lam|``); per-chip memory scales as ``1/P``, including the
+    initial right-canonicalization (a distributed sweep).  Needs
+    ``d - 2`` divisible by the model-axis size and, when deflating,
+    deflation trains of one shared rank (the fused-sweep stacking).
+    Returns ``(x, lam, history)``.
+    """
+    dt = x0.first.dtype
+    use_mass = mass is not None
+    use_pen = bool(deflate)
+
+    if use_pen and len({v.rank for v in deflate}) != 1:
+        raise ValueError(
+            "als_eigsh_sharded needs deflation trains of one shared "
+            "rank; pad them with ops.packed.pad_rank"
+        )
+    if use_pen and shift is None:
+        shift = 2.0 * _op_fro_norm(op)
+        if use_mass:
+            _, mu_min, _ = als_eigsh_sharded(mesh, mass, x0, sweeps=2)
+            shift = shift / max(abs(mu_min), 1e-12)
+    shift_d = jnp.asarray(0.0 if shift is None else shift, dt)
+
+    m = x0.mids.shape[0]
+    Mm = mass.mids.astype(dt) if use_mass else jnp.zeros((m,), dt)
+    if use_pen:
+        VM = jnp.stack(
+            [v.mids.astype(dt) for v in deflate], axis=1
+        )
+        v0 = jnp.stack([v.first[None].astype(dt) for v in deflate])
+        vl = jnp.stack([v.last[..., None].astype(dt) for v in deflate])
+    else:
+        VM = jnp.zeros((m,), dt)
+        v0 = jnp.zeros((0, 1, 1, 1), dt)
+        vl = jnp.zeros((0, 1, 1, 1), dt)
+
+    X, Am, Mm, VM = place_eigsh_sharded(
+        mesh, x0.mids, op.mids.astype(dt), Mm, VM
+    )
+
+    # distributed right-canonicalization (R factors absorbed left)
+    carry, X, last_q = tt_right_orth_sharded(mesh, X, x0.last)
+    x0c = jnp.matmul(x0.first, carry, precision="highest")[None]
+    xl = last_q[..., None]
+    a0 = op.first[None].astype(dt)
+    al = op.last[..., None].astype(dt)
+    mk0 = mass.first[None].astype(dt) if use_mass else jnp.zeros((), dt)
+    mkl = (
+        mass.last[..., None].astype(dt) if use_mass
+        else jnp.zeros((), dt)
+    )
+
+    fn = _eig_sharded_fn(mesh, use_mass, use_pen)
+    history: List[float] = []
+    lam = float("inf")
+    for _sweep in range(sweeps):
+        x0c, X, xl, lam_f, lam_b = fn(
+            x0c, X, xl, a0, Am, al, mk0, Mm, mkl, v0, VM, vl, shift_d
+        )
+        history.append(float(lam_f))
+        new_lam = float(lam_b)
+        history.append(new_lam)
+        if abs(lam - new_lam) <= tol * max(abs(new_lam), 1e-300):
+            lam = new_lam
+            break
+        lam = new_lam
+    return PackedTT(x0c[0], X, xl[..., 0]), lam, history

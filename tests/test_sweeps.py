@@ -363,3 +363,49 @@ def test_sharded_als_matches_fused(mesh8):
     ref = dense_vec(x_rf)
     got = dense_vec(x_sh)
     assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-9
+
+
+def test_sharded_eigsh_matches_fused(mesh8):
+    """Train-sharded DMRG eigensolver (operator/metric/deflation env
+    chains sharded, staged local eigen-solves, ppermute carries)
+    reproduces the fused single-device solver bit-for-bit on the
+    ground state, the generalized (mass-matrix) problem, and penalty
+    deflation."""
+    from tensor_networks_tpu.ops import packed as pk
+    from tensor_networks_tpu.ops.eigen import als_eigsh
+    from tensor_networks_tpu.ops.qtt import (
+        qtt_exponential,
+        qtt_screened_laplacian,
+        qtt_tridiagonal,
+    )
+    from tensor_networks_tpu.parallel.eigen import als_eigsh_sharded
+
+    K = 10  # d - 2 = 8 middle cores over 8 devices
+    x0 = pk.pad_rank(qtt_exponential(K, c=2.0), 6)
+
+    # ground state, frame-Gram metric
+    op = qtt_screened_laplacian(K, delta=0.5)
+    x_sh, lam_sh, hist_sh = als_eigsh_sharded(mesh8, op, x0, sweeps=4)
+    x_rf, lam_rf, hist_rf = als_eigsh(op, x0, sweeps=4)
+    np.testing.assert_allclose(hist_sh, hist_rf, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(x_sh.mids), np.asarray(x_rf.mids), atol=1e-12
+    )
+
+    # penalty deflation toward the second eigenpair
+    e_sh, mu1_sh, _ = als_eigsh_sharded(
+        mesh8, op, x0, sweeps=5, deflate=(x_sh,)
+    )
+    e_rf, mu1_rf, _ = als_eigsh(op, x0, sweeps=5, deflate=(x_rf,))
+    np.testing.assert_allclose(mu1_sh, mu1_rf, rtol=1e-10)
+    assert mu1_sh > lam_sh
+
+    # generalized problem (FEM stiffness/mass pair)
+    h = 1.0 / (2**K + 1)
+    A = qtt_tridiagonal(K, 2.0 / h, -1.0 / h, -1.0 / h)
+    M = qtt_tridiagonal(K, 4.0 * h / 6, h / 6, h / 6)
+    _, mu_sh, hg_sh = als_eigsh_sharded(mesh8, A, x0, sweeps=4, mass=M)
+    _, mu_rf, hg_rf = als_eigsh(A, x0, sweeps=4, mass=M)
+    np.testing.assert_allclose(hg_sh, hg_rf, rtol=1e-12)
+    # pi^2 to discretization accuracy
+    np.testing.assert_allclose(mu_sh, np.pi**2, rtol=1e-4)
