@@ -356,18 +356,6 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
         J = V0.shape[0]
 
     h = _EigHelpers(use_mass, use_pen, dt, J if use_pen else 0)
-    g_seed = h.g_seed
-    g_adv_l = h.g_adv_l
-    g_adv_r = h.g_adv_r
-    p_seed = h.p_seed
-    p_adv_l = h.p_adv_l
-    p_adv_r = h.p_adv_r
-
-    def pens_of(Lb, Rb, mk, vk, size):
-        return h.pens_of(Lb, Rb, mk, vk, size)
-
-    def solve(L, R, Lg, Rg, ak, mk, pens):
-        return h.solve(L, R, Lg, Rg, ak, mk, pens, shift)
 
     # per-position operator/mass/deflation cores, bundled for the scans
     mk0 = m0 if use_mass else None
@@ -385,8 +373,8 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
 
     # right-env chains of the current cores, emitted pre-absorb
     r_last = _adv_right(one3, xlc, al)
-    rg_last = g_adv_r(g_seed(), xlc, mkl)
-    rb_last = p_adv_r(p_seed(), xlc, mkl, vl)
+    rg_last = h.g_adv_r(h.g_seed(), xlc, mkl)
+    rb_last = h.p_adv_r(h.p_seed(), xlc, mkl, vl)
 
     (r_front, rg_front, rb_front), (rs_mid, rgs_mid, rbs_mid) = (
         jax.lax.scan(
@@ -399,20 +387,22 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
     rbs_mid = jax.tree_util.tree_map(lambda a: a[::-1], rbs_mid)
 
     # left -> right half
-    pens = pens_of(p_seed(), rb_front, mk0, v0, x0c.size)
-    _, vec = solve(one3, r_front, g_seed(), rg_front, a0, mk0, pens)
+    pens = h.pens_of(h.p_seed(), rb_front, mk0, v0, x0c.size)
+    _, vec = h.solve(one3, r_front, h.g_seed(), rg_front, a0, mk0,
+                     pens, shift)
     q0 = _left_orth(vec.reshape(x0c.shape))
     lenv = _adv_left(one3, q0, a0)
-    lg = g_adv_l(g_seed(), q0, mk0)
-    lb = p_adv_l(p_seed(), q0, mk0, v0)
+    lg = h.g_adv_l(h.g_seed(), q0, mk0)
+    lb = h.p_adv_l(h.p_seed(), q0, mk0, v0)
 
     (l_back, lg_back, lb_back), (Q, ls_mid) = jax.lax.scan(
         _eig_fwd_body_of(h, shift), (lenv, lg, lb),
         (mids_inp(reverse=False), (rs_mid, rgs_mid, rbs_mid)),
     )
 
-    pens = pens_of(lb_back, p_seed(), mkl, vl, xlc.size)
-    lam_f, vec = solve(l_back, one3, lg_back, g_seed(), al, mkl, pens)
+    pens = h.pens_of(lb_back, h.p_seed(), mkl, vl, xlc.size)
+    lam_f, vec = h.solve(l_back, one3, lg_back, h.g_seed(), al, mkl,
+                         pens, shift)
 
     # right -> left half.  The host loop re-solves the last core here,
     # but the eigen local solve does not depend on the current core
@@ -420,8 +410,8 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
     # forward one — skipped
     vlq = _right_orth(vec.reshape(xlc.shape))
     renv2 = _adv_right(one3, vlq, al)
-    rg2 = g_adv_r(g_seed(), vlq, mkl)
-    rb2 = p_adv_r(p_seed(), vlq, mkl, vl)
+    rg2 = h.g_adv_r(h.g_seed(), vlq, mkl)
+    rb2 = h.p_adv_r(h.p_seed(), vlq, mkl, vl)
 
     rev = lambda t: jax.tree_util.tree_map(lambda a: a[::-1], t)  # noqa: E731
     (r_back, rg_back, rb_back), v_rev = jax.lax.scan(
@@ -430,8 +420,9 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
     )
     V = v_rev[::-1]
 
-    pens = pens_of(p_seed(), rb_back, mk0, v0, q0.size)
-    lam_b, vec = solve(one3, r_back, g_seed(), rg_back, a0, mk0, pens)
+    pens = h.pens_of(h.p_seed(), rb_back, mk0, v0, q0.size)
+    lam_b, vec = h.solve(one3, r_back, h.g_seed(), rg_back, a0, mk0,
+                         pens, shift)
     z0 = vec.reshape(q0.shape)
     return z0, V, vlq, lam_f, lam_b
 
@@ -452,13 +443,17 @@ def _op_fro_norm(op: PackedTTOp) -> float:
     return float(norm_exact(t))
 
 
-def _default_shift(op: PackedTTOp, x0: PackedTT, mass: PackedTTOp) -> float:
+def _default_shift(op: PackedTTOp, x0: PackedTT, mass: PackedTTOp,
+                   eigsh=None) -> float:
     """Default deflation penalty: an upper bound on the (generalized)
     spectral range — 2 |A|_F, divided by a 2-sweep DMRG estimate of
-    lam_min(M) when a mass matrix widens the range."""
+    lam_min(M) when a mass matrix widens the range.  ``eigsh`` lets the
+    DISTRIBUTED solver estimate lam_min(M) with itself (one shift rule,
+    two solvers)."""
     shift = 2.0 * _op_fro_norm(op)
     if mass is not None:
-        _, mu_min, _ = als_eigsh(mass, x0, sweeps=2)
+        solver = als_eigsh if eigsh is None else eigsh
+        _, mu_min, _ = solver(mass, x0, sweeps=2)
         shift = shift / max(abs(mu_min), 1e-12)
     return shift
 

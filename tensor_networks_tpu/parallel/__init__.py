@@ -30,9 +30,12 @@ from tensor_networks_tpu.parallel.sweeps import (
     place_train_sharded,
 )
 from tensor_networks_tpu.parallel.evolve import (
+    add_sharded,
     evolve_tdvp_sharded,
+    evolve_theta_sharded,
     place_tdvp_sharded,
     tdvp_step_sharded,
+    ttop_apply_sharded,
 )
 from tensor_networks_tpu.parallel.als import (
     als_solve_sharded,
@@ -44,11 +47,14 @@ from tensor_networks_tpu.parallel.eigen import (
 )
 
 __all__ = [
+    "add_sharded",
     "als_eigsh_sharded",
     "als_solve_sharded",
     "place_als_sharded",
     "place_eigsh_sharded",
     "evolve_tdvp_sharded",
+    "evolve_theta_sharded",
+    "ttop_apply_sharded",
     "place_tdvp_sharded",
     "tdvp_step_sharded",
     "make_mesh",

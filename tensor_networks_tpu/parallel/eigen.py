@@ -33,12 +33,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tensor_networks_tpu.ops.eigen import (
     _adv_left,
     _adv_right,
+    _default_shift,
     _EigHelpers,
     _eig_bwd_body_of,
     _eig_fwd_body_of,
     _eig_renv_body_of,
     _left_orth,
-    _op_fro_norm,
     _right_orth,
 )
 from tensor_networks_tpu.ops.packed import PackedTT, PackedTTOp
@@ -208,10 +208,12 @@ def als_eigsh_sharded(
             "rank; pad them with ops.packed.pad_rank"
         )
     if use_pen and shift is None:
-        shift = 2.0 * _op_fro_norm(op)
-        if use_mass:
-            _, mu_min, _ = als_eigsh_sharded(mesh, mass, x0, sweeps=2)
-            shift = shift / max(abs(mu_min), 1e-12)
+        shift = _default_shift(
+            op, x0, mass,
+            eigsh=lambda m, x, sweeps: als_eigsh_sharded(
+                mesh, m, x, sweeps=sweeps
+            ),
+        )
     shift_d = jnp.asarray(0.0 if shift is None else shift, dt)
 
     m = x0.mids.shape[0]

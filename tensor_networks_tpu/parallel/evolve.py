@@ -52,9 +52,12 @@ from tensor_networks_tpu.parallel.sweeps import (
 )
 
 __all__ = [
+    "add_sharded",
     "evolve_tdvp_sharded",
+    "evolve_theta_sharded",
     "place_tdvp_sharded",
     "tdvp_step_sharded",
+    "ttop_apply_sharded",
 ]
 
 
@@ -231,3 +234,168 @@ def evolve_tdvp_sharded(
         )
         norms.append(float(nrm))
     return PackedTT(x0[0], X, xl[..., 0]), norms
+
+
+# -- theta-method time integration (implicit Euler / Crank-Nicolson) -------------
+# Composition of the packed operator algebra (step operators assembled
+# once, replicated — operator cores are small) with the distributed ALS
+# solver: every implicit step is an `als_solve_sharded` call, and the
+# right-hand side is assembled core-locally so the train sharding
+# propagates (batched-einsum operator apply — ttop_apply_packed's
+# lax.scan over the train axis would serialize a sharded array).
+# Unlike the fused `evolve_theta`, the rhs is NOT rounded back to the
+# iterate rank: the exact rhs train (rank R_rhs * r) feeds the solver
+# directly — slightly larger rhs environments, one fewer sweep per
+# step, and no rounding bias in the step.
+
+
+def ttop_apply_sharded(mesh: Mesh, op: PackedTTOp, x: PackedTT) -> PackedTT:
+    """Apply a uniform TT-operator to a train-sharded iterate with ONE
+    batched einsum over the middle-core axis (fused bonds in
+    ``ttop_apply_packed``'s (x-rank major, op-rank minor) layout on
+    both sides — core-for-core identical to the fused apply)."""
+    dtp = x.first.dtype
+    first = jnp.einsum(
+        "oik,il->olk", op.first.astype(dtp), x.first,
+        precision="highest",
+    )
+    first = first.reshape(first.shape[0], -1)
+    out = jnp.einsum(
+        "kaoib,kmir->kmaorb", op.mids.astype(dtp), x.mids,
+        precision="highest",
+    )
+    s = out.shape
+    mids = out.reshape(s[0], s[1] * s[2], s[3], s[4] * s[5])
+    last = jnp.einsum(
+        "aoi,mi->mao", op.last.astype(dtp), x.last, precision="highest"
+    )
+    last = last.reshape(-1, last.shape[2])
+    spec = NamedSharding(mesh, P("model"))
+    return PackedTT(first, jax.device_put(mids, spec), last)
+
+
+def add_sharded(mesh: Mesh, a: PackedTT, b: PackedTT) -> PackedTT:
+    """Exact direct sum (bond ranks add) built by CONCATENATION so the
+    leading-axis train sharding propagates (``packed._add2``'s
+    scatter-into-zeros would not)."""
+    dtp = a.first.dtype
+    m, ra, n, _ = a.mids.shape
+    rb = b.rank
+    first = jnp.concatenate([a.first, b.first.astype(dtp)], axis=1)
+    top = jnp.concatenate(
+        [a.mids, jnp.zeros((m, ra, n, rb), dtp)], axis=3
+    )
+    bot = jnp.concatenate(
+        [jnp.zeros((m, rb, n, ra), dtp), b.mids.astype(dtp)], axis=3
+    )
+    mids = jnp.concatenate([top, bot], axis=1)
+    last = jnp.concatenate([a.last, b.last.astype(dtp)], axis=0)
+    spec = NamedSharding(mesh, P("model"))
+    return PackedTT(first, jax.device_put(mids, spec), last)
+
+
+def evolve_theta_sharded(
+    mesh: Mesh,
+    A: PackedTTOp,
+    u0: PackedTT,
+    dt: float,
+    steps: int,
+    theta: float = 1.0,
+    mass: PackedTTOp = None,
+    source=None,
+    sweeps: int = 4,
+    tol: float = 1e-10,
+    op_eps: float = 1e-13,
+    observables: Tuple[PackedTTOp, ...] = (),
+    callback=None,
+    **solve_kw,
+):
+    """Integrate ``M du/dt = -A u + f`` with the train sharded along
+    the mesh's ``model`` axis: every implicit step is a distributed ALS
+    solve (:func:`parallel.als.als_solve_sharded`), the rhs operator
+    apply and source direct sum are core-local (sharding-preserving),
+    and the step tolerance uses the distributed backward-stable norm.
+
+    Same contracts as :func:`ops.evolve.evolve_theta` (theta in (0,1],
+    constant or callable ``source``, ``observables`` recorded as
+    ``<u, O u>`` after every step, extra kwargs reach the ALS solver)
+    EXCEPT the rhs is kept exact instead of rounded to the iterate
+    rank (see module note).  Needs ``d - 2`` divisible by the
+    model-axis size.  Returns ``(u_final, residuals[, observable
+    values])``.
+    """
+    from tensor_networks_tpu.ops.packed import (
+        add as packed_add,
+        scale,
+        ttop_add,
+        ttop_identity,
+        ttop_round,
+        ttop_scale,
+    )
+    from tensor_networks_tpu.parallel.als import (
+        _norm_sharded,
+        als_solve_sharded,
+    )
+    from tensor_networks_tpu.parallel.sweeps import tt_inner_train_sharded
+
+    if not 0.0 < theta <= 1.0:
+        raise ValueError(
+            f"theta must be in (0, 1] (theta=0 needs no solver), "
+            f"got {theta}"
+        )
+    d, n = u0.d, u0.mode
+    dtp = u0.first.dtype
+    M = mass if mass is not None else ttop_identity(d, n, dtp)
+    lhs = ttop_round(ttop_add(M, ttop_scale(A, theta * dt)), op_eps)
+    if theta < 1.0:
+        rhs_op = ttop_round(
+            ttop_add(M, ttop_scale(A, -(1.0 - theta) * dt)), op_eps
+        )
+    else:
+        rhs_op = M
+    identity_rhs = mass is None and theta == 1.0
+
+    g_const = None
+    if source is not None and not callable(source):
+        g_const = scale(source, dt)
+
+    def _obs(u: PackedTT) -> Tuple[float, ...]:
+        vals = []
+        for o in observables:
+            ou = ttop_apply_sharded(mesh, o, u)
+            vals.append(float(tt_inner_train_sharded(
+                mesh, u.first, u.mids, u.last,
+                ou.first, ou.mids, ou.last,
+            )))
+        return tuple(vals)
+
+    spec = NamedSharding(mesh, P("model"))
+    u = PackedTT(u0.first, jax.device_put(u0.mids, spec), u0.last)
+    residuals: List[float] = []
+    obs: List[Tuple[float, ...]] = []
+    for step in range(steps):
+        b = u if identity_rhs else ttop_apply_sharded(mesh, rhs_op, u)
+        if source is not None:
+            if g_const is not None:
+                g = g_const
+            else:
+                f1 = scale(source((step + 1) * dt), theta * dt)
+                if theta < 1.0:
+                    g = packed_add(
+                        f1, scale(source(step * dt), (1.0 - theta) * dt)
+                    )
+                else:
+                    g = f1
+            b = add_sharded(mesh, b, g)
+        bn = _norm_sharded(mesh, b.first, b.mids, b.last)
+        u, res, _ = als_solve_sharded(
+            mesh, lhs, b, u, sweeps=sweeps, tol=tol * bn, **solve_kw,
+        )
+        residuals.append(res)
+        if observables:
+            obs.append(_obs(u))
+        if callback is not None:
+            callback(step, u)
+    if observables:
+        return u, residuals, obs
+    return u, residuals

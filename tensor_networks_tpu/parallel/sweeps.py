@@ -83,7 +83,7 @@ def _local_right_orth_block(block: jnp.ndarray, carry: jnp.ndarray):
 
     def step(c, core):
         rr, n, rc = core.shape
-        cur = jnp.einsum("rnk,kc->rnc", core, c)
+        cur = jnp.einsum("rnk,kc->rnc", core, c, precision="highest")
         q, rmat = jnp.linalg.qr(cur.reshape(rr, n * rc).T)
         return rmat.T, q.T.reshape(rr, n, rc)
 
@@ -420,7 +420,9 @@ def _gram_sharded_fn(mesh: Mesh):
             carry_nxt, kprev = carry
             core, gr, bound = inputs
             rr, n, rc = core.shape
-            cur = jnp.einsum("ak,knc->anc", carry_nxt, core)
+            cur = jnp.einsum(
+                "ak,knc->anc", carry_nxt, core, precision="highest"
+            )
             mat = cur.reshape(-1, rc)
             gl = jnp.matmul(mat.T, mat, precision="highest")
             kmax = jnp.minimum(
