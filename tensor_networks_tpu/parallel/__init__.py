@@ -38,6 +38,7 @@ from tensor_networks_tpu.parallel.evolve import (
     ttop_apply_sharded,
 )
 from tensor_networks_tpu.parallel.als import (
+    als_solve_adaptive_sharded,
     als_solve_sharded,
     place_als_sharded,
 )
@@ -49,6 +50,7 @@ from tensor_networks_tpu.parallel.eigen import (
 __all__ = [
     "add_sharded",
     "als_eigsh_sharded",
+    "als_solve_adaptive_sharded",
     "als_solve_sharded",
     "place_als_sharded",
     "place_eigsh_sharded",

@@ -49,7 +49,12 @@ from tensor_networks_tpu.parallel.sweeps import (
     tt_right_orth_sharded,
 )
 
-__all__ = ["als_solve_sharded", "place_als_sharded", "als_sweep_sharded"]
+__all__ = [
+    "als_solve_adaptive_sharded",
+    "als_solve_sharded",
+    "als_sweep_sharded",
+    "place_als_sharded",
+]
 
 
 @lru_cache(maxsize=16)
@@ -325,3 +330,103 @@ def als_solve_sharded(
         if res < tol:
             break
     return PackedTT(x0c[0], X, xl[..., 0]), res, history
+
+
+# -- rank-adaptive distributed solves --------------------------------------------
+
+
+def _round_fixed_sharded(mesh: Mesh, t: PackedTT, kick: int) -> PackedTT:
+    """Fixed-rank truncation of a train-sharded packed train via the
+    distributed Gram-SVD sweep: with a zero budget and per-bond bounds
+    pinned to ``kick``, every bond keeps its leading
+    ``min(kick, structural)`` directions in the LEADING slots
+    (zero-masked static shapes), so slicing yields the rank-``kick``
+    truncation without gathering the train."""
+    from tensor_networks_tpu.parallel.sweeps import tt_gram_round_sharded
+
+    bounds = [kick] * (t.d - 1)
+    f, m, l, _, _ = tt_gram_round_sharded(
+        mesh, t.first, t.mids, t.last, 0.0, bounds=bounds
+    )
+    return PackedTT(f[:, :kick], m[:, :kick, :, :kick], l[:kick])
+
+
+def _enrich_span_sharded(
+    mesh: Mesh, op: PackedTTOp, rhs: PackedTT, x: PackedTT, kick: int
+) -> PackedTT:
+    """AMEn rank growth, fully distributed: the residual train
+    ``b - A x`` is assembled core-locally (sharding-preserving apply +
+    concatenation direct sum), truncated to the kick rank by the
+    distributed Gram sweep, and direct-summed at coefficient zero —
+    the represented iterate is unchanged, every bond frame gains the
+    steepest-descent subspace (ops.als._enrich_span's contract without
+    materializing the train on one device)."""
+    from tensor_networks_tpu.ops.packed import scale
+    from tensor_networks_tpu.parallel.evolve import (
+        add_sharded,
+        ttop_apply_sharded,
+    )
+
+    ax = ttop_apply_sharded(mesh, op, x)
+    resid = add_sharded(mesh, rhs, scale(ax, -1.0))
+    z = _round_fixed_sharded(mesh, resid, kick)
+    span = PackedTT(jnp.zeros_like(z.first), z.mids, z.last)
+    return add_sharded(mesh, x, span)
+
+
+def als_solve_adaptive_sharded(
+    mesh: Mesh,
+    op: PackedTTOp,
+    rhs: PackedTT,
+    x0: PackedTT = None,
+    eps: float = 1e-8,
+    rank: int = None,
+    max_rank: int = None,
+    sweeps_per_rank: int = 4,
+    enrich: bool = True,
+    **kw,
+) -> Tuple[PackedTT, float, List[float]]:
+    """Rank-adaptive distributed ALS: solve at the current rank with
+    :func:`als_solve_sharded` and, while the exact relative residual
+    stays above ``eps``, double the rank (warm restart) up to
+    ``max_rank`` — the schedule of :func:`ops.als.als_solve_adaptive`
+    with every piece distributed: the restarts' AMEn enrichment rounds
+    the residual train with the distributed Gram sweep
+    (``enrich=False`` falls back to inert zero padding), and the
+    reference norm uses the distributed orthogonalization sweep.
+    Returns ``(x, absolute residual, concatenated history)``."""
+    from tensor_networks_tpu.ops.packed import pad_rank
+
+    spec = NamedSharding(mesh, P("model", None, None, None))
+    rhs = PackedTT(
+        rhs.first, jax.device_put(rhs.mids, spec), rhs.last
+    )
+
+    def _grow(x: PackedTT, target: int) -> PackedTT:
+        kick = target - x.rank
+        if kick <= 0:
+            return x
+        if not enrich:
+            z = pad_rank(x, target)
+            return PackedTT(
+                z.first, jax.device_put(z.mids, spec), z.last
+            )
+        return _enrich_span_sharded(mesh, op, rhs, x, kick)
+
+    if x0 is None:
+        x0 = rhs
+    rank = int(rank) if rank is not None else max(2 * x0.rank, 2)
+    ceiling = int(max_rank) if max_rank is not None else 8 * rank
+    b_norm = _norm_sharded(mesh, rhs.first, rhs.mids, rhs.last)
+    x = _grow(x0, rank)
+    hist_all: List[float] = []
+    while True:
+        x, res, hist = als_solve_sharded(
+            mesh, op, rhs, x, sweeps=sweeps_per_rank,
+            tol=eps * b_norm, **kw,
+        )
+        hist_all += hist
+        if res <= eps * b_norm or rank >= ceiling:
+            return x, res, hist_all
+        rank = min(2 * rank, ceiling)
+        x = _grow(x, rank)

@@ -499,3 +499,35 @@ def test_sharded_theta_integrator(mesh8):
         ud = np.linalg.solve(Md + theta * dt * Ad, rhs)
     got_m = dense_vec(u_m)
     assert np.linalg.norm(got_m - ud) / np.linalg.norm(ud) < 1e-12
+
+
+def test_sharded_als_adaptive(mesh8):
+    """Rank-adaptive distributed ALS: AMEn enrichment assembled and
+    truncated fully distributed (sharding-preserving residual train +
+    distributed Gram kick basis) converges through the rank ladder to
+    the requested tolerance; inert zero-padding growth does too."""
+    from tensor_networks_tpu.ops import packed as pk
+    from tensor_networks_tpu.ops.qtt import (
+        qtt_exponential,
+        qtt_screened_laplacian,
+    )
+    from tensor_networks_tpu.parallel.als import als_solve_adaptive_sharded
+
+    K = 10
+    op = qtt_screened_laplacian(K, delta=1.0)
+    rhs = qtt_exponential(K, c=3.0)
+    bn = float(pk.norm_exact(rhs))
+
+    x, res, hist = als_solve_adaptive_sharded(
+        mesh8, op, rhs, eps=1e-10, rank=2, max_rank=16, spd=True
+    )
+    assert res <= 1e-10 * bn
+    assert 2 < x.rank <= 16  # the ladder actually grew
+    assert hist[0] > 1e-10 * bn  # and needed to
+    assert len(x.mids.sharding.device_set) == 8
+
+    x2, res2, _ = als_solve_adaptive_sharded(
+        mesh8, op, rhs, eps=1e-10, rank=2, max_rank=16, spd=True,
+        enrich=False,
+    )
+    assert res2 <= 1e-10 * bn
