@@ -43,12 +43,16 @@ from tensor_networks_tpu.parallel.als import (
     place_als_sharded,
 )
 from tensor_networks_tpu.parallel.eigen import (
+    als_eigsh_adaptive_sharded,
+    als_eigsh_k_sharded,
     als_eigsh_sharded,
     place_eigsh_sharded,
 )
 
 __all__ = [
     "add_sharded",
+    "als_eigsh_adaptive_sharded",
+    "als_eigsh_k_sharded",
     "als_eigsh_sharded",
     "als_solve_adaptive_sharded",
     "als_solve_sharded",

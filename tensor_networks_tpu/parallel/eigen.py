@@ -48,7 +48,12 @@ from tensor_networks_tpu.parallel.sweeps import (
     tt_right_orth_sharded,
 )
 
-__all__ = ["als_eigsh_sharded", "place_eigsh_sharded"]
+__all__ = [
+    "als_eigsh_adaptive_sharded",
+    "als_eigsh_k_sharded",
+    "als_eigsh_sharded",
+    "place_eigsh_sharded",
+]
 
 
 @lru_cache(maxsize=16)
@@ -260,3 +265,147 @@ def als_eigsh_sharded(
             break
         lam = new_lam
     return PackedTT(x0c[0], X, xl[..., 0]), lam, history
+
+
+def _inner_sharded(mesh: Mesh, a: PackedTT, b: PackedTT) -> float:
+    """Distributed zipper inner product of two train-sharded packed
+    trains (fine for expectations; NOT for near-cancelling differences
+    — those go through the orthogonalization-sweep norm)."""
+    from tensor_networks_tpu.parallel.sweeps import tt_inner_train_sharded
+
+    return float(tt_inner_train_sharded(
+        mesh, a.first, a.mids, a.last, b.first, b.mids, b.last
+    ))
+
+
+def als_eigsh_k_sharded(
+    mesh: Mesh,
+    op: PackedTTOp,
+    x0: PackedTT,
+    k: int,
+    sweeps: int = 10,
+    shift: float = None,
+    mass: PackedTTOp = None,
+    **kw,
+) -> Tuple[List[PackedTT], List[float]]:
+    """Lowest ``k`` eigenpairs with the trains sharded: each pair is an
+    :func:`als_eigsh_sharded` run with all previously found pairs
+    deflated — compile-once slot semantics of
+    :func:`ops.eigen.als_eigsh_k` (the deflation stack is filled with
+    zero trains at a shared rank from the first pair, so all ``k``
+    solves share ONE shard_map program), with the clean Rayleigh
+    quotients computed distributed.  Returns ``(vectors, values)``
+    sorted ascending."""
+    from tensor_networks_tpu.ops.packed import pad_rank
+    from tensor_networks_tpu.parallel.evolve import ttop_apply_sharded
+
+    if k > 1 and shift is None:
+        shift = _default_shift(
+            op, x0, mass,
+            eigsh=lambda m, x, sweeps: als_eigsh_sharded(
+                mesh, m, x, sweeps=sweeps
+            ),
+        )
+    base_deflate = tuple(kw.pop("deflate", ()))
+
+    rv = max([x0.rank] + [v.rank for v in base_deflate])
+    base_deflate = tuple(
+        pad_rank(v, rv) if v.rank < rv else v for v in base_deflate
+    )
+    if x0.rank < rv:
+        x0 = pad_rank(x0, rv)
+    nslots = len(base_deflate) + k - 1
+    dtz = x0.first.dtype
+    d, n = x0.d, x0.mode
+    zero_slot = PackedTT(
+        jnp.zeros((n, rv), dtz),
+        jnp.zeros((d - 2, rv, n, rv), dtz),
+        jnp.zeros((rv, n), dtz),
+    )
+
+    found: List[PackedTT] = []
+    vals: List[float] = []
+    for _ in range(k):
+        defl = base_deflate + tuple(found)
+        if len(defl) < nslots:
+            defl = defl + (zero_slot,) * (nslots - len(defl))
+        v, _, _ = als_eigsh_sharded(
+            mesh, op, x0, sweeps=sweeps, deflate=defl, shift=shift,
+            mass=mass, **kw,
+        )
+        mv = (
+            ttop_apply_sharded(mesh, mass, v) if mass is not None else v
+        )
+        lam = (
+            _inner_sharded(
+                mesh, v, ttop_apply_sharded(mesh, op, v)
+            ) / _inner_sharded(mesh, v, mv)
+        )
+        found.append(v)
+        vals.append(lam)
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    return [found[i] for i in order], [vals[i] for i in order]
+
+
+def als_eigsh_adaptive_sharded(
+    mesh: Mesh,
+    op: PackedTTOp,
+    x0: PackedTT,
+    eps: float = 1e-8,
+    max_rank: int = None,
+    sweeps_per_rank: int = 4,
+    enrich: bool = True,
+    mass: PackedTTOp = None,
+    **kw,
+) -> Tuple[PackedTT, float, List[float]]:
+    """Rank-adaptive distributed smallest eigenpair: the geometric
+    ladder of :func:`ops.eigen.als_eigsh_adaptive` with every piece
+    distributed — the eigen-residual train ``A x - lam (M) x`` is
+    assembled core-locally, its norm comes from the distributed
+    orthogonalization sweep, and the AMEn kick basis from the
+    distributed Gram truncation.  Returns ``(x, lam, history)``."""
+    from tensor_networks_tpu.ops.packed import pad_rank, scale
+    from tensor_networks_tpu.parallel.als import (
+        _norm_sharded,
+        _round_fixed_sharded,
+    )
+    from tensor_networks_tpu.parallel.evolve import (
+        add_sharded,
+        ttop_apply_sharded,
+    )
+
+    spec = NamedSharding(mesh, P("model"))
+    rank = x0.rank
+    ceiling = int(max_rank) if max_rank is not None else 8 * rank
+    x = PackedTT(x0.first, jax.device_put(x0.mids, spec), x0.last)
+    hist_all: List[float] = []
+    while True:
+        x, lam, hist = als_eigsh_sharded(
+            mesh, op, x, sweeps=sweeps_per_rank, mass=mass, **kw
+        )
+        hist_all += hist
+        lam_x = (
+            scale(x, -lam)
+            if mass is None
+            else scale(ttop_apply_sharded(mesh, mass, x), -lam)
+        )
+        resid_train = add_sharded(
+            mesh, ttop_apply_sharded(mesh, op, x), lam_x
+        )
+        resid = _norm_sharded(
+            mesh, resid_train.first, resid_train.mids, resid_train.last
+        )
+        if resid <= eps * max(abs(lam), 1e-300) or rank >= ceiling:
+            return x, lam, hist_all
+        new_rank = min(2 * rank, ceiling)
+        kick = new_rank - x.rank
+        if enrich and kick > 0:
+            z = _round_fixed_sharded(mesh, resid_train, kick)
+            span = PackedTT(jnp.zeros_like(z.first), z.mids, z.last)
+            x = add_sharded(mesh, x, span)
+        else:
+            z = pad_rank(x, new_rank)
+            x = PackedTT(
+                z.first, jax.device_put(z.mids, spec), z.last
+            )
+        rank = new_rank

@@ -531,3 +531,40 @@ def test_sharded_als_adaptive(mesh8):
         enrich=False,
     )
     assert res2 <= 1e-10 * bn
+
+
+def test_sharded_eigsh_k_and_adaptive(mesh8):
+    """Distributed excited-states driver (compile-once deflation
+    slots, distributed Rayleigh cleanup) and the rank-adaptive
+    distributed eigensolver reproduce their fused single-device
+    counterparts."""
+    from tensor_networks_tpu.ops import packed as pk
+    from tensor_networks_tpu.ops.eigen import als_eigsh_adaptive, als_eigsh_k
+    from tensor_networks_tpu.ops.qtt import (
+        qtt_exponential,
+        qtt_screened_laplacian,
+    )
+    from tensor_networks_tpu.parallel.eigen import (
+        als_eigsh_adaptive_sharded,
+        als_eigsh_k_sharded,
+    )
+
+    K = 10
+    op = qtt_screened_laplacian(K, delta=0.5)
+    x0 = pk.pad_rank(qtt_exponential(K, c=2.0), 6)
+
+    vecs_sh, vals_sh = als_eigsh_k_sharded(mesh8, op, x0, 3, sweeps=6)
+    _, vals_rf = als_eigsh_k(op, x0, 3, sweeps=6)
+    np.testing.assert_allclose(vals_sh, vals_rf, rtol=1e-12)
+    assert vals_sh[0] < vals_sh[1] < vals_sh[2]
+    assert all(len(v.mids.sharding.device_set) == 8 for v in vecs_sh)
+
+    # adaptive ladder from a rank-1 start: grows (the sine ground
+    # state is not rank-1) and matches the fused ladder
+    x1 = qtt_exponential(K, c=2.0)
+    xa, lam_a, _ = als_eigsh_adaptive_sharded(
+        mesh8, op, x1, eps=1e-10, max_rank=8
+    )
+    xr, lam_r, _ = als_eigsh_adaptive(op, x1, eps=1e-10, max_rank=8)
+    assert xa.rank == xr.rank > 1
+    np.testing.assert_allclose(lam_a, lam_r, rtol=1e-12)
