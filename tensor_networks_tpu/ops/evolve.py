@@ -755,6 +755,48 @@ def _merge2(x1, x2):
     return jnp.einsum("ajb,blc->ajlc", x1, x2, precision="highest")
 
 
+def _tdvp2_fwd_body_of(h, eps, dense_limit, kdim, rank):
+    """Forward mid-pair half-sweep body: merge the carried (evolved)
+    core with the next one, evolve the pair, split at the static rank,
+    back-evolve the new bond-carrying core.  The carry is ``(left env,
+    evolved core)`` — the working core travels WITH the carry, which is
+    what lets the DISTRIBUTED sweep (parallel/evolve.py) stage it with
+    one ppermute hop per device boundary.  Emits ``(q, PRE-update env,
+    effective rank)``."""
+
+    def fwd_body(carry, inp):
+        L, c = carry
+        xk1, a1, a2, Rk = inp
+        th = _merge2(c, xk1)
+        th = _theta_evolve(L, a1, a2, Rk, th, -0.5 * h, dense_limit, kdim)
+        q, sk, vk, keff = _split_theta(th, rank, eps)
+        Ln = _adv_left(L, q, a1)
+        svk = sk[:, None, None] * vk
+        svk = _site_evolve(Ln, a2, Rk, svk, +0.5 * h, dense_limit, kdim)
+        # emit the PRE-update env: the backward sweep needs ls[k]
+        # (cores 0..k-1) at this pair
+        return (Ln, svk), (q, L, keff)
+
+    return fwd_body
+
+
+def _tdvp2_bwd_body_of(h, eps, dense_limit, kdim, rank):
+    """Backward mid-pair half-sweep body (mirror of the forward one)."""
+
+    def bwd_body(carry, inp):
+        R, c2 = carry
+        qk, a1, a2, Lk = inp
+        th = _merge2(qk, c2)
+        th = _theta_evolve(Lk, a1, a2, R, th, -0.5 * h, dense_limit, kdim)
+        uk, sk, vk, keff = _split_theta(th, rank, eps)
+        Rn = _adv_right(R, vk, a2)
+        usk = uk * sk[None, None, :]
+        usk = _site_evolve(Lk, a1, Rn, usk, +0.5 * h, dense_limit, kdim)
+        return (Rn, usk), (vk, keff)
+
+    return bwd_body
+
+
 def _tdvp2_step_impl(x0, X, xl, a0, Am, al, h, eps, dense_limit, kdim, rank):
     """One symmetric two-site TDVP step; inputs right-canonical, d >= 3.
 
@@ -771,12 +813,7 @@ def _tdvp2_step_impl(x0, X, xl, a0, Am, al, h, eps, dense_limit, kdim, rank):
 
     # right-env chain: rs_mid[j] = env right of core j+1 (cores j+2..d-1)
     r_last = _adv_right(one3, xl, al)
-
-    def renv_body(R, inp):
-        xk, ak = inp
-        return _adv_right(R, xk, ak), R
-
-    _, rs_rev = jax.lax.scan(renv_body, r_last, (X[::-1], Am[::-1]))
+    _, rs_rev = jax.lax.scan(_tdvp_renv_body, r_last, (X[::-1], Am[::-1]))
     rs_mid = rs_rev[::-1]
 
     # forward half-sweep: pair (0,1) explicit, pairs (k,k+1) k=1..d-3
@@ -792,21 +829,9 @@ def _tdvp2_step_impl(x0, X, xl, a0, Am, al, h, eps, dense_limit, kdim, rank):
         lenv, Am[0], rs_mid[0], sv, +0.5 * h, dense_limit, kdim
     )
 
-    def fwd_body(carry, inp):
-        L, c = carry
-        xk1, a1, a2, Rk = inp
-        th = _merge2(c, xk1)
-        th = _theta_evolve(L, a1, a2, Rk, th, -0.5 * h, dense_limit, kdim)
-        q, sk, vk, keff = _split_theta(th, rank, eps)
-        Ln = _adv_left(L, q, a1)
-        svk = sk[:, None, None] * vk
-        svk = _site_evolve(Ln, a2, Rk, svk, +0.5 * h, dense_limit, kdim)
-        # emit the PRE-update env: the backward sweep needs ls[k]
-        # (cores 0..k-1) at this pair
-        return (Ln, svk), (q, L, keff)
-
     (l_back, c), (Q, ls_mid, kf_mid) = jax.lax.scan(
-        fwd_body, (lenv, sv), (X[1:], Am[:-1], Am[1:], rs_mid[1:])
+        _tdvp2_fwd_body_of(h, eps, dense_limit, kdim, rank),
+        (lenv, sv), (X[1:], Am[:-1], Am[1:], rs_mid[1:])
     )
 
     theta = _merge2(c, xl)
@@ -827,19 +852,9 @@ def _tdvp2_step_impl(x0, X, xl, a0, Am, al, h, eps, dense_limit, kdim, rank):
     us = ub * s[None, None, :]
     us = _site_evolve(l_back, Am[-1], renv, us, +0.5 * h, dense_limit, kdim)
 
-    def bwd_body(carry, inp):
-        R, c2 = carry
-        qk, a1, a2, Lk = inp
-        th = _merge2(qk, c2)
-        th = _theta_evolve(Lk, a1, a2, R, th, -0.5 * h, dense_limit, kdim)
-        uk, sk, vk, keff = _split_theta(th, rank, eps)
-        Rn = _adv_right(R, vk, a2)
-        usk = uk * sk[None, None, :]
-        usk = _site_evolve(Lk, a1, Rn, usk, +0.5 * h, dense_limit, kdim)
-        return (Rn, usk), (vk, keff)
-
     (r_back, c2), (V_rev, kb_mid) = jax.lax.scan(
-        bwd_body, (renv, us),
+        _tdvp2_bwd_body_of(h, eps, dense_limit, kdim, rank),
+        (renv, us),
         (Q[::-1], Am[:-1][::-1], Am[1:][::-1], ls_mid[::-1]),
     )
 

@@ -31,6 +31,7 @@ from tensor_networks_tpu.parallel.sweeps import (
 )
 from tensor_networks_tpu.parallel.evolve import (
     add_sharded,
+    evolve_tdvp2_sharded,
     evolve_tdvp_sharded,
     evolve_theta_sharded,
     place_tdvp_sharded,
@@ -58,6 +59,7 @@ __all__ = [
     "als_solve_sharded",
     "place_als_sharded",
     "place_eigsh_sharded",
+    "evolve_tdvp2_sharded",
     "evolve_tdvp_sharded",
     "evolve_theta_sharded",
     "ttop_apply_sharded",

@@ -53,6 +53,7 @@ from tensor_networks_tpu.parallel.sweeps import (
 
 __all__ = [
     "add_sharded",
+    "evolve_tdvp2_sharded",
     "evolve_tdvp_sharded",
     "evolve_theta_sharded",
     "place_tdvp_sharded",
@@ -399,3 +400,250 @@ def evolve_theta_sharded(
     if observables:
         return u, residuals, obs
     return u, residuals
+
+
+# -- two-site (rank-adaptive) distributed TDVP -----------------------------------
+# The fused two-site sweep's carry is (env, evolved core) — the working
+# core travels WITH the carry (ops.evolve._tdvp2_fwd_body_of), so the
+# staged-pipeline skeleton applies directly: one ppermute hop moves the
+# (r, s, r) env plus the (r, n, r) core between neighbors.  Block
+# alignment: the mid-pair scans cover pairs j = 1..m-1 while the blocks
+# hold m rows, so global row 0 is a masked DUMMY item (computed on real
+# operands, discarded by a `where` — static shapes, no NaN risk, one
+# wasted theta-evolve per sweep).
+
+
+@lru_cache(maxsize=16)
+def _tdvp2_sharded_fn(mesh: Mesh, dense_limit: int, kdim: int, rank: int):
+    """Jitted shard_map program for one sharded two-site TDVP step,
+    cached per (mesh, dense_limit, krylov, static rank) — ``h`` and
+    ``eps`` are traced operands."""
+    from tensor_networks_tpu.ops.evolve import (
+        _merge2,
+        _site_evolve,
+        _split_theta,
+        _tdvp2_bwd_body_of,
+        _tdvp2_fwd_body_of,
+        _theta_evolve,
+    )
+
+    n_stages = mesh.shape["model"]
+
+    def body(x0, X_local, xl, a0, Am_local, A1_local, al, h, eps):
+        my = jax.lax.axis_index("model")
+        dtp = x0.dtype
+        one3 = jnp.ones((1, 1, 1), dtp)
+        m_local = X_local.shape[0]
+
+        def bcast(c):
+            return jnp.broadcast_to(c * 0.0, (m_local,) + c.shape)
+
+        def vary(tree):
+            return jax.tree_util.tree_map(
+                lambda c: jax.lax.pcast(c, ("model",), to="varying"),
+                tree,
+            )
+
+        def repl(tree, src):
+            return jax.tree_util.tree_map(
+                lambda c: _replicate_from(c, my, src), tree
+            )
+
+        # global row index -> pair validity (row 0 is the dummy)
+        valid_local = (
+            my * m_local + jnp.arange(m_local, dtype=jnp.int32)
+        ) >= 1
+
+        # ---- right-env chain (staged right-to-left) --------------------
+        from tensor_networks_tpu.ops.evolve import (
+            _adv_left as adv_l,
+            _adv_right as adv_r,
+            _tdvp_renv_body,
+        )
+
+        r_last = adv_r(one3, xl, al)
+        _, rs_local = _staged_sweep(
+            my, n_stages, True, vary(r_last), (X_local, Am_local),
+            _tdvp_renv_body,
+            lambda c, blk: bcast(c),
+        )
+
+        Am0 = _replicate_from(Am_local[0], my, 0)
+        AmL = _replicate_from(Am_local[-1], my, n_stages - 1)
+        X0 = _replicate_from(X_local[0], my, 0)
+        rs0 = _replicate_from(rs_local[0], my, 0)
+
+        # ---- first pair (replicated) -----------------------------------
+        theta = _merge2(x0, X0)
+        theta = _theta_evolve(
+            one3, a0, Am0, rs0, theta, -0.5 * h, dense_limit, kdim
+        )
+        u0q, s, v3, k0 = _split_theta(theta, rank, eps)
+        lenv = adv_l(one3, u0q, a0)
+        sv = s[:, None, None] * v3
+        sv = _site_evolve(
+            lenv, Am0, rs0, sv, +0.5 * h, dense_limit, kdim
+        )
+
+        # ---- forward mid pairs (staged, dummy row masked) --------------
+        fwd = _tdvp2_fwd_body_of(h, eps, dense_limit, kdim, rank)
+
+        def fwd_masked(carry, inp):
+            xk1, a1, a2, Rk, val = inp
+            new_carry, (q, Lpre, keff) = fwd(carry, (xk1, a1, a2, Rk))
+            carry_out = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(val, n, o), new_carry, carry
+            )
+            return carry_out, (
+                jnp.where(val, q, q * 0.0),
+                jnp.where(val, Lpre, Lpre * 0.0),
+                jnp.where(val, keff, 0).astype(jnp.int32),
+            )
+
+        carry = vary((lenv, sv))
+        lcarry, (Q_local, ls_local, kf_local) = _staged_sweep(
+            my, n_stages, False, carry,
+            (X_local, A1_local, Am_local, rs_local, valid_local),
+            fwd_masked,
+            lambda c, blk: (
+                blk[0] * 0.0,
+                bcast(c[0]),
+                blk[4].astype(jnp.int32) * 0,
+            ),
+        )
+        l_back, c = repl(lcarry, n_stages - 1)
+
+        # ---- last pair (replicated): close the forward half, then open
+        # the backward one (fused sweep's exact order) --------------------
+        theta = _merge2(c, xl)
+        theta = _theta_evolve(
+            l_back, AmL, al, one3, theta, -0.5 * h, dense_limit, kdim
+        )
+        ulq, s, vl, kl = _split_theta(theta, rank, eps)
+        svl = s[:, None, None] * vl
+
+        theta = _merge2(ulq, svl)
+        theta = _theta_evolve(
+            l_back, AmL, al, one3, theta, -0.5 * h, dense_limit, kdim
+        )
+        ub, s, xln, kl2 = _split_theta(theta, rank, eps)
+        renv = adv_r(one3, xln, al)
+        us = ub * s[None, None, :]
+        us = _site_evolve(
+            l_back, AmL, renv, us, +0.5 * h, dense_limit, kdim
+        )
+
+        # ---- backward mid pairs (staged right-to-left) -----------------
+        bwd = _tdvp2_bwd_body_of(h, eps, dense_limit, kdim, rank)
+
+        def bwd_masked(carry, inp):
+            qk, a1, a2, Lk, val = inp
+            new_carry, (vk, keff) = bwd(carry, (qk, a1, a2, Lk))
+            carry_out = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(val, n, o), new_carry, carry
+            )
+            return carry_out, (
+                jnp.where(val, vk, vk * 0.0),
+                jnp.where(val, keff, 0).astype(jnp.int32),
+            )
+
+        carry = vary((renv, us))
+        rcarry, (V_local, kb_local) = _staged_sweep(
+            my, n_stages, True, carry,
+            (Q_local, A1_local, Am_local, ls_local, valid_local),
+            bwd_masked,
+            lambda c, blk: (
+                blk[0] * 0.0,
+                blk[4].astype(jnp.int32) * 0,
+            ),
+        )
+        r_back, c2 = repl(rcarry, 0)
+
+        # ---- final pair (replicated); its right factor is mid 0 --------
+        theta = _merge2(u0q, c2)
+        theta = _theta_evolve(
+            one3, a0, Am0, r_back, theta, -0.5 * h, dense_limit, kdim
+        )
+        z0, s, v1, k0b = _split_theta(theta, rank, eps)
+        z0 = z0 * s[None, None, :]
+        row0 = (
+            (jnp.arange(m_local) == 0)[:, None, None, None]
+            & (my == 0)
+        )
+        V_local = jnp.where(row0, v1[None], V_local)
+
+        k_bound = jnp.stack([k0, kl, kl2, k0b])
+        return z0, V_local, xln, k_bound, kf_local, kb_local
+
+    shd = P("model")
+    rep = P()
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(rep, shd, rep, rep, shd, shd, rep, rep, rep),
+        out_specs=(rep, shd, rep, rep, shd, shd),
+    )
+    return jax.jit(fn)
+
+
+def evolve_tdvp2_sharded(
+    mesh: Mesh,
+    A: PackedTTOp,
+    u0: PackedTT,
+    dt: float,
+    steps: int,
+    max_rank: int = None,
+    eps: float = 0.0,
+    krylov: int = 24,
+    dense_limit: int = 4096,
+) -> Tuple[PackedTT, List[float], List[int]]:
+    """Two-site (rank-adaptive) projector-splitting TDVP with the
+    train sharded along the mesh's ``model`` axis.
+
+    Same integrator and contracts as :func:`ops.evolve.evolve_tdvp2`
+    (ranks breathe toward the dynamics inside the static ``max_rank``
+    padding, ``eps`` zeroes split singular values, symmetric ``A``
+    above ``dense_limit``); the mid-pair sweeps run the fused step's
+    own scan bodies staged across devices — the evolved working core
+    rides the ppermute carry, so per-chip memory scales as ``1/P``.
+    Needs ``d - 2`` divisible by the model-axis size.  Returns
+    ``(u_final, norms, max effective bond rank per step)``.
+    """
+    import numpy as np
+
+    if max_rank is None:
+        max_rank = u0.rank
+    if max_rank > u0.rank:
+        from tensor_networks_tpu.ops.packed import pad_rank
+
+        u0 = pad_rank(u0, max_rank)
+    elif max_rank < u0.rank:
+        raise ValueError(
+            f"max_rank {max_rank} below the initial rank {u0.rank}; "
+            "round u0 first"
+        )
+    dtp = u0.first.dtype
+    Am_full = A.mids.astype(dtp)
+    A1_full = jnp.concatenate([Am_full[:1], Am_full[:-1]])
+    X, Am = place_tdvp_sharded(mesh, u0.mids, Am_full)
+    (A1,) = (jax.device_put(
+        A1_full, NamedSharding(mesh, P("model"))
+    ),)
+    carry, X, last_q = tt_right_orth_sharded(mesh, X, u0.last)
+    x0 = jnp.matmul(u0.first, carry, precision="highest")[None]
+    xl = last_q[..., None]
+    a0 = A.first[None].astype(dtp)
+    al = A.last[..., None].astype(dtp)
+    h = jnp.asarray(float(dt), dtp)
+    ej = jnp.asarray(eps, dtp)
+    fn = _tdvp2_sharded_fn(mesh, int(dense_limit), int(krylov),
+                           int(max_rank))
+    norms: List[float] = []
+    ranks: List[int] = []
+    for _ in range(steps):
+        x0, X, xl, kb, kf, kbk = fn(x0, X, xl, a0, Am, A1, al, h, ej)
+        norms.append(float(jnp.linalg.norm(x0)))
+        ranks.append(int(max(
+            int(jnp.max(kb)), int(jnp.max(kf)), int(jnp.max(kbk))
+        )))
+    return PackedTT(x0[0], X, xl[..., 0]), norms, ranks
