@@ -1024,17 +1024,20 @@ def main():
         print(f"[bench] dfs search failed: {exc}", file=sys.stderr)
 
     # ---- device-vs-host search scoring (VERDICT r2 item 4) ----
-    # d=8 n=6 root level: 127 bipartition SVDs through the REAL dfs
-    # driver.  Host = per-action LAPACK on a NumPy tensor; device =
-    # shape-grouped batched SVDs (search/batched.py) on a device tensor.
-    # Both runs must visit the same state count (semantics pinned).
+    # d=8 n=6 root level: 127 bipartition SVDs through the REAL bfs
+    # driver.  BFS consumes EVERY action's SVD (run_dfs's reference-
+    # pinned last-level semantics stop after ONE action at max_ops=1,
+    # so a dfs-based leg compares unequal work — the round-3 finding
+    # that replaced it).  Host = per-action LAPACK on a NumPy tensor;
+    # device = shape-grouped batched SVDs (search/batched.py) on a
+    # device tensor.  All runs must visit the same state count.
     sdev_wall = shost_wall = sper_wall = float("nan")
     sdev_count = shost_count = sper_count = -1
     if on_tpu:
         try:
             from tensor_networks_tpu import Index, Tensor, TensorNetwork
             from tensor_networks_tpu.search import SearchConfig
-            from tensor_networks_tpu.search.drivers import run_dfs
+            from tensor_networks_tpu.search.drivers import run_bfs
 
             def _dfs8(mode: str):
                 # "batched": shape-grouped batched device SVDs.
@@ -1071,7 +1074,7 @@ def main():
                     os.environ["TNT_DEVICE_SVD_MIN"] = str(1 << 40)
                 try:
                     tic = time.perf_counter()
-                    stats8, best8, _ = run_dfs(net8, c8)
+                    stats8, best8, _ = run_bfs(net8, c8)
                     return time.perf_counter() - tic, stats8["count"]
                 finally:
                     for k, old in saved.items():
@@ -1087,7 +1090,7 @@ def main():
             sper_wall, sper_count = _dfs8("peraction")
             shost_wall, shost_count = _dfs8("host")
             print(
-                f"[bench] dfs d=8 n=6 root scoring: device-batched "
+                f"[bench] bfs d=8 n=6 root scoring: device-batched "
                 f"{sdev_wall:.1f} s vs device-per-action {sper_wall:.1f} s"
                 f" vs host-LAPACK {shost_wall:.1f} s (counts "
                 f"{sdev_count}/{sper_count}/{shost_count})",
@@ -1289,13 +1292,15 @@ def main():
             "search_partition_programs": search_count,
             "search_dfs_wall_s": round(dfs_wall, 2),
             "search_dfs_states": dfs_count,
-            # d=8 n=6 root scoring through the real dfs driver:
-            # device-batched SVDs vs per-action device SVDs vs
-            # per-action host LAPACK (threshold forced)
-            "search_dfs8_device_s": round(sdev_wall, 2),
-            "search_dfs8_device_peraction_s": round(sper_wall, 2),
-            "search_dfs8_host_s": round(shost_wall, 2),
-            "search_dfs8_counts": [sdev_count, sper_count, shost_count],
+            # d=8 n=6 root scoring through the real bfs driver (BFS
+            # consumes every action's SVD; dfs's reference-pinned
+            # last-level semantics stop after one): device-batched SVDs
+            # vs per-action device SVDs vs per-action host LAPACK
+            # (threshold forced)
+            "search_bfs8_device_s": round(sdev_wall, 2),
+            "search_bfs8_device_peraction_s": round(sper_wall, 2),
+            "search_bfs8_host_s": round(shost_wall, 2),
+            "search_bfs8_counts": [sdev_count, sper_count, shost_count],
             # cross with a device-resident network target: every fiber
             # matrix evaluates on the TPU (vs cross_d8_* which routes
             # host for its small all-NumPy target)

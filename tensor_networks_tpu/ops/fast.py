@@ -798,7 +798,7 @@ def _tt_round_prefix_sweep_fn(
     relative: bool,
     sign_iters: int = 100,
     unroll: int = 1,
-    chain_precision: str = "highest",
+    chain_precision: str = "high",
 ):
     """Batched two-sided Gram rounding: the parallel-prefix mode.
 
@@ -1206,14 +1206,20 @@ def tt_round_fixed(
     elif method == "twosided":
         fn = _tt_round_twosided_sweep_fn(relative)
     elif method == "prefix":
-        # chain-scan unroll and chain matmul precision: scheduling /
-        # MXU-pass knobs probed on real hardware before changing
-        # defaults (TNT_PREFIX_UNROLL, TNT_PREFIX_CHAIN_PREC)
+        # chain-scan unroll and chain matmul precision, probed on the
+        # real chip 2026-08-19 (tools/prefix_unroll_probe.py, d=50 n=32
+        # r=100): unroll is a wash (5.52/5.56/5.47/5.36 ms at 1/2/4/8 —
+        # the chain is GEMM-latency-bound, not scan-boundary-bound), so
+        # it stays 1; chain "high" (bf16x3) measured 4.97 ms vs 5.52 ms
+        # for "highest" with IDENTICAL kept ranks at eps=1e-3, and its
+        # ~3e-5 matmul noise sits an order below this mode's
+        # sqrt(mach_eps) ~ 3e-4 f32 resolution floor -> default
+        # (TNT_PREFIX_UNROLL / TNT_PREFIX_CHAIN_PREC override)
         fn = _tt_round_prefix_sweep_fn(
             relative,
             unroll=int(os.environ.get("TNT_PREFIX_UNROLL", "1")),
             chain_precision=os.environ.get(
-                "TNT_PREFIX_CHAIN_PREC", "highest"
+                "TNT_PREFIX_CHAIN_PREC", "high"
             ),
         )
     else:

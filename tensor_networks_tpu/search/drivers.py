@@ -128,7 +128,12 @@ def run_dfs(
         last_level = depth + 1 >= config.engine.max_ops
 
         actions = state.get_legal_actions(use_osplit)
-        svds = maybe_batched_svds(state, actions)
+        # Last level: the reference-pinned semantics stop the whole
+        # expansion after the first action's first kept child
+        # (exhaustive.py:192-194), so at most ONE of these SVDs is ever
+        # consumed — batch-precomputing all of them is pure waste.  BFS
+        # consumes every action, so run_bfs always precomputes.
+        svds = {} if last_level else maybe_batched_svds(state, actions)
         for action in actions:
             level_config = _narrowed(config, 1 if last_level else width)
             for child in state.take_action(

@@ -12,9 +12,11 @@ Run on the real chip (serialized — single-client relay):
 """
 
 import os
+import sys
 import time
 
 os.environ["TNT_ENABLE_X64"] = "0"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

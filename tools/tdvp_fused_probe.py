@@ -25,7 +25,7 @@ def main():
     import subprocess
 
     health = subprocess.run(
-        ["timeout", "400", "python3",
+        ["timeout", "900", "python3",
          os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "chip_health.py")],
         capture_output=True, text=True,
