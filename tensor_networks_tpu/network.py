@@ -204,26 +204,27 @@ class TensorNetwork:
         return Tensor(out, list(eargs.output_indices))
 
     def __getitem__(self, ind) -> Tensor:
-        """Contract after slicing the free indices.
+        """Contract the network after fixing/slicing its free indices.
 
-        Assumes the entries of ``ind`` follow ``free_indices()`` order.
+        Entries of ``ind`` are positional over ``free_indices()`` order;
+        an ``int`` entry drops the axis, a slice keeps it.  Semantics of
+        the reference accessor (``pytens/algs.py:487``), realised by
+        mapping each free index to its selector once and slicing every
+        core through that map.
         """
-        free = self.free_indices()
+        selector = {ix: ind[k] for k, ix in enumerate(self.free_indices())}
         sliced = TensorNetwork()
         for node, data in self.network.nodes(data=True):
             tens = data["tensor"]
-            ix = []
-            new_indices = []
-            for local_ind in tens.indices:
-                if local_ind in free:
-                    dim = free.index(local_ind)
-                    ix.append(ind[dim])
-                    if not isinstance(ind[dim], int):
-                        new_indices.append(local_ind)
-                else:
-                    ix.append(slice(None))
-                    new_indices.append(local_ind)
-            sliced.add_node(node, Tensor(tens.value[tuple(ix)], new_indices))
+            sel = tuple(
+                selector.get(ix, slice(None)) for ix in tens.indices
+            )
+            kept = [
+                ix
+                for ix, s in zip(tens.indices, sel)
+                if not isinstance(s, int)
+            ]
+            sliced.add_node(node, Tensor(tens.value[sel], kept))
         for u, v in self.network.edges():
             sliced.add_edge(u, v)
         return sliced.contract()
@@ -235,44 +236,50 @@ class TensorNetwork:
     ) -> "TensorNetwork":
         """Union two networks; shared free indices become bonds.
 
-        Interior indices on each side are prefixed so only the free-index
-        overlap connects the two halves.
+        Semantics of the reference composition (``pytens/algs.py:521``):
+        interior indices on each side are prefixed so only the free-index
+        overlap connects the two halves.  Built directly into a fresh
+        network (no graph-union intermediate): each side's nodes are
+        copied in under prefixed names with interior indices renamed,
+        original edges carried over, and the halves bonded through an
+        index->owner map over the left half (linear, not O(n^2)).
+        Device buffers are shared, never copied.
         """
-        u = self.network.union(other.network, rename)
-
+        joined = TensorNetwork()
         for side, prefix in ((self, rename[0]), (other, rename[1])):
-            free = set(side.free_indices())
-            remap = {}
-            for index in side.all_indices():
-                if index in free:
-                    remap[index.name] = index.name
-                else:
-                    remap[index.name] = f"{prefix}{index.name}"
-            for n in side.network.nodes:
-                u.nodes[f"{prefix}{n}"]["tensor"].rename_indices(remap)
+            exposed = set(side.free_indices())
+            for n, data in side.network.nodes(data=True):
+                t = data["tensor"]
+                remap = {
+                    ix.name: (
+                        ix.name if ix in exposed else f"{prefix}{ix.name}"
+                    )
+                    for ix in t.indices
+                }
+                joined.add_node(
+                    f"{prefix}{n}",
+                    Tensor(t.value, list(t.indices)).rename_indices(remap),
+                )
+            for u, v in side.network.edges():
+                joined.add_edge(f"{prefix}{u}", f"{prefix}{v}")
 
-        # cross edges via an index -> owners map (linear, not O(n^2))
         owners: Dict[Index, List[NodeName]] = {}
-        for n1 in self.network.nodes:
-            name = f"{rename[0]}{n1}"
-            for ind in u.nodes[name]["tensor"].indices:
-                owners.setdefault(ind, []).append(name)
-        for n2 in other.network.nodes:
-            name = f"{rename[1]}{n2}"
-            for ind in u.nodes[name]["tensor"].indices:
-                for left in owners.get(ind, ()):
-                    u.add_edge(left, name)
-
-        tn = TensorNetwork()
-        tn.network = u
-        return tn
+        for n in self.network.nodes:
+            name = f"{rename[0]}{n}"
+            for ix in joined.node_tensor(name).indices:
+                owners.setdefault(ix, []).append(name)
+        for n in other.network.nodes:
+            name = f"{rename[1]}{n}"
+            for ix in joined.node_tensor(name).indices:
+                for left in owners.get(ix, ()):
+                    joined.add_edge(left, name)
+        return joined
 
     def scale(self, scale_factor: float) -> "TensorNetwork":
         """Scale the represented tensor (folds the factor into one core)."""
-        for n in self.network.nodes:
-            t = self.node_tensor(n)
-            t.value = t.value * scale_factor
-            break
+        first = next(iter(self.network.nodes))
+        t = self.node_tensor(first)
+        t.value = t.value * scale_factor
         return self
 
     def inner(self, other: "TensorNetwork") -> jnp.ndarray:
@@ -301,6 +308,75 @@ class TensorNetwork:
         return out
 
     # -- structural rewrites -----------------------------------------------------------
+    #
+    # Graph surgery is organised around three small internal disciplines
+    # (instead of per-method ad-hoc loops):
+    #   * `_route_neighbors` re-attaches a replaced node's neighbors to
+    #     whichever factor inherited the shared index;
+    #   * `_rooted_order` produces an iterative preorder + parent map, the
+    #     control skeleton for every tree sweep (orthonormalize, round,
+    #     canonical_structure, dimension_tree) — explicit stacks, no
+    #     recursion, QTT-depth safe;
+    #   * sweeps are expressed as schedules over that order with a
+    #     `pending` absorption map, not as recursive merge cascades.
+    # Semantics match the reference rewrites (``pytens/algs.py:633-955``);
+    # the decomposition is this framework's own.
+
+    def _route_neighbors(
+        self, nbrs: Sequence[NodeName], parts: Sequence[NodeName]
+    ) -> None:
+        """Attach each neighbor to every factor it shares an index with.
+
+        ``parts`` are the freshly installed factor nodes replacing one
+        removed node; a neighbor sharing indices with none of them is a
+        structural inconsistency and raises.
+        """
+        part_indices = [set(self.node_tensor(p).indices) for p in parts]
+        for y in nbrs:
+            y_inds = self.node_tensor(y).indices
+            hit = False
+            for p, p_inds in zip(parts, part_indices):
+                if any(ix in p_inds for ix in y_inds):
+                    self.add_edge(p, y)
+                    hit = True
+            if not hit:
+                raise ValueError(
+                    f"neighbor {y} with indices {y_inds} shares nothing "
+                    f"with the installed factors {list(parts)}"
+                )
+
+    def _rooted_order(
+        self, root: NodeName
+    ) -> Tuple[List[NodeName], Dict[NodeName, Optional[NodeName]]]:
+        """Iterative preorder + parent map of the tree hanging off ``root``.
+
+        Children appear in neighbor (insertion) order; reversing the
+        returned list gives a valid leaves-first schedule.
+        """
+        parent: Dict[NodeName, Optional[NodeName]] = {root: None}
+        order: List[NodeName] = []
+        stack: List[NodeName] = [root]
+        while stack:
+            cur = stack.pop()
+            order.append(cur)
+            fresh = [
+                n
+                for n in self.network.neighbors(cur)
+                if n not in parent
+            ]
+            for n in fresh:
+                parent[n] = cur
+            stack.extend(reversed(fresh))
+        return order, parent
+
+    def _shared_with(self, node: NodeName, other: NodeName) -> List[int]:
+        """Axis positions of ``node`` whose indices also live on ``other``."""
+        other_inds = set(self.node_tensor(other).indices)
+        return [
+            i
+            for i, ix in enumerate(self.node_tensor(node).indices)
+            if ix in other_inds
+        ]
 
     def svd(
         self,
@@ -308,99 +384,85 @@ class TensorNetwork:
         lefts: Sequence[int],
         config: SVDConfig = SVDConfig(),
     ) -> Tuple[Tuple[NodeName, NodeName, NodeName], float]:
-        """Split a node into U - S - V along the given axis bipartition.
+        """Split a node into a U - S - V chain along an axis bipartition.
 
         ``with_orthonormal`` first orthonormalizes the node's environment
         so the local truncation error bounds the global one;
         ``compute_data=False`` performs graph surgery only (symbolic mode
-        for the structure-search synthesizer).
+        for the structure-search synthesizer).  Reference semantics:
+        ``pytens/algs.py:633``.
         """
-        x = self.node_tensor(node_name)
-        rights = [i for i in range(len(x.indices)) if i not in lefts]
-        if not config.compute_data:
-            empty = jnp.asarray(np.array([]))
-            u = Tensor(
-                empty,
-                [x.indices[i] for i in lefts] + [Index("r_split_l", -1)],
-            )
-            v = Tensor(
-                empty,
-                [Index("r_split_r", -1)] + [x.indices[i] for i in rights],
-            )
-            s = Tensor(
-                empty, [Index("r_split_l", -1), Index("r_split_r", -1)]
-            )
-            d = config.delta
-        else:
+        if config.compute_data:
             if config.with_orthonormal:
                 node_name = self.orthonormalize(node_name)
+            [u, s, v], budget = self.node_tensor(node_name).svd(
+                lefts, delta=config.delta
+            )
+        else:
             x = self.node_tensor(node_name)
-            [u, s, v], d = x.svd(lefts, delta=config.delta)
+            rights = [
+                i for i in range(len(x.indices)) if i not in lefts
+            ]
+            hole = jnp.asarray(np.array([]))
+            bl, br = Index("r_split_l", -1), Index("r_split_r", -1)
+            u = Tensor(hole, [x.indices[i] for i in lefts] + [bl])
+            s = Tensor(hole, [bl, br])
+            v = Tensor(hole, [br] + [x.indices[i] for i in rights])
+            budget = config.delta
 
+        # install order (v, u, s) and fresh-name draw order are part of
+        # the pinned behavioral surface: node insertion order drives
+        # later traversal orders in the search engine.
         v_name = self.fresh_node()
-        new_index_r = self.fresh_index()
-        self.add_node(v_name, v.rename_indices({"r_split_r": new_index_r}))
+        bond_r = self.fresh_index()
+        self.add_node(v_name, v.rename_indices({"r_split_r": bond_r}))
 
-        u_name = node_name
-        new_index_l = self.fresh_index()
-        x_nbrs = list(self.network.neighbors(node_name))
+        bond_l = self.fresh_index()
+        nbrs = list(self.network.neighbors(node_name))
         self.network.remove_node(node_name)
-        self.add_node(u_name, u.rename_indices({"r_split_l": new_index_l}))
+        u_name = node_name
+        self.add_node(u_name, u.rename_indices({"r_split_l": bond_l}))
 
         s_name = self.fresh_node()
         self.add_node(
             s_name,
-            s.rename_indices(
-                {"r_split_l": new_index_l, "r_split_r": new_index_r}
-            ),
+            s.rename_indices({"r_split_l": bond_l, "r_split_r": bond_r}),
         )
 
-        for y in x_nbrs:
-            y_inds = self.node_tensor(y).indices
-            if any(i in y_inds for i in u.indices):
-                self.add_edge(u_name, y)
-            elif any(i in y_inds for i in v.indices):
-                self.add_edge(v_name, y)
-            else:
-                raise ValueError(
-                    f"Indices {y_inds} do not exist in splits "
-                    f"({u.indices}, {v.indices})"
-                )
-
+        self._route_neighbors(nbrs, (u_name, v_name))
         self.add_edge(u_name, s_name)
         self.add_edge(s_name, v_name)
-        return (u_name, s_name, v_name), d
+        return (u_name, s_name, v_name), budget
 
     def qr(
         self, node_name: NodeName, lefts: Sequence[int]
     ) -> Tuple[NodeName, NodeName]:
-        """Split a node into Q - R along the given axis bipartition."""
-        x = self.node_tensor(node_name)
-        q, r = x.qr(lefts)
+        """Split a node into Q - R along the given axis bipartition.
 
-        new_index = self.fresh_index()
-        x_nbrs = list(self.network.neighbors(node_name))
+        Reference semantics: ``pytens/algs.py:704``.
+        """
+        q, r = self.node_tensor(node_name).qr(lefts)
+
+        bond = self.fresh_index()
+        nbrs = list(self.network.neighbors(node_name))
         self.network.remove_node(node_name)
 
         q_name = node_name
-        self.add_node(q_name, q.rename_indices({"r_split": new_index}))
+        self.add_node(q_name, q.rename_indices({"r_split": bond}))
         r_name = self.fresh_node()
-        self.add_node(r_name, r.rename_indices({"r_split": new_index}))
+        self.add_node(r_name, r.rename_indices({"r_split": bond}))
 
-        for y in x_nbrs:
-            y_inds = self.node_tensor(y).indices
-            if any(i in y_inds for i in q.indices):
-                self.add_edge(q_name, y)
-            if any(i in y_inds for i in r.indices):
-                self.add_edge(r_name, y)
-
+        self._route_neighbors(nbrs, (q_name, r_name))
         self.add_edge(q_name, r_name)
         return q_name, r_name
 
     def merge(
         self, name1: NodeName, name2: NodeName, compute_data: bool = True
     ) -> NodeName:
-        """Contract two adjacent nodes into ``name1``."""
+        """Contract two adjacent nodes into ``name1``.
+
+        Reference semantics: ``pytens/algs.py:735``.
+        """
         if not self.network.has_edge(name1, name2):
             raise RuntimeError(
                 f"Cannot merge nodes that are not adjacent: {name1}, {name2}"
@@ -410,182 +472,189 @@ class TensorNetwork:
         if compute_data:
             result = t1.contract(t2)
         else:
-            l_inds = [ind for ind in t1.indices if ind not in t2.indices]
-            r_inds = [ind for ind in t2.indices if ind not in t1.indices]
-            result = Tensor(jnp.asarray(np.array([])), l_inds + r_inds)
+            survivors = [
+                ix for ix in t1.indices if ix not in t2.indices
+            ] + [ix for ix in t2.indices if ix not in t1.indices]
+            result = Tensor(jnp.asarray(np.array([])), survivors)
 
-        n2_nbrs = list(self.network.neighbors(name2))
+        inherited = [
+            n for n in self.network.neighbors(name2) if n != name1
+        ]
         self.network.remove_node(name2)
         self.set_node_tensor(name1, result)
-        for n in n2_nbrs:
-            if n != name1:
-                self.add_edge(name1, n)
+        for n in inherited:
+            self.add_edge(name1, n)
         return name1
 
     def round(
-        self,
-        node_name: NodeName,
-        delta: float,
-        visited: Optional[set] = None,
+        self, node_name: NodeName, delta: float
     ) -> Tuple[NodeName, float]:
         """Re-truncate every bond of the tree rooted at ``node_name``.
 
-        Classic sweep: orthonormalize once, then per-edge truncated SVD
-        with the remaining error budget threaded through, recursing into
-        each subtree and restoring orthogonality with QR on the way out.
+        Reference semantics (``pytens/algs.py:763``): orthonormalize the
+        tree toward the root once, then walk the edges depth-first — each
+        bond is split off by a budget-threaded truncated SVD on the root
+        side, the SV factor is pushed into the far node, the far subtree
+        is processed, and orthogonality is restored by a QR whose R
+        factor flows back toward the root.
+
+        Implemented as one explicit-stack loop (no recursion, QTT-depth
+        safe): a bond is "settled" once truncated or once its replacement
+        flowed back from a finished subtree, and each visit to a node
+        simply looks for its next unsettled bond.  Returns the root node
+        name and the unused error budget.
         """
-        if visited is None:
-            initial = True
-            visited = set()
-            self.orthonormalize(node_name)
-        else:
-            initial = False
+        self.orthonormalize(node_name)
 
-        entry_indices = list(self.node_tensor(node_name).indices)
-        kept_indices: List[Index] = []
-        free_here: List[Index] = []
-        r = node_name
-        for idx in entry_indices:
-            if idx in visited:
-                kept_indices.append(idx)
-                continue
+        settled: Set[Index] = set()
+        parent: Dict[NodeName, Optional[NodeName]] = {node_name: None}
+        stack: List[NodeName] = [node_name]
+        while stack:
+            cur = stack[-1]
 
-            nbr = None
-            for cand in self.network.neighbors(node_name):
-                if idx in self.node_tensor(cand).indices:
-                    nbr = cand
+            nxt = None
+            for ax, ix in enumerate(self.node_tensor(cur).indices):
+                if ix in settled:
+                    continue
+                owner = next(
+                    (
+                        n
+                        for n in self.network.neighbors(cur)
+                        if ix in self.node_tensor(n).indices
+                    ),
+                    None,
+                )
+                if owner is not None:
+                    nxt = (ax, owner)
                     break
-            if nbr is None:
-                free_here.append(idx)
+
+            if nxt is not None:
+                ax, nbr = nxt
+                keep = [
+                    i
+                    for i in range(len(self.node_tensor(cur).indices))
+                    if i != ax
+                ]
+                (cur, s, v), delta = self.svd(
+                    cur,
+                    keep,
+                    SVDConfig(delta=delta, with_orthonormal=False),
+                )
+                self.merge(v, s)
+                self.merge(nbr, v)
+                settled.update(self.get_contraction_index(cur, nbr))
+                parent[nbr] = cur
+                stack.append(nbr)
                 continue
 
-            curr = self.node_tensor(node_name).indices
-            left_positions = [
-                curr.index(i) for i in curr if i != idx
+            stack.pop()
+            par = parent[cur]
+            if par is None:
+                continue
+            # subtree finished: push the R factor back toward the root
+            # and settle the bond it rides on
+            to_par = self._shared_with(cur, par)
+            keep = [
+                i
+                for i in range(len(self.node_tensor(cur).indices))
+                if i not in to_par
             ]
-            [node_name, s, v], delta = self.svd(
-                node_name,
-                left_positions,
-                SVDConfig(delta=delta, with_orthonormal=False),
-            )
-            self.merge(v, s)
-            self.merge(nbr, v)
-            for shared in self.get_contraction_index(node_name, nbr):
-                visited.add(shared)
+            _, r_name = self.qr(cur, keep)
+            settled.update(self.get_contraction_index(cur, r_name))
+            self.merge(par, r_name)
 
-            r, delta = self.round(nbr, delta, visited)
-            self.merge(node_name, r)
-
-        if not initial:
-            node_indices = self.node_tensor(node_name).indices
-            left_positions, right_positions = [], []
-            for i, idx in enumerate(node_indices):
-                if idx in free_here or idx not in kept_indices:
-                    left_positions.append(i)
-                else:
-                    right_positions.append(i)
-            _, r = self.qr(node_name, left_positions)
-
-        return r, delta
+        return node_name, delta
 
     def compress(self) -> None:
-        """Remove nodes whose one leg equals the product of the others
-        (they are exact reshapes and can be folded into a neighbor)."""
-        for n, nd in list(self.network.nodes(data=True)):
-            if n not in self.network.nodes:
+        """Remove nodes one of whose legs carries the full product of the
+        other legs (the node is an exact reshape): fold each such node
+        into the neighbor on that leg.  Reference: ``pytens/algs.py:829``.
+        """
+        for name in list(self.network.nodes):
+            if name not in self.network.nodes:
                 continue
-            indices = nd["tensor"].indices
-            deleted = False
-            for ind in indices:
-                others = int(
-                    np.prod([j.size for j in indices if j != ind])
-                )
-                if ind.size == others:
-                    for nbr in list(self.network.neighbors(n)):
-                        if ind in self.node_tensor(nbr).indices:
-                            self.merge(nbr, n)
-                            deleted = True
-                            break
-                    if deleted:
-                        break
+            inds = self.node_tensor(name).indices
+            reshape_leg = next(
+                (
+                    ix
+                    for ix in inds
+                    if ix.size
+                    == int(np.prod([j.size for j in inds if j != ix]))
+                ),
+                None,
+            )
+            if reshape_leg is None:
+                continue
+            host = next(
+                (
+                    nbr
+                    for nbr in self.network.neighbors(name)
+                    if reshape_leg in self.node_tensor(nbr).indices
+                ),
+                None,
+            )
+            if host is not None:
+                self.merge(host, name)
+
+    def _absorb_in_place(self, host: NodeName, piece: NodeName) -> None:
+        """Merge ``piece`` into ``host``, leaving the freshly created bond
+        axis in the position of the index the two shared — so axis
+        positions recorded before the merge stay valid on the result."""
+        slot = self._shared_with(host, piece)[0]
+        self.merge(host, piece)
+        t = self.node_tensor(host)
+        k = len(t.indices)
+        perm = list(range(slot)) + [k - 1] + list(range(slot, k - 1))
+        self.set_node_tensor(host, t.permute(perm))
 
     def orthonormalize(self, name: NodeName) -> NodeName:
-        """Make the environment of ``name`` orthonormal via a post-order QR
-        sweep, pushing R factors toward the target node.
+        """Make the environment of ``name`` orthonormal via a leaves-first
+        QR schedule pushing R factors toward the target node.
 
-        Preserves each surviving node's index order (the new bond index
-        takes the position of the index it replaces) so positional splits
-        computed before the sweep stay valid.  Returns the (possibly
-        renamed) target node.
+        Reference semantics (``pytens/algs.py:850``), rebuilt as a
+        two-phase iterative sweep: ``_rooted_order`` fixes the schedule,
+        then each node in leaves-first order absorbs the residuals its
+        children handed up (position-preserving, see ``_absorb_in_place``)
+        and emits its own residual toward its parent — the R factor of a
+        QR over its non-parent axes, or the whole node when it is a
+        single-leg core too small for QR to pay.  Axis order of every
+        surviving node is preserved (each fresh bond lands where the
+        index it replaces was) so positional splits computed before the
+        sweep stay valid.  Returns the target node.
         """
-        visited: Dict[NodeName, int] = {}
+        order, parent = self._rooted_order(name)
+        handed: Dict[NodeName, List[NodeName]] = {}
 
-        def _post(pname: Optional[NodeName], cur: NodeName) -> NodeName:
-            visited[cur] = 1
-            merged = cur
-            for n in list(self.network.neighbors(cur)):
-                if n in visited:
-                    continue
-                child_r = _post(cur, n)
+        for cur in reversed(order):
+            # absorb child residuals in original sibling order
+            for piece in reversed(handed.pop(cur, [])):
+                self._absorb_in_place(cur, piece)
+            par = parent[cur]
+            if par is None:
+                return cur
 
-                indices = self.node_tensor(merged).indices
-                shared = self.get_contraction_index(merged, child_r)[0]
-                pos = indices.index(shared)
-                merged = self.merge(merged, child_r)
-                # the child bond landed at the end; put it back where the
-                # shared index was so positional splits stay valid
-                t = self.node_tensor(merged)
-                k = len(t.indices)
-                perm = list(range(pos)) + [k - 1] + list(range(pos, k - 1))
-                self.set_node_tensor(merged, t.permute(perm))
+            to_par = self._shared_with(cur, par)
+            inds = self.node_tensor(cur).indices
+            keep = [i for i in range(len(inds)) if i not in to_par]
+            par_sz = int(np.prod([inds[i].size for i in to_par]))
 
-            if pname is None:
-                return merged
+            if len(keep) == 1 and inds[keep[0]].size <= par_sz:
+                # single small leg: QR gains nothing — hand the whole
+                # node up instead
+                handed.setdefault(par, []).append(cur)
+                continue
 
-            left_positions: List[int] = []
-            right_positions: List[int] = []
-            merged_indices = self.node_tensor(merged).indices
-            for i, index in enumerate(merged_indices):
-                common = None
-                for n in self.network.neighbors(merged):
-                    if index in self.node_tensor(n).indices:
-                        common = i
-                        # neighbors already processed (or not yet seen) are
-                        # children; the in-progress one is the parent
-                        if n not in visited or visited[n] == 2:
-                            left_positions.append(i)
-                        else:
-                            right_positions.append(i)
-                        break
-                if common is None:
-                    left_positions.append(i)
+            q_name, r_name = self.qr(cur, keep)
+            # the fresh bond sits last on Q; move it into the slot of the
+            # first parent-facing axis it replaced
+            t = self.node_tensor(q_name)
+            slot = to_par[0]
+            nl = len(keep)
+            perm = list(range(slot)) + [nl] + list(range(slot, nl))
+            self.set_node_tensor(q_name, t.permute(perm))
+            handed.setdefault(par, []).append(r_name)
 
-            visited[cur] = 2
-            visited[merged] = 2
-
-            right_sz = int(
-                np.prod([merged_indices[i].size for i in right_positions])
-            )
-            # a small single-leg node would gain nothing from QR: hand the
-            # whole node to the parent instead
-            if (
-                len(left_positions) == 1
-                and merged_indices[left_positions[0]].size <= right_sz
-            ):
-                return merged
-
-            q, r = self.qr(merged, left_positions)
-            # restore q's bond index into the first right position
-            t = self.node_tensor(q)
-            first_right = right_positions[0]
-            nl = len(left_positions)
-            perm = (
-                list(range(first_right))
-                + [nl]
-                + list(range(first_right, nl))
-            )
-            self.set_node_tensor(q, t.permute(perm))
-            return r
+        return name
 
         return _post(None, name)
 
@@ -593,120 +662,126 @@ class TensorNetwork:
 
     def cost(self) -> int:
         """Total number of stored entries (sum of core sizes)."""
-        total = 0
-        for n in self.network.nodes:
-            indices = self.node_tensor(n).indices
-            total += int(np.prod([i.size for i in indices]))
-        return total
+        return sum(
+            int(np.prod([ix.size for ix in data["tensor"].indices]))
+            for _, data in self.network.nodes(data=True)
+        )
 
     def __lt__(self, other: "TensorNetwork") -> bool:
         return self.cost() < other.cost()
 
     def canonical_structure(self, consider_ranks: bool = False) -> int:
         """Topology hash ignoring values: equal hashes for networks that
-        differ only by node naming / index order.  Used for search dedup."""
-        free_indices = sorted(self.free_indices())
-        root = None
-        for n, d in self.network.nodes(data=True):
-            if free_indices[0] in d["tensor"].indices:
-                root = n
-                break
-        assert root is not None
+        differ only by node naming / index order.  Used for search dedup
+        (reference: ``pytens/algs.py:970``).
 
+        AHU-style bottom-up combine over the tree rooted at the node
+        carrying the smallest free index, folded iteratively over the
+        leaves-first schedule from ``_rooted_order``: each node hashes
+        (its sorted free indices, [sorted leg sizes,] the multiset of its
+        children's hashes).
+        """
+        anchor = min(self.free_indices())
+        root = next(
+            n
+            for n, data in self.network.nodes(data=True)
+            if anchor in data["tensor"].indices
+        )
         all_free = set(self.free_indices())
-        visited: Dict[NodeName, int] = {}
 
-        def _post(name: NodeName) -> int:
-            visited[name] = 1
-            child_hashes = []
-            for n in sorted(self.network.neighbors(name), key=str):
-                if n not in visited:
-                    child_hashes.append(_post(n))
-            indices = self.node_tensor(name).indices
-            ranks = tuple(sorted([i.size for i in indices]))
-            self_free = tuple(
-                sorted([i for i in indices if i in all_free])
+        order, parent = self._rooted_order(root)
+        child_hashes: Dict[NodeName, List[int]] = {n: [] for n in order}
+        for cur in reversed(order):
+            inds = self.node_tensor(cur).indices
+            sig: Tuple = (
+                tuple(sorted(ix for ix in inds if ix in all_free)),
             )
-            visited[name] = 2
             if consider_ranks:
-                return hash((self_free, ranks, tuple(sorted(child_hashes))))
-            return hash((self_free, tuple(sorted(child_hashes))))
-
-        return _post(root)
+                sig += (tuple(sorted(ix.size for ix in inds)),)
+            sig += (tuple(sorted(child_hashes[cur])),)
+            h = hash(sig)
+            if parent[cur] is None:
+                return h
+            child_hashes[parent[cur]].append(h)
+        raise AssertionError("unreachable: root is last in the schedule")
 
     # -- dimension trees -------------------------------------------------------------------
 
     def canonicalize_indices(self, tree: DimTreeNode) -> None:
         """Record, per tree node, the permutation from the node tensor's
-        axis order to (free, children bonds, parent bond) order."""
-        indices: List[Index] = list(tree.free_indices)
-        node_indices = self.node_tensor(tree.node).indices
-        for n in tree.down_info.nodes:
-            self.canonicalize_indices(n)
-            ind = self.get_contraction_index(n.node, tree.node)[0]
-            indices.append(ind)
-        p_indices = [ind for ind in node_indices if ind not in indices]
-        assert len(p_indices) <= 1, (
-            f"should have at most one parent index, but got {p_indices}"
-        )
-        indices.extend(p_indices)
-        tree.perm = [node_indices.index(ind) for ind in indices]
+        axis order to (free, children bonds, parent bond) order.
+
+        Per-node computation is independent, so one iterative pre-order
+        pass suffices (reference recursion: ``pytens/algs.py:1012``).
+        """
+        for tnode in tree.preorder():
+            axes = self.node_tensor(tnode.node).indices
+            want: List[Index] = list(tnode.free_indices)
+            for child in tnode.down_info.nodes:
+                want.append(
+                    self.get_contraction_index(child.node, tnode.node)[0]
+                )
+            up = [ix for ix in axes if ix not in want]
+            assert len(up) <= 1, (
+                f"expected at most one parent bond, got {up}"
+            )
+            want.extend(up)
+            tnode.perm = [axes.index(ix) for ix in want]
 
     def dimension_tree(self, root: NodeName) -> DimTreeNode:
         """Build the rooted dimension tree (up/down index assignments) for
-        this tree network."""
-        free_indices = set(self.free_indices())
+        this tree network.  Reference semantics: ``pytens/algs.py:1038``.
 
-        def construct(visited: Set[NodeName], node: NodeName) -> DimTreeNode:
-            visited.add(node)
-            children: List[DimTreeNode] = []
-            for nbr in self.network.neighbors(node):
-                if nbr not in visited:
-                    children.append(construct(visited, nbr))
+        Three iterative passes over the ``_rooted_order`` schedule:
+        leaves-first construction of the nodes (each node's subtree index
+        list is its own free axes followed by its sorted children's), one
+        root-first pass filling every node's down-facing index list (the
+        complement seen from its parent), then ``canonicalize_indices``
+        for the axis permutations.
+        """
+        free_set = set(self.free_indices())
+        order, parent = self._rooted_order(root)
 
-            indices: List[Index] = []
-            node_free: List[Index] = []
-            up_indices: List[Index] = []
-            for ind in self.node_tensor(node).indices:
-                if ind in free_indices:
-                    indices.append(ind)
-                    node_free.append(ind)
-                    up_indices.append(ind)
-
-            sorted_children = sorted(children, key=lambda x: x.indices)
-            for c in sorted_children:
-                up_indices.extend(c.indices)
-                indices.extend(c.indices)
-
-            res = DimTreeNode(
-                node=node,
-                indices=indices,
-                free_indices=sorted(node_free),
-                down_info=NodeInfo(sorted_children, [], np.empty(0)),
+        built: Dict[NodeName, DimTreeNode] = {}
+        collected: Dict[NodeName, List[DimTreeNode]] = {n: [] for n in order}
+        for name in reversed(order):
+            own_free = [
+                ix
+                for ix in self.node_tensor(name).indices
+                if ix in free_set
+            ]
+            kids = sorted(collected[name], key=lambda c: c.indices)
+            subtree: List[Index] = list(own_free)
+            for c in kids:
+                subtree.extend(c.indices)
+            tnode = DimTreeNode(
+                node=name,
+                indices=subtree,
+                free_indices=sorted(own_free),
+                down_info=NodeInfo(kids, [], np.empty(0)),
                 up_info=NodeInfo(
-                    [], up_indices, np.empty((0, len(up_indices)))
+                    [], list(subtree), np.empty((0, len(subtree)))
                 ),
             )
-            for c in sorted_children:
-                c.up_info.nodes = [res]
-            return res
+            for c in kids:
+                c.up_info.nodes = [tnode]
+            built[name] = tnode
+            if parent[name] is not None:
+                collected[parent[name]].append(tnode)
 
-        def assign_indices(tree: DimTreeNode) -> None:
-            if tree.up_info.nodes:
-                p = tree.up_info.nodes[0]
-                tree.down_info.indices = p.free_indices[:]
-                tree.down_info.indices.extend(p.down_info.indices)
-                for c in p.down_info.nodes:
-                    if c.node != tree.node:
-                        tree.down_info.indices.extend(c.up_info.indices)
-                tree.down_info.vals = np.empty(
-                    (0, len(tree.down_info.indices))
-                )
-            for c in tree.down_info.nodes:
-                assign_indices(c)
+        tree = built[root]
+        for tnode in tree.preorder():
+            if not tnode.up_info.nodes:
+                continue  # root sees nothing from above
+            p = tnode.up_info.nodes[0]
+            seen_above = list(p.free_indices)
+            seen_above.extend(p.down_info.indices)
+            for sib in p.down_info.nodes:
+                if sib.node != tnode.node:
+                    seen_above.extend(sib.up_info.indices)
+            tnode.down_info.indices = seen_above
+            tnode.down_info.vals = np.empty((0, len(seen_above)))
 
-        tree = construct(set(), root)
-        assign_indices(tree)
         self.canonicalize_indices(tree)
         return tree
 
