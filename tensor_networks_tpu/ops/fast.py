@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tensor_networks_tpu.kernels.ozaki import _pow2_exact, two_sum
 from tensor_networks_tpu.network import TensorNetwork
 
 
@@ -834,14 +835,34 @@ def _tt_round_prefix_sweep_fn(
     twosided sweep).  ||X||^2 = tr(H_k G_k) in each bond's own
     normalized units, so the relative threshold needs no un-scaling.
 
-    Accuracy scope: the Gram chains square the condition number and the
-    raw-product carries accumulate ~sqrt(d)*eps noise, so singular
-    values below ~sqrt(d * mach_eps) of the norm are unresolvable —
-    a loose-tolerance mode (f32: eps >= ~1e-2..1e-3, f64: eps >=
-    ~1e-6), like ``method="gram"`` but with no factorization in any
-    sequential chain.  Value-correctness (error <= eps) holds at any
-    eps; only *rank recovery* of deeply-buried null directions needs
-    the accurate sweeps.
+    Accuracy scope (round-4 rework): singular values down to
+    ~sqrt(c * mach_eps) of the bond's sigma_max resolve — the same
+    Gram-squaring class as the twosided sweep — provided the chain is
+    accurate, via three mechanisms replacing round 3's trace-product
+    ghost deflation (which over-truncated at ~sqrt(40 * eps * r), the
+    measured rank floor of this mode):
+
+    * ``chain_precision="dw"``: double-word carries advance both words
+      through the (linear) congruence and TwoSum-renormalize each step;
+      rescaling is exact powers of two, so only the final f32
+      representation rounding remains.  Single-word chains instead
+      accumulate ~sqrt(d n r) eps of GEMM noise, which the trust floor
+      must cover — their fidelity matches the round-3 mode.
+    * spectral trust filters: one extra batched sign call identifies
+      the directions of H/G below the cholesky-jitter/chain-noise trust
+      floor and removes them from the decision operator
+      ``W = E (P_h P_g) F^T`` — exact nulls and noise ghosts die inside
+      the projectors instead of inflating the threshold.
+    * a per-bond noise clamp on tau^2 (~2 eps lambda_max(WW), the
+      twosided sweep's "+j" analogue) pins tight-eps decisions at the
+      floor instead of letting sub-noise budgets keep junk rank.
+
+    Measured on planted spectra (d=50 n=32 r=100 f32, sigma_j =
+    10^(-j/8) at the middle bond): dw resolves to sigma ~ 5.5e-4 vs the
+    twosided sweep's 2.4e-4 and round 3's 7.5e-3; decisions are stable
+    as eps tightens past the floor (``tests/test_prefix_round.py``).
+    Value-correctness (error <= eps) holds whenever eps is above the
+    mode's floor; f64 behavior is unchanged (floors ~1e-8).
     """
 
     def sweep(first, mids, last, eps, bounds=None):
@@ -876,27 +897,70 @@ def _tt_round_prefix_sweep_fn(
 
         # chain precision: the H/G products steer truncation DECISIONS
         # (the kept factors are re-derived from them through whitening,
-        # but any projector of the right rank keeps the error contract);
-        # this mode's resolution floor is sqrt(mach eps) ~ 3e-4 in f32,
-        # an order above bf16x3 matmul noise (~3e-5), so "high" is a
-        # safe 2x-fewer-MXU-passes option — probed on chip before
-        # changing the default (TNT_PREFIX_CHAIN_PREC)
+        # but any projector of the right rank keeps the error contract).
+        # "high" (bf16x3) / "highest": single-word carries, per-step GEMM
+        # noise ~sqrt(n r) eps accumulating over the d steps — covered by
+        # the trust filter's chain-noise term below.  "dw": double-word
+        # carries (both words advanced through the same congruence — the
+        # update is linear in the carry — and renormalized by TwoSum
+        # each step), which removes the accumulation term entirely and
+        # leaves only the final f32 representation rounding; rescaling
+        # uses exact powers of two so the compensation word survives the
+        # normalization.  ~2x the chain GEMMs of "highest".
         cprec = (
             jax.lax.Precision.HIGHEST
-            if chain_precision == "highest"
+            if chain_precision in ("highest", "dw")
             else chain_precision
         )
 
-        def chain_step(m, x):
-            # keep the sequential body pure-GEMM + rescale; the log of
-            # the per-step scales is summed OUTSIDE the chain
-            t = jnp.einsum("yab,yanc->ybnc", m, x, precision=cprec)
-            m2 = jnp.einsum("ybnc,ybnC->ycC", t, x, precision=cprec)
-            s = jnp.einsum("yaa->y", m2) / r + jnp.asarray(1e-30, dt)
-            m2 = m2 / s[:, None, None]
-            return m2, (m2, s)
+        def _renorm(hi, lo):
+            # power-of-two trace rescale: exact on both words
+            tr = jnp.einsum("yaa->y", hi) / r + jnp.asarray(1e-30, dt)
+            _, e = jnp.frexp(tr)
+            s = _pow2_exact(e).astype(dt)
+            return hi / s[:, None, None], lo / s[:, None, None], s
 
-        m0 = jnp.stack([h0n, g0n])
+        if chain_precision == "dw":
+
+            def chain_step(m, x):
+                # words ride the batch axis: ONE batched GEMM per stage
+                # for all four (chain, word) products — measured faster
+                # on chip than word-split einsums even when the split
+                # lets the lo word run at bf16 (7.3 vs 8.1 ms; XLA's
+                # one-big-GEMM schedule beats the pass savings)
+                t = jnp.einsum("ywab,yanc->ywbnc", m, x, precision=cprec)
+                m2 = jnp.einsum(
+                    "ywbnc,ybnC->ywcC", t, x, precision=cprec
+                )
+                hi2, lo2 = two_sum(m2[:, 0], m2[:, 1])
+                hi2, lo2, s = _renorm(hi2, lo2)
+                return (
+                    jnp.stack([hi2, lo2], axis=1),
+                    (hi2 + lo2, s),
+                )
+
+            m0 = jnp.stack(
+                [
+                    jnp.stack([h0n, g0n]),
+                    jnp.zeros((2, r, r), dt),
+                ],
+                axis=1,
+            )
+        else:
+
+            def chain_step(m, x):
+                # keep the sequential body pure-GEMM + rescale; the log
+                # of the per-step scales is summed OUTSIDE the chain
+                t = jnp.einsum("yab,yanc->ybnc", m, x, precision=cprec)
+                m2 = jnp.einsum("ybnc,ybnC->ycC", t, x, precision=cprec)
+                s = jnp.einsum("yaa->y", m2) / r + jnp.asarray(
+                    1e-30, dt
+                )
+                m2 = m2 / s[:, None, None]
+                return m2, (m2, s)
+
+            m0 = jnp.stack([h0n, g0n])
+
         _, (m_seq, s_seq) = jax.lax.scan(
             chain_step, m0, xs, unroll=unroll
         )
@@ -924,12 +988,8 @@ def _tt_round_prefix_sweep_fn(
         jit_h, jit_g = jit_hg[:nb], jit_hg[nb:]
         e_all = jnp.swapaxes(l_hg[:nb], 1, 2)  # upper: H = E^T E
         f_all = jnp.swapaxes(l_hg[nb:], 1, 2)  # upper: G = F^T F
-        w_all = jnp.einsum(
-            "kab,kcb->kac", e_all, f_all, precision="highest"
-        )  # E F^T
-        ww = jnp.einsum(
-            "kab,kcb->kac", w_all, w_all, precision="highest"
-        )  # W W^T, eigs = sigma^2 of the bond
+        # the decision operator W = E F^T (sigma(W) = bond sigmas in
+        # normalized units) is built AFTER the trust filters below
 
         # ---- thresholds ---------------------------------------------
         norm2 = jnp.einsum(
@@ -944,12 +1004,95 @@ def _tt_round_prefix_sweep_fn(
                 / jnp.asarray((d - 1.0) * r, dt)
                 * jnp.exp(-(lh_all + lg_all))
             )
-        # deflate the cholesky-jitter ghosts (null directions of H/G
-        # inflated to ~jitter scale propagate into W W^T at ~jit*tr)
-        ghost = jit_h * jnp.einsum("kaa->k", g_all) + jit_g * jnp.einsum(
-            "kaa->k", h_all
+
+        # ---- spectral trust filters ----------------------------------
+        # Null-ish directions of H/G are unreliable in E/F: the cholesky
+        # jitter inflates exact nulls to sqrt(jit)-norm rows of E (the
+        # "ghosts"), and single-word chains add ~sqrt(d n r) eps of
+        # accumulated GEMM noise on top.  Round 3 deflated these by
+        # inflating tau^2 with the trace-product bound jit*tr(G)+..., a
+        # bound ~r times too conservative on decaying spectra — it was
+        # the measured rank-decision floor of this mode (over-truncating
+        # at sigma ~ 9e-3 where the twosided sweep resolves 2.4e-4).
+        # Instead, identify the untrusted subspaces spectrally — one
+        # extra batched sign call over [H; G] stacked — and remove them
+        # from the decision operator W = E (P_h P_g) F^T.  Exact nulls
+        # and chain-noise ghosts die inside the projectors; trusted
+        # directions pass through untouched, so tau^2 needs no
+        # inflation at all.
+        # spectral-norm estimate per chain matrix (3 batched power
+        # steps on a fixed probe — Gershgorin overestimates by up to
+        # sqrt(r) on decaying spectra, which would inflate the trust
+        # floor by the same factor)
+        pv = jax.random.normal(jax.random.PRNGKey(3), (r,), dt)
+        pv = pv / jnp.linalg.norm(pv)
+        v = jnp.broadcast_to(pv, hg_all.shape[:1] + (r,))
+        for _ in range(3):
+            v = jnp.einsum("kab,kb->ka", hg_all, v, precision="highest")
+            v = v / (
+                jnp.linalg.norm(v, axis=1, keepdims=True)
+                + jnp.asarray(1e-30, dt)
+            )
+        lmax = jnp.abs(
+            jnp.einsum(
+                "ka,kab,kb->k", v, hg_all, v, precision="highest"
+            )
+        ) + jnp.asarray(1e-30, dt)
+        mach_f = float(jnp.finfo(dt).eps)
+        if chain_precision == "dw":
+            chain_eta = 2.0 * mach_f  # f32 representation floor only
+        else:
+            chain_eta = (
+                2.0 * float(np.sqrt(d * mids.shape[2] * r)) * mach_f
+            )
+        theta = 2.0 * jit_hg + chain_eta * lmax
+        # explicit symmetrization before every sign iteration: fused
+        # einsums leave ulp-level asymmetry, which puts the near-zero
+        # eigenvalues of the shifted matrix just OFF the real axis —
+        # Newton-Schulz diverges (NaN) for eigenvalues near the
+        # imaginary axis.  The round-3 ghost-inflated tau^2 masked this
+        # by shifting the null block far below zero; with trust filters
+        # the shift is tiny, so symmetry must be restored explicitly.
+        hg_sym = 0.5 * (hg_all + jnp.swapaxes(hg_all, 1, 2))
+        a_t = hg_sym - theta[:, None, None] * eye[None]
+        alpha_t = jnp.max(
+            jnp.sum(jnp.abs(a_t), axis=2), axis=1
+        ) + jnp.asarray(1e-30, dt)
+        # the trust projector tolerates ~1e-2 leakage (a half-kept
+        # boundary direction enters ww at 0.25x, still under the noise
+        # clamp), so cap its growth phase well below the decision
+        # projector's budget
+        sign_t = _sign_newton_schulz(a_t, alpha_t, min(sign_iters, 40))
+        trust = 0.5 * (eye[None] + sign_t)  # (2 nb, r, r)
+        ep = jnp.einsum(
+            "kab,kbc->kac", e_all, trust[:nb], precision="highest"
         )
-        tau2 = tau2 + 2.0 * ghost
+        pf = jnp.einsum(
+            "kab,kcb->kac", trust[nb:], f_all, precision="highest"
+        )
+        w_all = jnp.einsum("kab,kbc->kac", ep, pf, precision="highest")
+        ww = jnp.einsum(
+            "kab,kcb->kac", w_all, w_all, precision="highest"
+        )
+        ww = 0.5 * (ww + jnp.swapaxes(ww, 1, 2))  # see hg_sym above
+
+        # noise-floor clamp on the threshold (the twosided sweep's "+j"
+        # analogue): W's entries are f32, so ww carries ~eps * lambda_max
+        # of eigenvalue noise in the trusted subspace — budgets below
+        # that would keep every noise direction.  Clamping tau^2 there
+        # pins the tight-eps floor at sigma ~ sqrt(eps_f32) * sigma_max,
+        # the same resolution class as the twosided sweep.
+        vw = jnp.broadcast_to(pv, ww.shape[:1] + (r,))
+        for _ in range(3):
+            vw = jnp.einsum("kab,kb->ka", ww, vw, precision="highest")
+            vw = vw / (
+                jnp.linalg.norm(vw, axis=1, keepdims=True)
+                + jnp.asarray(1e-30, dt)
+            )
+        lmax_ww = jnp.abs(
+            jnp.einsum("ka,kab,kb->k", vw, ww, vw, precision="highest")
+        ) + jnp.asarray(1e-30, dt)
+        tau2 = tau2 + 2.0 * mach * lmax_ww
 
         # ---- batched sign projectors (pure GEMMs) --------------------
         a0 = ww - tau2[:, None, None] * eye[None]

@@ -260,3 +260,110 @@ def test_all_modes_randomized_chain_sweep():
             got = np.transpose(got, perm)
             rel = np.linalg.norm(got - dense) / np.linalg.norm(dense)
             assert rel < 1e-7, (sizes, method, rel)
+
+
+# ---- f32 fidelity floor: planted spectra (round-4 trust filters) ------
+
+
+def _planted_f32(d=20, n=16, r=32, decay_bits=4.0, seed=0):
+    """f32 train with sigma_j = 10^(-j/decay_bits) planted at the middle
+    bond: left-orthonormal random cores, the middle core row-scaled."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+
+    def rand_orth(a, b):
+        m = rng.standard_normal((a, b))
+        q, _ = np.linalg.qr(m if a >= b else m.T)
+        return q if a >= b else q.T
+
+    sig = 10.0 ** (-np.arange(r) / decay_bits)
+    first = rand_orth(n, r)
+    mids = np.stack(
+        [rand_orth(r * n, r).reshape(r, n, r) for _ in range(d - 2)]
+    )
+    last = rand_orth(r, n)
+    mids[d // 2 - 1] = sig[:, None, None] * mids[d // 2 - 1]
+    return (
+        jnp.asarray(first, jnp.float32),
+        jnp.asarray(mids, jnp.float32),
+        jnp.asarray(last, jnp.float32),
+        d // 2 - 2,  # planted bond position within the ks vector
+    )
+
+
+def test_prefix_dw_fidelity_floor_f32():
+    """The dw chain + spectral trust filters must resolve planted f32
+    spectra to within 3 ranks of the twosided sweep (round 3's
+    trace-bound ghost deflation over-truncated ~4 ranks deeper), with
+    decisions STABLE as eps tightens past the floor (no ghost
+    resurrection, no NaN) — the failure modes this rework fixed."""
+    import jax.numpy as jnp
+
+    from tensor_networks_tpu.ops.fast import (
+        _tt_round_prefix_sweep_fn,
+        _tt_round_twosided_sweep_fn,
+    )
+
+    first, mids, last, kpos = _planted_f32()
+    dw = _tt_round_prefix_sweep_fn(True, chain_precision="dw")
+    ts = _tt_round_twosided_sweep_fn(True)
+
+    mids_ranks = {}
+    for eps in (1e-3, 1e-4, 1e-5):
+        f, m, l, k0, ks = dw(first, mids, last, eps)
+        for x in (f, m, l):
+            assert bool(jnp.all(jnp.isfinite(x))), eps
+        mids_ranks[eps] = int(ks[kpos])
+    # stability: decisions at/below the floor must not drift (ghost
+    # resurrection showed up as rank jumps 12 -> 22 -> 60 pre-fix)
+    vals = sorted(set(mids_ranks.values()))
+    assert vals[-1] - vals[0] <= 1, mids_ranks
+
+    _, _, _, _, ks_ts = ts(first, mids, last, 1e-4)
+    got, ref = mids_ranks[1e-4], int(ks_ts[kpos])
+    assert ref - 3 <= got <= ref + 1, (got, ref)
+
+
+def test_prefix_dw_doubled_train_exact_recovery_f32():
+    """Exact rank recovery on a doubled train in f32: the trust filters
+    must kill the exact nulls the cholesky jitter inflates (the ghosts
+    the old trace bound deflated), recovering rank r at every bond."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensor_networks_tpu.ops.fast import (
+        _bond_bounds,
+        _tt_round_prefix_sweep_fn,
+    )
+
+    d, n, r = 8, 6, 3
+    rng = np.random.default_rng(3)
+    first = np.linalg.qr(rng.standard_normal((n, r)))[0]
+    mids = np.stack(
+        [
+            np.linalg.qr(rng.standard_normal((r * n, r)))[0].reshape(
+                r, n, r
+            )
+            for _ in range(d - 2)
+        ]
+    )
+    last = rng.standard_normal((r, n)) / np.sqrt(n)
+    # doubled representation: rank-2r block-diagonal train representing
+    # the same tensor (2r - r exact nulls at every bond)
+    first2 = np.concatenate([first, first], axis=1)
+    mids2 = np.zeros((d - 2, 2 * r, n, 2 * r))
+    mids2[:, :r, :, :r] = mids
+    mids2[:, r:, :, r:] = mids
+    last2 = np.concatenate([0.5 * last, 0.5 * last], axis=0)
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)  # noqa: E731
+    bounds = jnp.asarray(
+        _bond_bounds([n] * d, [2 * r] * (d - 1), 2 * r)
+    )
+    dw = _tt_round_prefix_sweep_fn(True, chain_precision="dw")
+    f, m, l, k0, ks = dw(f32(first2), f32(mids2), f32(last2), 1e-4, bounds)
+    ranks = [int(k0)] + [int(x) for x in np.asarray(ks)]
+    assert ranks == [r] * (d - 1), ranks
+    for x in (f, m, l):
+        assert bool(jax.numpy.all(jnp.isfinite(x)))

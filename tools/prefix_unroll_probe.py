@@ -53,14 +53,23 @@ def main():
     # fewer scan boundaries; "high" (bf16x3) halves the chain's MXU
     # passes with noise (~3e-5) an order below the mode's sqrt(eps)
     # resolution floor
-    for unroll, cprec in (
+    variants = (
         (1, "highest"),
         (2, "highest"),
         (4, "highest"),
         (8, "highest"),
         (1, "high"),
         (4, "high"),
-    ):
+        (1, "dw"),
+        (4, "dw"),
+    )
+    only = os.environ.get("TNT_PROBE_VARIANTS")
+    if only:
+        keep = set(only.split(","))
+        variants = tuple(
+            (u, c) for u, c in variants if f"{u}:{c}" in keep
+        )
+    for unroll, cprec in variants:
         sweep = _tt_round_prefix_sweep_fn(
             True, unroll=unroll, chain_precision=cprec
         )
