@@ -673,6 +673,55 @@ def main():
         print(f"[bench] prefix path failed: {exc}", file=sys.stderr)
         t_round_prefix = float("nan")
 
+    # compensated prefix (round 4): double-word Gram chains + spectral
+    # trust filters lift the prefix mode's fidelity into the twosided
+    # class (planted-spectrum floor 5.5e-4 vs twosided 2.4e-4 vs the
+    # loose mode's 4e-3, tests/test_prefix_round.py), so this leg runs
+    # at the accurate eps=1e-6 and joins the t_round headline set
+    @partial(jax.jit, static_argnames=("k",))
+    def round_dw_repeat(first, mids, last, k):
+        sweep = _tt_round_prefix_sweep_fn(True, chain_precision="dw")
+
+        def body(acc, i):
+            scale = 1.0 + acc * jnp.asarray(1e-24, dtype)
+            f, m, l, k0, ks = sweep(first * scale, mids, last, 1e-6)
+            tot = (
+                jnp.sum(f) + jnp.sum(m) + jnp.sum(l)
+                + (k0 + jnp.sum(ks)).astype(dtype)
+            )
+            return tot.astype(dtype), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.asarray(0.0, dtype), jnp.arange(k, dtype=dtype)
+        )
+        return acc
+
+    try:
+        probe_dw = float(
+            round_dw_repeat(a_dev[0], a_dev[1], a_dev[2], k=1)
+        )
+        if probe_dw != probe_dw:
+            raise FloatingPointError("prefix-dw sweep compiled to NaN")
+        t_round_dw = timed_repeat(
+            lambda k: round_dw_repeat(a_dev[0], a_dev[1], a_dev[2], k=k),
+            1,
+            9,
+        )
+        print(
+            f"[bench] tpu round (prefix-dw): {t_round_dw*1e3:.2f} "
+            "ms/call",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"[bench] prefix-dw path failed: {exc}", file=sys.stderr)
+        t_round_dw = float("nan")
+
+    # the dw mode runs at the accurate eps and belongs in the headline
+    if t_round_dw == t_round_dw:
+        t_round = (
+            t_round_dw if t_round != t_round else min(t_round, t_round_dw)
+        )
+
     # FLOP estimate for the HOUSEHOLDER rounding sweep (QR + SVD +
     # carry GEMMs) — tied to t_round_svd, the sweep the model
     # describes; t_round may be the twosided sweep, which does no SVDs
@@ -802,6 +851,7 @@ def main():
                 else:
                     eval_mpts_bf16 = max(eval_mpts_bf16, mpts)
 
+        ens_small_x = float("nan")
         # ensemble fold (round 3): B same-shape trains folded into the
         # mode axis run as ONE ragged evaluation — measures how the
         # per-step overhead amortizes across independent evaluate calls
@@ -865,6 +915,62 @@ def main():
                     f"({t_ens*1e3:.2f} ms / {n_ens}x{n_pts} pts)",
                     file=sys.stderr,
                 )
+
+                # the ensemble's actual regime: FEW points per train
+                # (cross fibers, serving lookups), where a single-train
+                # call is dispatch-bound.  Compare one fused ensemble
+                # dispatch against n_ens separate warm dispatches at
+                # 1024 points each — wall time, because dispatch IS the
+                # quantity the fold amortizes (relay ~25 ms per call).
+                n_small = 1024
+                idx_s = idx_e[: n_ens * n_small]
+                f_1 = f_e[:N]
+                m_1 = jnp.ascontiguousarray(m_e[:, :, :N])
+                l_1 = l_e[:, :N]
+                idx_1 = jnp.asarray(
+                    np.asarray(idx_s[:n_small]) % N, jnp.int32
+                )
+
+                @jax.jit
+                def eval_ens_once(first, mids, last, idx):
+                    return jnp.sum(
+                        tt_evaluate_ragged(
+                            first, mids, last, idx, "highest"
+                        )
+                    )
+
+                @jax.jit
+                def eval_one_once(first, mids, last, idx):
+                    return jnp.sum(
+                        tt_evaluate_ragged(
+                            first, mids, last, idx, "highest"
+                        )
+                    )
+
+                float(eval_ens_once(f_e, m_e, l_e, idx_s))  # compile
+                float(eval_one_once(f_1, m_1, l_1, idx_1))
+                t_fused = _time(
+                    lambda: float(eval_ens_once(f_e, m_e, l_e, idx_s)),
+                    reps=4,
+                )
+
+                def _loop8():
+                    acc = 0.0
+                    for _ in range(n_ens):
+                        acc += float(
+                            eval_one_once(f_1, m_1, l_1, idx_1)
+                        )
+                    return acc
+
+                t_loop = _time(_loop8, reps=4)
+                ens_small_x = t_loop / max(t_fused, 1e-9)
+                print(
+                    f"[bench] ensemble small-batch ({n_ens}x{n_small} "
+                    f"pts): fused {t_fused*1e3:.1f} ms vs "
+                    f"{n_ens} dispatches {t_loop*1e3:.1f} ms "
+                    f"({ens_small_x:.1f}x)",
+                    file=sys.stderr,
+                )
             except Exception as exc:
                 print(
                     f"[bench] ensemble evaluate failed: {exc}",
@@ -897,6 +1003,7 @@ def main():
         eval_mpts = float("nan")
         eval_mpts_bf16 = float("nan")
         eval_ens_mpts = float("nan")
+        ens_small_x = float("nan")
         eval_speedup = float("nan")
         numpy_eval_pts = 512
 
@@ -1160,6 +1267,34 @@ def main():
         except Exception as exc:
             print(f"[bench] device cross failed: {exc}", file=sys.stderr)
 
+    # ---- solver family ON CHIP (VERDICT r3 missing #2): fused vs
+    # host-loop step/sweep pairs for TDVP(1,2-site)/ALS/eigsh at the
+    # K=22 QTT rank-8 f32 shapes — compiled programs come from the
+    # shared persistent cache, so this costs seconds when warm --------
+    solver_tpu = {"status": "skipped"}
+    if on_tpu:
+        try:
+            import importlib.util as _ilu
+
+            _spec = _ilu.spec_from_file_location(
+                "tdvp_fused_probe",
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "tools",
+                    "tdvp_fused_probe.py",
+                ),
+            )
+            _probe_mod = _ilu.module_from_spec(_spec)
+            _spec.loader.exec_module(_probe_mod)
+            solver_tpu = _probe_mod.run_probes(reps=5)
+            solver_tpu["status"] = "ok"
+        except Exception as exc:
+            print(
+                f"[bench] solver-on-chip probes failed: {exc}",
+                file=sys.stderr,
+            )
+            solver_tpu = {"status": f"failed: {exc}"[:120]}
+
     # ---- solver family (CPU f64 subprocess: the 2^30 QTT linear solve
     # and the 32^3 DMRG ground state are f64 accuracy demonstrations;
     # a child process keeps them off the relay and x64-clean) ---------
@@ -1272,11 +1407,13 @@ def main():
             "tpu_round_twosided_ms": round(t_round_ts * 1e3, 2),
             "tpu_round_gram_ms": round(t_round_gram * 1e3, 2),
             "tpu_round_prefix_ms": round(t_round_prefix * 1e3, 2),
+            "tpu_round_prefix_dw_ms": round(t_round_dw * 1e3, 2),
             "numpy_round_ms": round(t_np_round * 1e3, 2),
             "round_gflops_est": round(gflops, 1),
             "evaluate_mpts_per_s": round(eval_mpts, 2),
             "evaluate_mpts_per_s_bf16": round(eval_mpts_bf16, 2),
             "evaluate_ensemble_mpts_per_s": round(eval_ens_mpts, 2),
+            "ensemble_small_batch_speedup_x": round(ens_small_x, 2),
             # per-point speedup vs numpy MEASURED on 512 points (full-
             # batch numpy would take minutes; labeled, not hidden)
             # per-point ratio: numpy measured on 512 pts, TPU rate
@@ -1327,6 +1464,7 @@ def main():
             # the 1.07e9-unknown linear solve and the 32^3 DMRG
             # ground state have no reference counterpart)
             "solver_cpu": solver_cpu,
+            "solver_tpu": solver_tpu,
             "device": str(dev),
         },
     }

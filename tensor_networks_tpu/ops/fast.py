@@ -1020,79 +1020,106 @@ def _tt_round_prefix_sweep_fn(
         # and chain-noise ghosts die inside the projectors; trusted
         # directions pass through untouched, so tau^2 needs no
         # inflation at all.
-        # spectral-norm estimate per chain matrix (3 batched power
-        # steps on a fixed probe — Gershgorin overestimates by up to
-        # sqrt(r) on decaying spectra, which would inflate the trust
-        # floor by the same factor)
-        pv = jax.random.normal(jax.random.PRNGKey(3), (r,), dt)
-        pv = pv / jnp.linalg.norm(pv)
-        v = jnp.broadcast_to(pv, hg_all.shape[:1] + (r,))
-        for _ in range(3):
-            v = jnp.einsum("kab,kb->ka", hg_all, v, precision="highest")
-            v = v / (
-                jnp.linalg.norm(v, axis=1, keepdims=True)
-                + jnp.asarray(1e-30, dt)
-            )
-        lmax = jnp.abs(
-            jnp.einsum(
-                "ka,kab,kb->k", v, hg_all, v, precision="highest"
-            )
-        ) + jnp.asarray(1e-30, dt)
-        mach_f = float(jnp.finfo(dt).eps)
-        if chain_precision == "dw":
-            chain_eta = 2.0 * mach_f  # f32 representation floor only
-        else:
-            chain_eta = (
-                2.0 * float(np.sqrt(d * mids.shape[2] * r)) * mach_f
-            )
-        theta = 2.0 * jit_hg + chain_eta * lmax
-        # explicit symmetrization before every sign iteration: fused
-        # einsums leave ulp-level asymmetry, which puts the near-zero
-        # eigenvalues of the shifted matrix just OFF the real axis —
-        # Newton-Schulz diverges (NaN) for eigenvalues near the
-        # imaginary axis.  The round-3 ghost-inflated tau^2 masked this
-        # by shifting the null block far below zero; with trust filters
-        # the shift is tiny, so symmetry must be restored explicitly.
+        # The trust machinery costs ~1.5 ms of extra batched sign +
+        # power iterations on chip; it only pays when the chain itself
+        # is compensated — single-word chains keep round 3's cheap
+        # trace-bound deflation (same fidelity class either way, and
+        # that mode's job is being the fastest loose-tolerance sweep).
         hg_sym = 0.5 * (hg_all + jnp.swapaxes(hg_all, 1, 2))
-        a_t = hg_sym - theta[:, None, None] * eye[None]
-        alpha_t = jnp.max(
-            jnp.sum(jnp.abs(a_t), axis=2), axis=1
-        ) + jnp.asarray(1e-30, dt)
-        # the trust projector tolerates ~1e-2 leakage (a half-kept
-        # boundary direction enters ww at 0.25x, still under the noise
-        # clamp), so cap its growth phase well below the decision
-        # projector's budget
-        sign_t = _sign_newton_schulz(a_t, alpha_t, min(sign_iters, 40))
-        trust = 0.5 * (eye[None] + sign_t)  # (2 nb, r, r)
-        ep = jnp.einsum(
-            "kab,kbc->kac", e_all, trust[:nb], precision="highest"
-        )
-        pf = jnp.einsum(
-            "kab,kcb->kac", trust[nb:], f_all, precision="highest"
-        )
-        w_all = jnp.einsum("kab,kbc->kac", ep, pf, precision="highest")
-        ww = jnp.einsum(
-            "kab,kcb->kac", w_all, w_all, precision="highest"
-        )
-        ww = 0.5 * (ww + jnp.swapaxes(ww, 1, 2))  # see hg_sym above
-
-        # noise-floor clamp on the threshold (the twosided sweep's "+j"
-        # analogue): W's entries are f32, so ww carries ~eps * lambda_max
-        # of eigenvalue noise in the trusted subspace — budgets below
-        # that would keep every noise direction.  Clamping tau^2 there
-        # pins the tight-eps floor at sigma ~ sqrt(eps_f32) * sigma_max,
-        # the same resolution class as the twosided sweep.
-        vw = jnp.broadcast_to(pv, ww.shape[:1] + (r,))
-        for _ in range(3):
-            vw = jnp.einsum("kab,kb->ka", ww, vw, precision="highest")
-            vw = vw / (
-                jnp.linalg.norm(vw, axis=1, keepdims=True)
-                + jnp.asarray(1e-30, dt)
+        if chain_precision != "dw":
+            # round-3 deflation: tau^2 inflated by the trace-product
+            # ghost bound (conservative; floor ~sqrt(40 eps r))
+            ghost = jit_h * jnp.einsum(
+                "kaa->k", g_all
+            ) + jit_g * jnp.einsum("kaa->k", h_all)
+            tau2 = tau2 + 2.0 * ghost
+            w_all = jnp.einsum(
+                "kab,kcb->kac", e_all, f_all, precision="highest"
             )
-        lmax_ww = jnp.abs(
-            jnp.einsum("ka,kab,kb->k", vw, ww, vw, precision="highest")
-        ) + jnp.asarray(1e-30, dt)
-        tau2 = tau2 + 2.0 * mach * lmax_ww
+            ww = jnp.einsum(
+                "kab,kcb->kac", w_all, w_all, precision="highest"
+            )
+            ww = 0.5 * (ww + jnp.swapaxes(ww, 1, 2))  # see below
+        else:
+            # spectral-norm estimate per chain matrix (3 batched power
+            # steps on a fixed probe — Gershgorin overestimates by up
+            # to sqrt(r) on decaying spectra, which would inflate the
+            # trust floor by the same factor)
+            pv = jax.random.normal(jax.random.PRNGKey(3), (r,), dt)
+            pv = pv / jnp.linalg.norm(pv)
+            v = jnp.broadcast_to(pv, hg_all.shape[:1] + (r,))
+            for _ in range(3):
+                v = jnp.einsum(
+                    "kab,kb->ka", hg_all, v, precision="highest"
+                )
+                v = v / (
+                    jnp.linalg.norm(v, axis=1, keepdims=True)
+                    + jnp.asarray(1e-30, dt)
+                )
+            lmax = jnp.abs(
+                jnp.einsum(
+                    "ka,kab,kb->k", v, hg_all, v, precision="highest"
+                )
+            ) + jnp.asarray(1e-30, dt)
+            mach_f = float(jnp.finfo(dt).eps)
+            chain_eta = 2.0 * mach_f  # f32 representation floor only
+            theta = 2.0 * jit_hg + chain_eta * lmax
+            # explicit symmetrization before every sign iteration:
+            # fused einsums leave ulp-level asymmetry, which puts the
+            # near-zero eigenvalues of the shifted matrix just OFF the
+            # real axis — Newton-Schulz diverges (NaN) for eigenvalues
+            # near the imaginary axis.  The ghost-inflated tau^2 above
+            # masks this by shifting the null block far below zero;
+            # with trust filters the shift is tiny, so symmetry must
+            # be restored explicitly.
+            a_t = hg_sym - theta[:, None, None] * eye[None]
+            alpha_t = jnp.max(
+                jnp.sum(jnp.abs(a_t), axis=2), axis=1
+            ) + jnp.asarray(1e-30, dt)
+            # the trust projector tolerates ~1e-2 leakage (a half-kept
+            # boundary direction enters ww at 0.25x, still under the
+            # noise clamp), so cap its growth phase well below the
+            # decision projector's budget
+            sign_t = _sign_newton_schulz(
+                a_t, alpha_t, min(sign_iters, 40)
+            )
+            trust = 0.5 * (eye[None] + sign_t)  # (2 nb, r, r)
+            ep = jnp.einsum(
+                "kab,kbc->kac", e_all, trust[:nb], precision="highest"
+            )
+            pf = jnp.einsum(
+                "kab,kcb->kac", trust[nb:], f_all, precision="highest"
+            )
+            w_all = jnp.einsum(
+                "kab,kbc->kac", ep, pf, precision="highest"
+            )
+            ww = jnp.einsum(
+                "kab,kcb->kac", w_all, w_all, precision="highest"
+            )
+            ww = 0.5 * (ww + jnp.swapaxes(ww, 1, 2))
+
+            # noise-floor clamp on the threshold (the twosided sweep's
+            # "+j" analogue): W's entries are f32, so ww carries
+            # ~eps * lambda_max of eigenvalue noise in the trusted
+            # subspace — budgets below that would keep every noise
+            # direction.  Clamping tau^2 there pins the tight-eps floor
+            # at sigma ~ sqrt(eps_f32) * sigma_max, the same resolution
+            # class as the twosided sweep.
+            vw = jnp.broadcast_to(pv, ww.shape[:1] + (r,))
+            for _ in range(3):
+                vw = jnp.einsum(
+                    "kab,kb->ka", ww, vw, precision="highest"
+                )
+                vw = vw / (
+                    jnp.linalg.norm(vw, axis=1, keepdims=True)
+                    + jnp.asarray(1e-30, dt)
+                )
+            lmax_ww = jnp.abs(
+                jnp.einsum(
+                    "ka,kab,kb->k", vw, ww, vw, precision="highest"
+                )
+            ) + jnp.asarray(1e-30, dt)
+            tau2 = tau2 + 2.0 * mach * lmax_ww
 
         # ---- batched sign projectors (pure GEMMs) --------------------
         a0 = ww - tau2[:, None, None] * eye[None]
