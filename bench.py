@@ -59,6 +59,22 @@ def _eval_path_snapshot() -> dict:
         return {}
 
 
+def _scaling_snapshot() -> dict:
+    """The d/n-scaling envelope recorded by tools/scaling_probe.py
+    (run separately on a healthy chip; the file carries its own
+    timestamp and chip-health line)."""
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".scaling_probe.json",
+            )
+        ) as fh:
+            return json.load(fh)
+    except Exception:
+        return {"status": "not recorded"}
+
+
 def _time(fn, reps: int, warmup: int = 1) -> float:
     for _ in range(warmup):
         fn()
@@ -1146,7 +1162,7 @@ def main():
             from tensor_networks_tpu.search import SearchConfig
             from tensor_networks_tpu.search.drivers import run_bfs
 
-            def _dfs8(mode: str):
+            def _bfs8(mode: str):
                 # "batched": shape-grouped batched device SVDs.
                 # "peraction": per-action SVDs, device-routed (the
                 #   tensor is above TNT_DEVICE_SVD_MIN) — 127 separate
@@ -1191,11 +1207,11 @@ def main():
                             os.environ[k] = old
 
             # warm BOTH device legs' executables before timing them
-            _dfs8("batched")
-            _dfs8("peraction")
-            sdev_wall, sdev_count = _dfs8("batched")
-            sper_wall, sper_count = _dfs8("peraction")
-            shost_wall, shost_count = _dfs8("host")
+            _bfs8("batched")
+            _bfs8("peraction")
+            sdev_wall, sdev_count = _bfs8("batched")
+            sper_wall, sper_count = _bfs8("peraction")
+            shost_wall, shost_count = _bfs8("host")
             print(
                 f"[bench] bfs d=8 n=6 root scoring: device-batched "
                 f"{sdev_wall:.1f} s vs device-per-action {sper_wall:.1f} s"
@@ -1465,6 +1481,7 @@ def main():
             # ground state have no reference counterpart)
             "solver_cpu": solver_cpu,
             "solver_tpu": solver_tpu,
+            "scaling_probe": _scaling_snapshot(),
             "device": str(dev),
         },
     }

@@ -129,9 +129,11 @@ def run_dfs(
 
         actions = state.get_legal_actions(use_osplit)
         # Last level: the reference-pinned semantics stop the whole
-        # expansion after the first action's first kept child
-        # (exhaustive.py:192-194), so at most ONE of these SVDs is ever
-        # consumed — batch-precomputing all of them is pure waste.  BFS
+        # expansion after the first KEPT child (exhaustive.py:192-194),
+        # so typically only the first action's SVD is consumed (more
+        # when earlier actions yield only noop-pruned children or a
+        # failed SVD — the per-action fallback covers those) —
+        # batch-precomputing all of them is mostly waste.  BFS
         # consumes every action, so run_bfs always precomputes.
         svds = {} if last_level else maybe_batched_svds(state, actions)
         for action in actions:
