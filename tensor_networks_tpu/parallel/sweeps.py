@@ -583,15 +583,17 @@ def _prefix_sharded_fn(
     cached per (mesh, sign_iters, chain precision); eps and the bond
     bounds are traced operands, so one executable serves every
     tolerance at fixed shapes."""
+    from tensor_networks_tpu.kernels.ozaki import _pow2_exact, two_sum
     from tensor_networks_tpu.ops.fast import (
         _chol_adaptive,
         _sign_newton_schulz,
     )
 
     n_stages = mesh.shape["model"]
+    dw = chain_precision == "dw"
     cprec = (
         jax.lax.Precision.HIGHEST
-        if chain_precision == "highest"
+        if chain_precision in ("highest", "dw")
         else chain_precision
     )
 
@@ -611,20 +613,56 @@ def _prefix_sharded_fn(
         g0 = jnp.matmul(last_rep, last_rep.T, precision="highest")
         g0 = g0 / (jnp.trace(g0) / r + tiny)
 
-        def h_step(m, x):
-            t = jnp.einsum("ab,anc->bnc", m, x, precision=cprec)
-            m2 = jnp.einsum("bnc,bnC->cC", t, x, precision=cprec)
-            m2 = m2 / (jnp.trace(m2) / r + tiny)
-            return m2, m2
+        def _renorm2(hi, lo):
+            # exact power-of-two rescale so the compensation word
+            # survives (mirrors _tt_round_prefix_sweep_fn's dw chain)
+            tr = jnp.trace(hi) / r + tiny
+            _, e = jnp.frexp(tr)
+            s = _pow2_exact(e).astype(dt)
+            return hi / s, lo / s
 
-        def g_step(m, x):
-            t = jnp.einsum("anc,cC->anC", x, m, precision=cprec)
-            m2 = jnp.einsum("anC,bnC->ab", t, x, precision=cprec)
-            m2 = m2 / (jnp.trace(m2) / r + tiny)
-            return m2, m2
+        if dw:
 
-        h_carry = jax.lax.pcast(h0, ("model",), to="varying")
-        g_carry = jax.lax.pcast(g0, ("model",), to="varying")
+            def h_step(m, x):
+                t = jnp.einsum("wab,anc->wbnc", m, x, precision=cprec)
+                m2 = jnp.einsum("wbnc,bnC->wcC", t, x, precision=cprec)
+                hi, lo = two_sum(m2[0], m2[1])
+                hi, lo = _renorm2(hi, lo)
+                return jnp.stack([hi, lo]), hi + lo
+
+            def g_step(m, x):
+                t = jnp.einsum("anc,wcC->wanC", x, m, precision=cprec)
+                m2 = jnp.einsum("wanC,bnC->wab", t, x, precision=cprec)
+                hi, lo = two_sum(m2[0], m2[1])
+                hi, lo = _renorm2(hi, lo)
+                return jnp.stack([hi, lo]), hi + lo
+
+            zero_w = jnp.zeros((r, r), dt)
+            h_carry = jax.lax.pcast(
+                jnp.stack([h0, zero_w]), ("model",), to="varying"
+            )
+            g_carry = jax.lax.pcast(
+                jnp.stack([g0, zero_w]), ("model",), to="varying"
+            )
+        else:
+
+            def h_step(m, x):
+                t = jnp.einsum("ab,anc->bnc", m, x, precision=cprec)
+                m2 = jnp.einsum("bnc,bnC->cC", t, x, precision=cprec)
+                m2 = m2 / (jnp.trace(m2) / r + tiny)
+                return m2, m2
+
+            def g_step(m, x):
+                t = jnp.einsum("anc,cC->anC", x, m, precision=cprec)
+                m2 = jnp.einsum("anC,bnC->ab", t, x, precision=cprec)
+                m2 = m2 / (jnp.trace(m2) / r + tiny)
+                return m2, m2
+
+            h_carry = jax.lax.pcast(h0, ("model",), to="varying")
+            g_carry = jax.lax.pcast(g0, ("model",), to="varying")
+
+        def _collapse(c):
+            return c[0] + c[1] if dw else c
         zero_b = jnp.zeros((L, r, r), dt)
         h_in = jnp.zeros((r, r), dt)
         g_in = jnp.zeros((r, r), dt)
@@ -654,9 +692,11 @@ def _prefix_sharded_fn(
                 passive,
                 (g_carry, mids_local),
             )
-            h_in = jnp.where(my == t, h_carry, h_in)
+            h_in = jnp.where(my == t, _collapse(h_carry), h_in)
             h_loc = jnp.where(my == t, hs, h_loc)
-            g_in = jnp.where(my == n_stages - 1 - t, g_carry, g_in)
+            g_in = jnp.where(
+                my == n_stages - 1 - t, _collapse(g_carry), g_in
+            )
             g_loc = jnp.where(my == n_stages - 1 - t, gs, g_loc)
             if t < n_stages - 1:
                 fwd = [(s, (s + 1) % n_stages) for s in range(n_stages)]
@@ -678,17 +718,79 @@ def _prefix_sharded_fn(
         jit_h, jit_g = jit_hg[:nl], jit_hg[nl:]
         e_b = jnp.swapaxes(l_hg[:nl], 1, 2)  # upper: H = E^T E
         f_b = jnp.swapaxes(l_hg[nl:], 1, 2)  # upper: G = F^T F
-        w_b = jnp.einsum("kab,kcb->kac", e_b, f_b, precision="highest")
-        ww = jnp.einsum("kab,kcb->kac", w_b, w_b, precision="highest")
 
         # ---- thresholds (relative): tau^2 = eps^2 ||X||^2 / ((d-1) r) -
         norm2 = jnp.einsum("kab,kba->k", h_b, g_b, precision="highest")
         eps_b = eps_s.astype(dt)
         tau2 = eps_b**2 * norm2 / jnp.asarray((d_total - 1.0) * r, dt)
-        ghost = jit_h * jnp.einsum("kaa->k", g_b) + jit_g * jnp.einsum(
-            "kaa->k", h_b
-        )
-        tau2 = tau2 + 2.0 * ghost
+
+        if not dw:
+            # round-3 trace-bound ghost deflation (loose mode)
+            w_b = jnp.einsum(
+                "kab,kcb->kac", e_b, f_b, precision="highest"
+            )
+            ww = jnp.einsum(
+                "kab,kcb->kac", w_b, w_b, precision="highest"
+            )
+            ww = 0.5 * (ww + jnp.swapaxes(ww, 1, 2))
+            ghost = jit_h * jnp.einsum(
+                "kaa->k", g_b
+            ) + jit_g * jnp.einsum("kaa->k", h_b)
+            tau2 = tau2 + 2.0 * ghost
+        else:
+            # spectral trust filters + tau^2 noise clamp — the dw
+            # decision stage of ops.fast._tt_round_prefix_sweep_fn,
+            # applied to this device's local bonds (batched, no comm)
+            hg_sym = 0.5 * (hg + jnp.swapaxes(hg, 1, 2))
+            pv = jax.random.normal(jax.random.PRNGKey(3), (r,), dt)
+            pv = pv / jnp.linalg.norm(pv)
+            v = jnp.broadcast_to(pv, hg.shape[:1] + (r,))
+            for _ in range(3):
+                v = jnp.einsum(
+                    "kab,kb->ka", hg, v, precision="highest"
+                )
+                v = v / (
+                    jnp.linalg.norm(v, axis=1, keepdims=True) + tiny
+                )
+            lmax = jnp.abs(
+                jnp.einsum("ka,kab,kb->k", v, hg, v, precision="highest")
+            ) + tiny
+            theta = 2.0 * jit_hg + 2.0 * mach * lmax
+            a_t = hg_sym - theta[:, None, None] * eye[None]
+            alpha_t = jnp.max(
+                jnp.sum(jnp.abs(a_t), axis=2), axis=1
+            ) + tiny
+            sign_t = _sign_newton_schulz(
+                a_t, alpha_t, min(sign_iters, 40)
+            )
+            trust = 0.5 * (eye[None] + sign_t)
+            ep = jnp.einsum(
+                "kab,kbc->kac", e_b, trust[:nl], precision="highest"
+            )
+            pf = jnp.einsum(
+                "kab,kcb->kac", trust[nl:], f_b, precision="highest"
+            )
+            w_b = jnp.einsum(
+                "kab,kbc->kac", ep, pf, precision="highest"
+            )
+            ww = jnp.einsum(
+                "kab,kcb->kac", w_b, w_b, precision="highest"
+            )
+            ww = 0.5 * (ww + jnp.swapaxes(ww, 1, 2))
+            vw = jnp.broadcast_to(pv, ww.shape[:1] + (r,))
+            for _ in range(3):
+                vw = jnp.einsum(
+                    "kab,kb->ka", ww, vw, precision="highest"
+                )
+                vw = vw / (
+                    jnp.linalg.norm(vw, axis=1, keepdims=True) + tiny
+                )
+            lmax_ww = jnp.abs(
+                jnp.einsum(
+                    "ka,kab,kb->k", vw, ww, vw, precision="highest"
+                )
+            ) + tiny
+            tau2 = tau2 + 2.0 * mach * lmax_ww
 
         # ---- batched sign projectors + bases + insertions -------------
         a0 = ww - tau2[:, None, None] * eye[None]

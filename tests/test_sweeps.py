@@ -607,3 +607,43 @@ def test_sharded_tdvp2_matches_fused(mesh8):
     _, n_gr, r_gr = evolve_tdvp2(A, u1, 0.05, 3, max_rank=8, eps=1e-10)
     assert r_g == r_gr and max(r_g) > 1
     np.testing.assert_allclose(n_g, n_gr, rtol=1e-13)
+
+
+def test_distributed_prefix_dw_rank_parity(mesh8):
+    """The compensated (dw-chain + trust-filter) distributed prefix
+    reproduces the fused dw sweep's kept ranks exactly and the
+    represented tensor to f64 accuracy — the round-4 fidelity mode,
+    distributed."""
+    from tensor_networks_tpu.ops.fast import (
+        _bond_bounds,
+        _tt_round_prefix_sweep_fn,
+    )
+    from tensor_networks_tpu.parallel.sweeps import tt_prefix_round_sharded
+
+    d, n, r = 10, 4, 6
+    np.random.seed(11)
+    indices = [Index(f"x{i}", n) for i in range(d)]
+    base = TensorNetwork.rand_tt(indices, [3] * (d - 1))
+    tt = base + base  # rank 6, true rank 3
+    dense = np.asarray(tt.contract().value)
+
+    first, mids, last = stack_tt_cores(tt)
+    first = jnp.asarray(np.asarray(first))
+    mids = jnp.asarray(np.asarray(mids))
+    last = jnp.asarray(np.asarray(last))
+    mids_sh, last_sh = place_train_sharded(mesh8, mids, last)
+
+    f_o, m_o, l_o, k0, ranks = tt_prefix_round_sharded(
+        mesh8, first, mids_sh, last_sh, 1e-8, chain_precision="dw"
+    )
+    rebuilt = _rebuild(indices, f_o, m_o, l_o, d, r)
+    dense2 = np.asarray(rebuilt.contract().value)
+    assert np.allclose(dense, dense2, atol=1e-7)
+
+    bounds = _bond_bounds([n] * d, [r] * (d - 1), r)
+    f_r, m_r, l_r, k0_r, ranks_r = _tt_round_prefix_sweep_fn(
+        True, chain_precision="dw"
+    )(first, mids, last, 1e-8, jnp.asarray(bounds))
+    got = [int(k0)] + [int(x) for x in np.asarray(ranks)]
+    ref = [int(k0_r)] + [int(x) for x in np.asarray(ranks_r)]
+    assert got == ref == [3] * (d - 1), (got, ref)
