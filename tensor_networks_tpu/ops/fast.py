@@ -1339,7 +1339,12 @@ def tt_round_fixed(
         raise ValueError("tt_round_fixed needs d >= 3")
 
     d = mids.shape[0] + 2
-    if method in ("gram", "prefix"):
+    prefix_chain = os.environ.get("TNT_PREFIX_CHAIN_PREC", "high")
+    if method == "prefix" and prefix_chain == "dw":
+        # compensated chains + trust filters resolve ~2 sqrt(mach eps)
+        # (measured 5.5e-4 f32 on planted spectra, VALIDATION.md r4)
+        floor = 2.0 * float(np.sqrt(jnp.finfo(first.dtype).eps))
+    elif method in ("gram", "prefix"):
         # Gram chains square the condition number: singular values below
         # ~sqrt(mach eps) of the norm are unresolvable regardless of d
         floor = 4.0 * float(np.sqrt(jnp.finfo(first.dtype).eps))
