@@ -321,28 +321,12 @@ def batched_split_svds(
                 mat = np.transpose(x_np, tuple(axes) + rest).reshape(
                     dim_l, dim_r
                 )
-                if trans:
-                    mat = mat.T
-                try:
-                    if sq_gram:
-                        # eigh in the gram's own dtype: the f32 Gram
-                        # FORMATION error dominates, so a f64 eigh of
-                        # it buys nothing but a 2.5x slower syevd
-                        w, q = np.linalg.eigh(mat @ mat.T)
-                        s_m = np.sqrt(
-                            np.clip(w[::-1], 0.0, None)
-                        ).astype(mat.dtype)
-                        u_m = np.ascontiguousarray(q[:, ::-1]).astype(
-                            mat.dtype
-                        )
-                        sinv = 1.0 / np.maximum(
-                            s_m, np.sqrt(mach) * (s_m[0] + 1e-300)
-                        )
-                        vh_m = (u_m.T @ mat) * sinv[:, None]
-                        return u_m, s_m, vh_m
-                    return np.linalg.svd(mat, full_matrices=False)
-                except np.linalg.LinAlgError:
-                    return None
+                # eigh runs in the gram's own dtype: the f32 Gram
+                # FORMATION error dominates, so a f64 eigh of it buys
+                # nothing but a 2.5x slower syevd
+                return _host_svd_or_gram(
+                    mat.T if trans else mat, sq_gram, mach
+                )
             for i, res in zip(members, _pool().map(_one_host, members)):
                 if res is None:
                     continue  # diverged: per-action path has a fallback
@@ -418,6 +402,143 @@ def batched_split_svds(
                 v = vh_b[j, :rank, :dim_r]
             out[action] = (u, s_j[:rank], v)
     return out
+
+
+def _host_svd_or_gram(mat: np.ndarray, use_gram: bool, mach: float):
+    """Thin host decomposition of one oriented (m <= n) matricization:
+    Gram + eigh + ``U^T A`` under a comfortable budget (~2.5x a gesdd),
+    exact ``gesdd`` otherwise.  Returns (u, s, vh) or None on LAPACK
+    divergence."""
+    try:
+        if use_gram:
+            w, q = np.linalg.eigh(mat @ mat.T)
+            s_m = np.sqrt(np.clip(w[::-1], 0.0, None)).astype(mat.dtype)
+            u_m = np.ascontiguousarray(q[:, ::-1]).astype(mat.dtype)
+            sinv = 1.0 / np.maximum(
+                s_m, np.sqrt(mach) * (s_m[0] + 1e-300)
+            )
+            return u_m, s_m, (u_m.T @ mat) * sinv[:, None]
+        return np.linalg.svd(mat, full_matrices=False)
+    except np.linalg.LinAlgError:
+        return None
+
+
+def scored_splits(state, actions: Sequence[Action]) -> Dict[Action, Tuple]:
+    """Precompute ``(svd, base_network)`` per split action, any state.
+
+    Single-node states delegate to :func:`batched_split_svds` (base
+    None — the environment orthonormalization is a no-op there).
+    Multi-node states share ONE environment orthonormalization per
+    target node across all of that node's actions — the per-action
+    path pays a full post-order QR sweep per ACTION — then score each
+    matricization of the orthonormalized node on the host
+    (:func:`_host_svd_or_gram`, budget-gated).  The returned base
+    network is what ``take_action(.., network=..)`` must build children
+    from: injecting factors into the un-orthonormalized graph would
+    change the represented tensor.
+
+    Fail-safe by construction: any action absent from the dict (OSplit
+    resolution drift on the orthonormalized graph, LAPACK divergence,
+    name drift) takes the per-action path unchanged.
+    """
+    try:
+        net = state.network
+        budget = getattr(state, "curr_delta", None)
+        if len(list(net.network.nodes)) == 1:
+            if not device_scoring_eligible(net):
+                return {}
+            svds = batched_split_svds(net, actions, budget=budget)
+            return {a: (t, None) for a, t in svds.items()}
+        if os.environ.get("TNT_SEARCH_DEVICE") == "0":
+            return {}
+        force = os.environ.get("TNT_SEARCH_DEVICE") == "1"
+        if not force:
+            import jax
+
+            if jax.default_backend() != "tpu":
+                return {}
+
+        by_node: Dict = {}
+        for action in actions:
+            if isinstance(action, OSplit):
+                try:
+                    isp = action.to_isplit(net)
+                except ValueError:
+                    continue
+                by_node.setdefault(isp.node, []).append(
+                    (action, tuple(isp.left_indices))
+                )
+            elif isinstance(action, ISplit):
+                by_node.setdefault(action.node, []).append(
+                    (action, tuple(sorted(action.left_indices)))
+                )
+        if not by_node or all(len(v) < 2 for v in by_node.values()):
+            return {}  # no sharing to exploit
+
+        import copy as _copy
+
+        from tensor_networks_tpu.kernels.linalg import _trunc_rank
+        from tensor_networks_tpu.types import SVDConfig
+
+        delta0 = SVDConfig().delta
+        out: Dict[Action, Tuple] = {}
+        for node, acts in by_node.items():
+            base = _copy.deepcopy(net)
+            kept = base.orthonormalize(node)
+            if kept != node:
+                continue
+            val = np.asarray(base.node_tensor(node).value)
+            nd = val.ndim
+            mach = float(np.finfo(val.dtype).eps)
+            use_gram = budget is not None and budget >= (
+                32.0 * np.sqrt(mach) * float(np.linalg.norm(val))
+            )
+            for action, axes in acts:
+                if isinstance(action, OSplit):
+                    # execute() re-resolves on the orthonormalized
+                    # graph; score only when it lands where we did
+                    try:
+                        isp2 = action.to_isplit(base)
+                    except ValueError:
+                        continue
+                    if isp2.node != node or (
+                        tuple(isp2.left_indices) != axes
+                    ):
+                        continue
+                rest = tuple(k for k in range(nd) if k not in axes)
+                dim_l = 1
+                for k in axes:
+                    dim_l *= val.shape[k]
+                dim_r = val.size // dim_l
+                mat = np.transpose(val, tuple(axes) + rest).reshape(
+                    dim_l, dim_r
+                )
+                trans = dim_l > dim_r
+                res = _host_svd_or_gram(
+                    mat.T if trans else mat, use_gram, mach
+                )
+                if res is None:
+                    continue
+                u_m, s_m, vh_m = res
+                if not np.all(np.isfinite(s_m)):
+                    continue
+                rank, _ = _trunc_rank(s_m, delta0)
+                if trans:  # oriented matrix was A^T: A = vh^T s u^T
+                    u, v = vh_m[:rank].T, u_m[:, :rank].T
+                else:
+                    u, v = u_m[:, :rank], vh_m[:rank]
+                out[action] = ((u, s_m[:rank], v), base)
+        return out
+    except Exception as exc:  # never let scoring break the search
+        import warnings
+
+        warnings.warn(
+            f"shared split scoring failed ({exc}); falling back to "
+            "per-action SVDs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return {}
 
 
 def maybe_batched_svds(

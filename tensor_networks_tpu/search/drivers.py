@@ -22,7 +22,7 @@ import time
 from typing import List, Optional, Set, Tuple
 
 from tensor_networks_tpu.network import TensorNetwork
-from tensor_networks_tpu.search.batched import maybe_batched_svds
+from tensor_networks_tpu.search.batched import scored_splits
 from tensor_networks_tpu.search.configuration import SearchConfig
 from tensor_networks_tpu.search.mdp import SearchState
 from tensor_networks_tpu.search.trace import SearchTrace
@@ -71,12 +71,15 @@ def run_bfs(
         ):
             break
         actions = state.get_legal_actions(use_osplit)
-        # large single-node states: every action's SVD in shape-grouped
-        # batched device calls (no-op {} when ineligible)
-        svds = maybe_batched_svds(state, actions)
+        # single-node states: every action's SVD in shape-grouped
+        # batched device/host calls; multi-node states: one shared
+        # environment orthonormalization per target node (no-op {}
+        # when ineligible; absent actions take the per-action path)
+        scored = scored_splits(state, actions)
         for action in actions:
+            sv, base = scored.get(action, (None, None))
             for child in state.take_action(
-                action, config=config, svd=svds.get(action)
+                action, config=config, svd=sv, network=base
             ):
                 if config.heuristics.prune_full_rank and child.is_noop:
                     continue
@@ -135,11 +138,12 @@ def run_dfs(
         # failed SVD — the per-action fallback covers those) —
         # batch-precomputing all of them is mostly waste.  BFS
         # consumes every action, so run_bfs always precomputes.
-        svds = {} if last_level else maybe_batched_svds(state, actions)
+        scored = {} if last_level else scored_splits(state, actions)
         for action in actions:
             level_config = _narrowed(config, 1 if last_level else width)
+            sv, base = scored.get(action, (None, None))
             for child in state.take_action(
-                action, config=level_config, svd=svds.get(action)
+                action, config=level_config, svd=sv, network=base
             ):
                 if config.heuristics.prune_full_rank and child.is_noop:
                     continue

@@ -132,9 +132,16 @@ class SearchState:
     # -- successor generation -------------------------------------------------
 
     def take_action(
-        self, action: Action, config: SearchConfig, svd=None
+        self, action: Action, config: SearchConfig, svd=None, network=None
     ) -> Iterator["SearchState"]:
-        """Successor states of applying ``action`` to this state."""
+        """Successor states of applying ``action`` to this state.
+
+        ``svd`` injects a precomputed decomposition (the batched scorer
+        contract); ``network`` optionally supplies the base network the
+        decomposition was computed ON — the scorer's orthonormalized
+        copy for multi-node states, where injecting factors into the
+        un-orthonormalized graph would change the represented tensor.
+        """
         if isinstance(action, Merge):
             child = self._child(copy.deepcopy(self.network), self.curr_delta)
             action.execute(child.network)
@@ -149,7 +156,8 @@ class SearchState:
         if action.delta is not None:
             self.curr_delta = action.delta
 
-        work = copy.deepcopy(self.network)
+        base = self.network if network is None else network
+        work = copy.deepcopy(base)
         try:
             names, cap = action.execute(work, svd)
         except (np.linalg.LinAlgError, ValueError):

@@ -152,3 +152,32 @@ def test_device_scored_children_are_host_resident(monkeypatch):
                 f"device residency leaked into child node {node}: "
                 f"{type(val)}"
             )
+
+
+@pytest.mark.parametrize("kind", ["bfs", "dfs"])
+def test_multinode_shared_scoring_counts_match(kind, monkeypatch):
+    """Depth-3 searches expand multi-node states: the shared per-node
+    orthonormalization + injected-svd path (scored_splits) must keep
+    counts and best cost identical to the per-action path."""
+    import dataclasses
+
+    def run(force):
+        if force is None:
+            monkeypatch.delenv("TNT_SEARCH_DEVICE", raising=False)
+        else:
+            monkeypatch.setenv("TNT_SEARCH_DEVICE", force)
+        net = _net(shape=(3, 4, 5, 6), seed=13)
+        config = SearchConfig()
+        config.engine.eps = 0.4
+        config.engine.max_ops = 3
+        engine = SearchEngine(config=config)
+        return getattr(engine, kind)(net)
+
+    host = run("0")
+    shared = run("1")
+    assert host["count"] == shared["count"], (
+        host["count"], shared["count"],
+    )
+    assert np.isclose(
+        host["best_network"].cost(), shared["best_network"].cost()
+    )
