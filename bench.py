@@ -941,7 +941,7 @@ def main():
                 n_small = 1024
                 idx_s = idx_e[: n_ens * n_small]
                 f_1 = f_e[:N]
-                m_1 = jnp.ascontiguousarray(m_e[:, :, :N])
+                m_1 = m_e[:, :, :N] + 0.0  # materialized slice
                 l_1 = l_e[:, :N]
                 idx_1 = jnp.asarray(
                     np.asarray(idx_s[:n_small]) % N, jnp.int32

@@ -24,13 +24,13 @@ cause).  Non-uniform mode sizes, where exact shapes would multiply
 compiles instead, fall back to pow2 bucketing (see
 :func:`batched_split_svds`).
 
-Restricting to single-node states keeps successor semantics *identical*
-to the per-action path: ``network.svd(..., with_orthonormal=True)``
-orthonormalizes the node's environment first, which is a no-op exactly
-when the node has no neighbors.  Multi-node states are small in practice
-(children of a split shrink geometrically) and stay on the host-routed
-per-action path, which round-2 validation showed is the right placement
-for them.
+Single-node states need no environment handling: ``network.svd(...,
+with_orthonormal=True)`` orthonormalizes the node's environment first,
+which is a no-op exactly when the node has no neighbors.  Multi-node
+states go through :func:`scored_splits` (round 4): ONE environment
+orthonormalization shared per target node, host-decomposed
+matricizations, children built from the orthonormalized base via
+``take_action(.., network=..)``.
 
 Zero-padding is safe end to end: padding rows/cols only append zero
 singular values, and every singular vector with a *nonzero* value is
@@ -149,7 +149,6 @@ def _svd_fn(bucket: Tuple[int, int], dtype_key: str):
 
 
 _GRAM_FNS: Dict[tuple, object] = {}
-_VREC_FNS: Dict[tuple, object] = {}
 _POOL = None
 
 
@@ -180,23 +179,6 @@ def _gram_fn(bucket: Tuple[int, int], dtype_key: str):
     return fn
 
 
-def _vrec_fn(bucket: Tuple[int, int], dtype_key: str):
-    """Jitted batched right-factor recovery ``V = diag(1/s) U^T A``."""
-    key = (bucket, dtype_key)
-    fn = _VREC_FNS.get(key)
-    if fn is not None:
-        return fn
-    import jax
-    import jax.numpy as jnp
-
-    fn = jax.jit(
-        lambda stack, u, sinv: jnp.einsum(
-            "kmM,kmn->kMn", u, stack, precision="highest"
-        )
-        * sinv[:, :, None]
-    )
-    _VREC_FNS[key] = fn
-    return fn
 
 
 def batched_split_svds(
@@ -218,10 +200,11 @@ def batched_split_svds(
       GIL).
     * **wide groups** (n >= 4 m), when the caller's truncation budget
       clears the Gram resolution floor (~32 sqrt(mach) ||A||): the MXU
-      does the O(n m^2) reduction as ONE batched Gram GEMM, the tiny
-      (m, m) eigh runs on host threads, and the right factors come back
-      from ONE batched ``U^T A`` GEMM.  Only (m, m) blocks cross the
-      host boundary.
+      does the O(n m^2) reduction as ONE batched Gram GEMM and only the
+      tiny (m, m) blocks are fetched; the eighs AND the right factors
+      ``V = diag(1/s) U^T A`` run on host from the once-fetched raw
+      tensor — device-resident V would cost one relay fetch per child
+      commit (measured: ~40 s of the 64 s bfs8 leg).
     * **wide groups under a tight budget**: the exact batched device
       SVD (spectra below the Gram floor stay trustworthy).
     """
@@ -356,33 +339,47 @@ def batched_split_svds(
             gram_ok = budget >= 32.0 * np.sqrt(mach) * fro
 
         if gram_ok:
+            # only the (m, m) Grams cross the device boundary; the
+            # eighs AND the right factors are computed on host from the
+            # once-fetched raw tensor — a device-resident V would cost
+            # one relay fetch PER CHILD COMMIT (measured: the 92 wide
+            # actions' V fetches were ~40 s of the 64 s bfs8 leg)
             gram_h = np.asarray(_gram_fn(bucket, dtype_key)(stack))
+            if x_np is None:
+                x_np = np.asarray(val)
 
-            def _one_eigh(j):
+            def _one_gram(j):
                 try:
                     w, q = np.linalg.eigh(
                         gram_h[j].astype(np.float64)
                     )
                 except np.linalg.LinAlgError:
                     return None
-                s_j = np.sqrt(np.clip(w[::-1], 0.0, None))
-                return s_j, q[:, ::-1]
-            eighs = list(_pool().map(_one_eigh, range(len(members))))
-            if any(e is None for e in eighs):
+                s_j = np.sqrt(np.clip(w[::-1], 0.0, None)).astype(
+                    x_np.dtype
+                )
+                u_j = np.ascontiguousarray(q[:, ::-1]).astype(
+                    x_np.dtype
+                )
+                _, axes, trans, dim_l, dim_r = plans[members[j]]
+                rest = tuple(k for k in range(nd) if k not in axes)
+                mat = np.transpose(
+                    x_np, tuple(axes) + rest
+                ).reshape(dim_l, dim_r)
+                if trans:
+                    mat = mat.T
+                sinv = 1.0 / np.maximum(
+                    s_j, np.sqrt(mach) * (s_j[0] + 1e-300)
+                )
+                return u_j, s_j, (u_j.T @ mat) * sinv[:, None]
+            grams = list(_pool().map(_one_gram, range(len(members))))
+            if any(e is None for e in grams):
                 u_b, s_b, vh_b = _svd_fn(bucket, dtype_key)(stack)
                 s_host = np.asarray(s_b)
             else:
-                s_host = np.stack([e[0] for e in eighs]).astype(x.dtype)
-                u_host = np.stack([e[1] for e in eighs]).astype(x.dtype)
-                import jax.numpy as jnp
-
-                sinv = 1.0 / np.maximum(
-                    s_host, np.sqrt(mach) * (s_host[:, :1] + 1e-300)
-                )
-                u_b = u_host
-                vh_b = _vrec_fn(bucket, dtype_key)(
-                    stack, jnp.asarray(u_host), jnp.asarray(sinv)
-                )
+                s_host = np.stack([e[1] for e in grams])
+                u_b = np.stack([e[0] for e in grams])
+                vh_b = [e[2] for e in grams]  # ragged n per member: list
         else:
             u_b, s_b, vh_b = _svd_fn(bucket, dtype_key)(stack)
             s_host = np.asarray(s_b)  # ONE small fetch per group
@@ -390,16 +387,17 @@ def batched_split_svds(
         for j, i in enumerate(members):
             action, _, trans, dim_l, dim_r = plans[i]
             k = min(dim_l, dim_r)
-            s_j = s_host[j, :k]
+            s_j = s_host[j][:k]
             if not np.all(np.isfinite(s_j)):
                 continue  # diverged SVD: per-action path has a fallback
             rank, _ = _trunc_rank(s_j, delta0)
+            u_j, vh_j = u_b[j], vh_b[j]
             if trans:  # oriented matrix was A^T: A = vh^T s u^T
-                u = vh_b[j, :rank, :dim_l].T
-                v = u_b[j, :dim_r, :rank].T
+                u = vh_j[:rank, :dim_l].T
+                v = u_j[:dim_r, :rank].T
             else:
-                u = u_b[j, :dim_l, :rank]
-                v = vh_b[j, :rank, :dim_r]
+                u = u_j[:dim_l, :rank]
+                v = vh_j[:rank, :dim_r]
             out[action] = (u, s_j[:rank], v)
     return out
 
