@@ -99,14 +99,17 @@ class ISplit(Action):
             # hands us jnp arrays; a forced np.asarray here would fetch
             # the full U/V through the relay before truncation slices
             # them down) — np.diag of the small s vector is cheap
+            # keep_host: a NumPy factor means the scorer decided host
+            # residency (children are searched on host) — a device push
+            # here would round-trip every factor through the relay
             net.node_tensor(names[0]).update_val_size(
-                u_mat.reshape(*lshape, -1)
+                u_mat.reshape(*lshape, -1), keep_host=True
             )
             net.node_tensor(names[1]).update_val_size(
-                np.diag(np.asarray(s_vec))
+                np.diag(np.asarray(s_vec)), keep_host=True
             )
             net.node_tensor(names[2]).update_val_size(
-                v_mat.reshape(-1, *rshape)
+                v_mat.reshape(-1, *rshape), keep_host=True
             )
         return names, min(dim_l, dim_r)
 

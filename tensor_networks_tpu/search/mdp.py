@@ -200,7 +200,9 @@ class SearchState:
             for nm in (u, s, v):
                 val = kept.value(nm)
                 if not isinstance(val, np.ndarray):
-                    kept.node_tensor(nm).update_val_size(np.asarray(val))
+                    kept.node_tensor(nm).update_val_size(
+                        np.asarray(val), keep_host=True
+                    )
             kept.merge(v, s)
             child = self._child(kept, self.curr_delta)
             child.links.append(kept.get_contraction_index(u, v)[0].name)
@@ -218,11 +220,18 @@ class SearchState:
             u_val = np.asarray(u_val[..., :rmax])
             v_val = np.asarray(v_val[:rmax, ...])
         left = float(np.sqrt(budget_sq - spent))
+        host = isinstance(u_val, np.ndarray)
         for rank in ranks:
             cand = copy.deepcopy(net)
-            cand.node_tensor(u).update_val_size(u_val[..., :rank])
-            cand.node_tensor(s).update_val_size(np.diag(spectrum[:rank]))
-            cand.node_tensor(v).update_val_size(v_val[:rank, ...])
+            cand.node_tensor(u).update_val_size(
+                u_val[..., :rank], keep_host=host
+            )
+            cand.node_tensor(s).update_val_size(
+                np.diag(spectrum[:rank]), keep_host=host
+            )
+            cand.node_tensor(v).update_val_size(
+                v_val[:rank, ...], keep_host=host
+            )
             cand.merge(v, s)
             child = self._child(cand, left)
             child.links.append(cand.get_contraction_index(u, v)[0].name)

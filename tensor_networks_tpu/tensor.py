@@ -53,7 +53,7 @@ class Tensor:
 
     # -- metadata updates ----------------------------------------------------
 
-    def update_val_size(self, value) -> "Tensor":
+    def update_val_size(self, value, keep_host: bool = False) -> "Tensor":
         """Replace the value in place; index sizes follow the new shape.
 
         On the TPU backend, small host (NumPy) arrays are kept
@@ -62,18 +62,25 @@ class Tensor:
         memory): small graph tensors flow host SVD -> host contraction
         -> host install, and pushing them to the device here would
         force a relay round trip per operation (measured 10-20x search
-        slowdowns).  Everything else converts to a device array as
-        before; device consumers (packed kernels, sharded paths)
-        convert at their own boundary.
+        slowdowns).  ``keep_host=True`` keeps a NumPy value host even
+        ABOVE the size gate — the search scorer's contract: it chose
+        host residency for its factors deliberately, and a device push
+        here would cost one relay upload per install plus one fetch
+        per child commit (measured: ~42 s of a 71 s search level).
+        Everything else converts to a device array as before; device
+        consumers (packed kernels, sharded paths) convert at their own
+        boundary.
         """
         import jax
 
         from tensor_networks_tpu.kernels.linalg import _host_svd_threshold
 
-        if (
-            isinstance(value, np.ndarray)
-            and jax.default_backend() == "tpu"
-            and value.size < _host_svd_threshold()
+        if isinstance(value, np.ndarray) and (
+            keep_host
+            or (
+                jax.default_backend() == "tpu"
+                and value.size < _host_svd_threshold()
+            )
         ):
             value = value.copy()
         else:
