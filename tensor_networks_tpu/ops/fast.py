@@ -335,6 +335,73 @@ def _sign_newton_schulz(a0, alpha, max_iters: int):
     return x
 
 
+@lru_cache(maxsize=16)
+def _orth_probe_np(r: int):
+    """Fixed orthonormal probe (host QR of a seeded Gaussian).
+
+    The truncation sweeps sample each spectral projector's range as
+    ``P @ probe``.  With a raw Gaussian probe the kept block's
+    conditioning is the probe's (unbounded heavy tail for square
+    Gaussians), which is why they needed a second CholQR pass; for any
+    orthogonal projector P and ORTHONORMAL probe Qp the kept block of
+    ``P @ Qp`` satisfies ``sigma in [sigma_min(Qp), sigma_max(Qp)] =
+    {1}``, so one CholQR pass leaves an orthogonality defect at the
+    eps level and a two-step GEMM polish reaches the dtype floor.
+    Computed on host at trace time (it is a compile-time constant).
+    """
+    rng = np.random.default_rng(7)
+    q, _ = np.linalg.qr(rng.standard_normal((r, r)))
+    return q
+
+
+def _proj_basis_cols(proj, masks, mach):
+    """Orthonormal column bases for batched spectral projectors.
+
+    Returns ``Q`` (same batch as ``proj``) whose first ``k_bond``
+    columns (the others are zeroed by ``masks``) orthonormally span
+    each projector's range: one batched CholQR pass on ``P @ Qp``
+    (``Qp`` the fixed orthonormal probe above) followed by a two-step
+    Newton-Schulz orthonormality polish ``Q <- Q (3I - Q^T Q)/2``.
+
+    The polish replaces the previous second CholQR pass: it squares
+    the ~eps-level defect per step using two GEMMs, where the second
+    batched cholesky + triangular solve cost ~0.75 ms of panel latency
+    at (49,128,128) on TPU (measured, tools/prefix_dw_profile.py) for
+    identical output quality.
+
+    The masks are applied BETWEEN the CholQR pass and the polish: the
+    triangular solve never mixes later (ghost) columns into earlier
+    (kept) ones, but a global polish would — on rank-deficient bonds
+    the jitter-normalized ghost columns sit only ~eps/sqrt(shift)
+    away from orthogonal to the kept block, and one polish step leaks
+    that into the kept columns (measured 1.6e-11 f64 value error on a
+    doubled train vs <1e-12 for CholQR2).  Zeroed columns stay exactly
+    zero through the polish (their Gram row/column is zero), so the
+    kept block polishes in isolation.
+    """
+    r = proj.shape[-1]
+    dt = proj.dtype
+    probe = jnp.asarray(_orth_probe_np(r), dt)
+    c0 = jnp.einsum("kab,bc->kac", proj, probe, precision="highest")
+    g = jnp.einsum("kab,kac->kbc", c0, c0, precision="highest")
+    jit = (jnp.einsum("kaa->k", g) / r + 1e-30) * (20.0 * mach)
+    l, _ = _chol_adaptive(g, jit)
+    q = jax.lax.linalg.triangular_solve(
+        l, c0, left_side=False, lower=True, transpose_a=True
+    )
+    q = q * masks[:, None, :]
+    eye = jnp.eye(r, dtype=dt)
+    for _ in range(2):
+        gq = jnp.einsum("kab,kac->kbc", q, q, precision="highest")
+        q = jnp.einsum(
+            "kab,kbc->kac",
+            q,
+            1.5 * eye[None] - 0.5 * gq,
+            precision="highest",
+        )
+    return q
+
+
 def _chol_adaptive(g, jit0):
     """Batched/unbatched Cholesky with per-matrix escalating shift.
 
@@ -767,13 +834,13 @@ def _tt_round_twosided_sweep_fn(relative: bool, sign_iters: int = 100):
             jnp.arange(r, dtype=jnp.int32)[None, :] < ks[:, None]
         ).astype(dt)
 
-        # orthonormal range basis: batched QR of P applied to a fixed
-        # probe; only the first k_bond columns are meaningful (masked)
-        probe = jax.random.normal(jax.random.PRNGKey(7), (r, r), dt)
-        q_all, _ = jnp.linalg.qr(
-            jnp.einsum("kab,bc->kac", proj, probe, precision="highest")
-        )
-        um = q_all * masks[:, None, :]  # (d-1, r, r), masked columns
+        # orthonormal range basis: CholQR + Newton-Schulz polish on the
+        # fixed orthonormal probe (batched QR at (49,128,128) costs
+        # ~2.2 ms of panel latency on TPU; the shared GEMM-only helper
+        # measures ~0.6 ms for the same masked-column contract)
+        um = _proj_basis_cols(
+            proj, masks, jnp.asarray(jnp.finfo(dt).eps, dt)
+        )  # (d-1, r, r), masked columns
 
         # ---- project: W_k = Q_{k-1}^T U_k Q_k (pure GEMMs) ----------
         first_out = jnp.matmul(u_first, um[0], precision="highest")
@@ -1144,21 +1211,8 @@ def _tt_round_prefix_sweep_fn(
             jnp.arange(r, dtype=jnp.int32)[None, :] < ks[:, None]
         ).astype(dt)
 
-        # ---- orthonormal bases: batched CholQR2 of P @ probe ---------
-        probe = jax.random.normal(jax.random.PRNGKey(7), (r, r), dt)
-        c0 = jnp.einsum("kab,bc->kac", proj, probe, precision="highest")
-
-        def cholqr_cols(c):
-            g = jnp.einsum("kab,kac->kbc", c, c, precision="highest")
-            jit = (jnp.einsum("kaa->k", g) / r + 1e-30) * (20.0 * mach)
-            l, _ = _chol_adaptive(g, jit)
-            # solve c = q l^T for q: batched triangular solve on rows
-            q = jax.lax.linalg.triangular_solve(
-                l, c, left_side=False, lower=True, transpose_a=True
-            )
-            return q
-
-        q_all = cholqr_cols(cholqr_cols(c0)) * masks[:, None, :]
+        # ---- orthonormal bases: CholQR + Newton-Schulz polish ---------
+        q_all = _proj_basis_cols(proj, masks, mach)
 
         # ---- oblique insertions a = E^{-1} Q, b^T = Q^T E ------------
         a_ins = jax.lax.linalg.triangular_solve(

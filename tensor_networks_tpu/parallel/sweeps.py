@@ -586,6 +586,7 @@ def _prefix_sharded_fn(
     from tensor_networks_tpu.kernels.ozaki import _pow2_exact, two_sum
     from tensor_networks_tpu.ops.fast import (
         _chol_adaptive,
+        _proj_basis_cols,
         _sign_newton_schulz,
     )
 
@@ -809,18 +810,9 @@ def _prefix_sharded_fn(
             jnp.arange(r, dtype=jnp.int32)[None, :] < ks[:, None]
         ).astype(dt)
 
-        probe = jax.random.normal(jax.random.PRNGKey(7), (r, r), dt)
-        c0 = jnp.einsum("kab,bc->kac", proj, probe, precision="highest")
-
-        def cholqr_cols(c):
-            g = jnp.einsum("kab,kac->kbc", c, c, precision="highest")
-            jit = (jnp.einsum("kaa->k", g) / r + 1e-30) * (20.0 * mach)
-            l, _ = _chol_adaptive(g, jit)
-            return jax.lax.linalg.triangular_solve(
-                l, c, left_side=False, lower=True, transpose_a=True
-            )
-
-        q_b = cholqr_cols(cholqr_cols(c0)) * masks[:, None, :]
+        # shared with the fused sweep: CholQR + Newton-Schulz polish on
+        # the fixed orthonormal probe (bond-local, no communication)
+        q_b = _proj_basis_cols(proj, masks, mach)
         a_ins = jax.lax.linalg.triangular_solve(
             e_b, q_b, left_side=True, lower=False
         )  # E a = Q
