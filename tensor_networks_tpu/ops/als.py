@@ -37,6 +37,7 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tensor_networks_tpu.ops.packed import (
     PackedTT,
@@ -322,6 +323,52 @@ _als_sweep_fused = jax.jit(
 )
 
 
+def _als_loop_impl(x0c, X, xlc, a0, Am, al, b0, Bm, bl, op, rhs,
+                   lam, warm_first, warm_mid, warm_last, sweeps, tol,
+                   cap, dense_limit, cg_iters, spd):
+    """The whole fused sweep LOOP as one program: up to ``cap`` sweeps,
+    the true residual (``norm_exact`` of the residual train) and the
+    ``res < tol`` stop computed ON DEVICE — a multi-sweep solve costs
+    zero host round-trips between sweeps (the per-sweep host residual
+    was worth more relay time than the sweep's compute).  ``op``/``rhs``
+    are the ORIGINAL packed operands (the residual is measured exactly
+    as the host loop measures it).  ``sweeps`` and ``tol`` are device
+    scalars; ``cap`` is bucketed to powers of two by the caller so
+    nearby sweep budgets share one compile.  Returns the final cores
+    plus a ``(cap + 1,)`` record: per-sweep residuals (NaN past the
+    executed count) with the executed sweep count in the tail."""
+    dt = x0c.dtype
+
+    def cond(c):
+        _, _, _, _, i, done = c
+        return jnp.logical_and(i < sweeps, jnp.logical_not(done))
+
+    def body(c):
+        z0, Vm, vlq, hist, i, _ = c
+        z0n, Vmn, vlqn = _als_sweep_impl(
+            z0, Vm, vlq, a0, Am, al, b0, Bm, bl, lam,
+            warm_first, warm_mid, warm_last,
+            dense_limit, cg_iters, spd,
+        )
+        x = PackedTT(z0n[0], Vmn, vlqn[..., 0])
+        res = norm_exact(_residual_train(op, rhs, x)).astype(dt)
+        hist = jax.lax.dynamic_update_slice(hist, res[None], (i,))
+        return (z0n, Vmn, vlqn, hist, i + 1, res < tol)
+
+    c0 = (
+        x0c, X, xlc, jnp.full((cap,), jnp.nan, dt),
+        jnp.asarray(0, jnp.int32), jnp.asarray(False),
+    )
+    z0, Vm, vlq, hist, i, _ = jax.lax.while_loop(cond, body, c0)
+    return z0, Vm, vlq, jnp.concatenate([hist, i.astype(dt)[None]])
+
+
+_als_loop_fused = jax.jit(
+    _als_loop_impl,
+    static_argnames=("cap", "dense_limit", "cg_iters", "spd"),
+)
+
+
 def _residual_train(op: PackedTTOp, rhs: PackedTT, x: PackedTT) -> PackedTT:
     return add(rhs, scale(ttop_apply_packed(op, x), -1.0))
 
@@ -377,10 +424,12 @@ def als_solve(
     of a strongly nonsymmetric ``A`` is near-singular).  Grow ranks by
     restarting from ``packed.pad_rank(x, r2)``.
 
-    ``fused`` (default on) runs each full sweep as ONE jitted program
-    (boundary cores explicit, mid cores as ``lax.scan`` sweeps) instead
-    of ~10 d separate dispatches — arithmetic identical to the host
-    loop, which ``fused=False`` keeps for debugging.
+    ``fused`` (default on) runs the WHOLE sweep loop as ONE jitted
+    program (boundary cores explicit, mid cores as ``lax.scan``
+    sweeps, residual + ``res < tol`` stop on device via
+    ``lax.while_loop``) instead of ~10 d separate dispatches per sweep
+    plus a host residual fetch between sweeps — arithmetic identical
+    to the host loop, which ``fused=False`` keeps for debugging.
     """
     if fused is None:
         fused = True
@@ -441,61 +490,90 @@ def als_solve(
     x = PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0])
 
     if fused:
-        # stacked operands for the single-program sweep
+        if sweeps <= 0:
+            return x, res, history
+        # stacked operands for the single-program sweep LOOP: the
+        # whole multi-sweep solve (residual + convergence test
+        # included) runs as one device program, fetched once
         fz = (xs[0], jnp.stack(xs[1:-1]), xs[-1])
         a_stk = (as_[0], op.mids.astype(dt), as_[-1])
         b_stk = (bs[0], rhs.mids.astype(dt), bs[-1])
         warm_f = jnp.asarray(warm_ok[0])
         warm_m = jnp.asarray(warm_ok[1:-1])
         warm_l = jnp.asarray(warm_ok[-1])
-    else:
-        # right-environment prefixes for the first left-to-right pass;
-        # subsequent passes get them from the preceding right-to-left
-        # pass (each half-sweep records the prefixes the next consumes)
-        rev_rs, rev_rbs = [one3], [one2]
-        for k in range(d - 1, 0, -1):
-            rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
-            rev_rbs.append(_adv_right_b(rev_rbs[-1], xs[k], bs[k]))
+        cap = 1 << max(sweeps - 1, 1).bit_length()
+        z0, Vm, vlq, rec = _als_loop_fused(
+            *fz, *a_stk, *b_stk, op, rhs, lam_d,
+            warm_f, warm_m, warm_l,
+            jnp.asarray(sweeps, jnp.int32), jnp.asarray(tol, dt),
+            cap=cap, dense_limit=dense_limit,
+            cg_iters=cg_iters, spd=spd,
+        )
+        rec = np.asarray(rec)  # ONE host fetch for the whole loop
+        n_done = int(rec[-1])
+        history = [float(v) for v in rec[:n_done]]
+        if history:
+            res = history[-1]
+        x = PackedTT(z0[0], Vm, vlq[..., 0])
+        # post-hoc stall warning — the same between-sweep condition
+        # the host loop checks (see the comment there)
+        size = x0.rank * x0.mode * x0.rank
+        if size > dense_limit:
+            for i in range(1, len(history)):
+                if history[i] >= tol and history[i] > 0.98 * history[i - 1]:
+                    warnings.warn(_STALL_MSG.format(
+                        res=history[i], size=size,
+                        dense_limit=dense_limit,
+                        path=("plain CG on the SPD projection" if spd
+                              else "CG on normal equations"),
+                        spd_hint=("" if spd
+                                  else "; for SPD operators pass "
+                                       "spd=True"),
+                    ), RuntimeWarning, stacklevel=2)
+                    break
+        return x, res, history
+
+    # host-loop path: right-environment prefixes for the first
+    # left-to-right pass; subsequent passes get them from the
+    # preceding right-to-left pass (each half-sweep records the
+    # prefixes the next consumes)
+    rev_rs, rev_rbs = [one3], [one2]
+    for k in range(d - 1, 0, -1):
+        rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
+        rev_rbs.append(_adv_right_b(rev_rbs[-1], xs[k], bs[k]))
 
     for _sweep in range(sweeps):
-        if fused:
-            fz = _als_sweep_fused(
-                *fz, *a_stk, *b_stk, lam_d, warm_f, warm_m, warm_l,
-                dense_limit, cg_iters, spd,
+        rs = rev_rs[::-1]  # rs[k] = env right of core k
+        rbs = rev_rbs[::-1]
+
+        # left -> right, recording left prefixes for the return pass
+        ls, lbs = [one3], [one2]
+        for k in range(d):
+            xs[k] = _solve_core(
+                ls[-1], rs[k], lbs[-1], rbs[k], as_[k], bs[k], xs[k],
+                lam_d, dense_limit, cg_iters, spd, warm_ok[k],
             )
-            x = PackedTT(fz[0][0], fz[1], fz[2][..., 0])
-        else:
-            rs = rev_rs[::-1]  # rs[k] = env right of core k
-            rbs = rev_rbs[::-1]
+            if k < d - 1:
+                xs[k] = _left_orth(xs[k])
+                ls.append(_adv_left(ls[-1], xs[k], as_[k]))
+                lbs.append(_adv_left_b(lbs[-1], xs[k], bs[k]))
 
-            # left -> right, recording left prefixes for the return pass
-            ls, lbs = [one3], [one2]
-            for k in range(d):
-                xs[k] = _solve_core(
-                    ls[-1], rs[k], lbs[-1], rbs[k], as_[k], bs[k], xs[k],
-                    lam_d, dense_limit, cg_iters, spd, warm_ok[k],
+        # right -> left, recording right prefixes for the next sweep
+        rev_rs, rev_rbs = [one3], [one2]
+        for k in range(d - 1, -1, -1):
+            xs[k] = _solve_core(
+                ls[k], rev_rs[-1], lbs[k], rev_rbs[-1],
+                as_[k], bs[k], xs[k],
+                lam_d, dense_limit, cg_iters, spd, warm_ok[k],
+            )
+            if k > 0:
+                xs[k] = _right_orth(xs[k])
+                rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
+                rev_rbs.append(
+                    _adv_right_b(rev_rbs[-1], xs[k], bs[k])
                 )
-                if k < d - 1:
-                    xs[k] = _left_orth(xs[k])
-                    ls.append(_adv_left(ls[-1], xs[k], as_[k]))
-                    lbs.append(_adv_left_b(lbs[-1], xs[k], bs[k]))
 
-            # right -> left, recording right prefixes for the next sweep
-            rev_rs, rev_rbs = [one3], [one2]
-            for k in range(d - 1, -1, -1):
-                xs[k] = _solve_core(
-                    ls[k], rev_rs[-1], lbs[k], rev_rbs[-1],
-                    as_[k], bs[k], xs[k],
-                    lam_d, dense_limit, cg_iters, spd, warm_ok[k],
-                )
-                if k > 0:
-                    xs[k] = _right_orth(xs[k])
-                    rev_rs.append(_adv_right(rev_rs[-1], xs[k], as_[k]))
-                    rev_rbs.append(
-                        _adv_right_b(rev_rbs[-1], xs[k], bs[k])
-                    )
-
-            x = PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0])
+        x = PackedTT(xs[0][0], jnp.stack(xs[1:-1]), xs[-1][..., 0])
 
         res = _residual(op, rhs, x)
         history.append(res)

@@ -34,6 +34,7 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tensor_networks_tpu.ops.als import (
     _adv_left,
@@ -430,6 +431,50 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
 _eig_sweep_fused = jax.jit(_eig_sweep_impl)
 
 
+def _eig_loop_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift,
+                   sweeps, tol, cap):
+    """The whole fused sweep LOOP as one program: up to ``cap`` sweeps
+    with the convergence test on device, so a multi-sweep solve costs
+    zero host round-trips between sweeps (each ``float()`` through the
+    relay is ~25 ms — more than a full sweep's compute, measured
+    2026-08-20: pure sweep 21.6 ms at K=22 r=8 f32).  ``sweeps`` and
+    ``tol`` are device scalars — one compiled program serves every
+    sweep budget up to ``cap`` (cap is bucketed to powers of two by the
+    caller, bounding recompiles).  Returns the final cores plus a
+    ``(2 cap + 1,)`` record: per-half-sweep Rayleigh values (NaN past
+    the executed count) with the executed sweep count in the tail."""
+    dt = x0c.dtype
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+
+    def cond(c):
+        _, _, _, _, _, i, done = c
+        return jnp.logical_and(i < sweeps, jnp.logical_not(done))
+
+    def body(c):
+        z0, Vm, vlq, lam_prev, hist, i, _ = c
+        z0n, Vmn, vlqn, lam_f, lam_b = _eig_sweep_impl(
+            z0, Vm, vlq, a0, Am, al, mstk, vstk, shift
+        )
+        hist = jax.lax.dynamic_update_slice(
+            hist, jnp.stack([lam_f, lam_b]), (2 * i,)
+        )
+        conv = jnp.abs(lam_prev - lam_b) <= tol * jnp.maximum(
+            jnp.abs(lam_b), tiny
+        )
+        return (z0n, Vmn, vlqn, lam_b, hist, i + 1, conv)
+
+    c0 = (
+        x0c, X, xlc, jnp.asarray(jnp.inf, dt),
+        jnp.full((2 * cap,), jnp.nan, dt),
+        jnp.asarray(0, jnp.int32), jnp.asarray(False),
+    )
+    z0, Vm, vlq, _, hist, i, _ = jax.lax.while_loop(cond, body, c0)
+    return z0, Vm, vlq, jnp.concatenate([hist, i.astype(dt)[None]])
+
+
+_eig_loop_fused = jax.jit(_eig_loop_impl, static_argnames=("cap",))
+
+
 def _op_fro_norm(op: PackedTTOp) -> float:
     """Frobenius norm of the represented operator (an upper bound on
     |lam_max|) — the fused-mode operator viewed as a train."""
@@ -490,11 +535,13 @@ def als_eigsh(
     products, and the returned eigenvector is M-normalized
     (``<v, M v> = 1``).
 
-    ``fused`` (default on) runs each full sweep as ONE jitted program
-    (see :func:`_eig_sweep_impl`).  It needs the deflation trains to
-    share one rank: the DEFAULT (``fused=None``) auto-falls-back to
-    the host loop on mixed ranks, while an explicit ``fused=True``
-    raises.  ``fused=False`` keeps the host loop for debugging.
+    ``fused`` (default on) runs the WHOLE sweep loop as ONE jitted
+    program (:func:`_eig_sweep_impl` under ``lax.while_loop`` with the
+    convergence test on device — zero host round-trips between
+    sweeps).  It needs the deflation trains to share one rank: the
+    DEFAULT (``fused=None``) auto-falls-back to the host loop on mixed
+    ranks, while an explicit ``fused=True`` raises.  ``fused=False``
+    keeps the host loop for debugging.
     """
     dt = x0.first.dtype
     xs = [x0.first[None]] + list(x0.mids) + [x0.last[..., None]]
@@ -559,19 +606,23 @@ def als_eigsh(
                 jnp.stack([jnp.stack(v[1:-1]) for v in vs], axis=1),
                 jnp.stack([v[-1] for v in vs]),
             )
-        for _sweep in range(sweeps):
-            z0, Vm, vlq, lam_f, lam_b = _eig_sweep_fused(
-                *fz, a0f, amf, alf, mstk, vstk, shift_d
-            )
-            fz = (z0, Vm, vlq)
-            history.append(float(lam_f))
-            new_lam = float(lam_b)
-            history.append(new_lam)
-            if abs(lam - new_lam) <= tol * max(abs(new_lam), 1e-300):
-                lam = new_lam
-                break
-            lam = new_lam
-        x = PackedTT(fz[0][0], fz[1], fz[2][..., 0])
+        if sweeps <= 0:
+            return PackedTT(fz[0][0], fz[1], fz[2][..., 0]), lam, history
+        # one program for the whole sweep loop — no host syncs between
+        # sweeps; cap bucketed to powers of two so nearby sweep budgets
+        # share a compile
+        cap = 1 << max(sweeps - 1, 1).bit_length()
+        z0, Vm, vlq, rec = _eig_loop_fused(
+            *fz, a0f, amf, alf, mstk, vstk, shift_d,
+            jnp.asarray(sweeps, jnp.int32), jnp.asarray(tol, dt),
+            cap=cap,
+        )
+        rec = np.asarray(rec)  # ONE host fetch for the whole loop
+        n_done = int(rec[-1])
+        history = [float(v) for v in rec[: 2 * n_done]]
+        if history:
+            lam = history[-1]
+        x = PackedTT(z0[0], Vm, vlq[..., 0])
         return x, lam, history
 
     def local_pens(lbs_k, rbs_k, k):

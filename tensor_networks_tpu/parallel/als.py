@@ -28,6 +28,7 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tensor_networks_tpu.ops.als import (
@@ -58,11 +59,13 @@ __all__ = [
 
 
 @lru_cache(maxsize=16)
-def _als_sharded_fn(mesh: Mesh, dense_limit: int, cg_iters: int,
-                    spd: bool):
-    """Jitted shard_map program for one sharded ALS sweep, cached per
+def _als_sharded_raw(mesh: Mesh, dense_limit: int, cg_iters: int,
+                     spd: bool):
+    """UNJITTED shard_map program for one sharded ALS sweep, cached per
     (mesh, dense_limit, cg_iters, spd) — ``lam`` and the warm gates are
-    traced operands."""
+    traced operands.  Left unjitted so the multi-sweep loop program can
+    trace it inside ``lax.while_loop``
+    (:func:`_als_loop_sharded_fn`)."""
     n_stages = mesh.shape["model"]
 
     def body(x0, X_local, xl, a0, Am_local, al, b0, Bm_local, bl,
@@ -173,7 +176,56 @@ def _als_sharded_fn(mesh: Mesh, dense_limit: int, cg_iters: int,
             P(None, None, None),
         ),
     )
-    return jax.jit(fn)
+    return fn
+
+
+@lru_cache(maxsize=16)
+def _als_sharded_fn(mesh: Mesh, dense_limit: int, cg_iters: int,
+                    spd: bool):
+    """Jitted single-sweep form of :func:`_als_sharded_raw`."""
+    return jax.jit(_als_sharded_raw(mesh, dense_limit, cg_iters, spd))
+
+
+@lru_cache(maxsize=16)
+def _als_loop_sharded_fn(mesh: Mesh, dense_limit: int, cg_iters: int,
+                         spd: bool, cap: int):
+    """The whole distributed sweep LOOP as one program — the sharded
+    mirror of :func:`ops.als._als_loop_impl`: up to ``cap`` sweeps with
+    the TRUE residual (distributed orthogonalization-sweep norm) and
+    the ``res < tol`` stop computed on device, so a multi-sweep solve
+    costs zero host round-trips between sweeps.  Returns the final
+    cores plus a ``(cap + 1,)`` record: per-sweep residuals with the
+    executed sweep count in the tail."""
+    smfn = _als_sharded_raw(mesh, dense_limit, cg_iters, spd)
+
+    def loop(x0c, X, xl, a0, Am, al, b0, Bm, bl, lam,
+             warm_f, warm_m, warm_l, sweeps, tol):
+        dt = x0c.dtype
+
+        def cond(c):
+            _, _, _, _, i, done = c
+            return jnp.logical_and(i < sweeps, jnp.logical_not(done))
+
+        def body(c):
+            z0, Xc, vlq, hist, i, _ = c
+            z0n, Xn, vlqn = smfn(
+                z0, Xc, vlq, a0, Am, al, b0, Bm, bl, lam,
+                warm_f, warm_m, warm_l,
+            )
+            res = _residual_sharded_val(
+                mesh, a0, Am, al, b0, Bm, bl, z0n, Xn, vlqn
+            ).astype(dt)
+            hist = jax.lax.dynamic_update_slice(hist, res[None], (i,))
+            return (z0n, Xn, vlqn, hist, i + 1, res < tol)
+
+        c0 = (
+            x0c, X, xl, jnp.full((cap,), jnp.nan, dt),
+            jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        )
+        z0, Xo, vlq, hist, i, _ = jax.lax.while_loop(cond, body, c0)
+        return z0, Xo, vlq, jnp.concatenate([hist, i.astype(dt)[None]])
+
+    return jax.jit(loop)
 
 
 def als_sweep_sharded(
@@ -207,22 +259,29 @@ def place_als_sharded(mesh: Mesh, X, Am, Bm):
     )
 
 
-def _norm_sharded(mesh: Mesh, first, mids, last) -> float:
+def _norm_sharded_val(mesh: Mesh, first, mids, last) -> jnp.ndarray:
     """Backward-stable train norm with the mids sharded: distributed
     right-orthogonalization, then the norm of the folded first core
     (the ``packed.norm_exact`` contract — never the cancelling zipper
-    inner product)."""
+    inner product).  Traceable (returns a device scalar) so the fused
+    sweep loop can evaluate it in-program."""
     carry, _, _ = tt_right_orth_sharded(mesh, mids, last)
-    return float(jnp.linalg.norm(
+    return jnp.linalg.norm(
         jnp.matmul(first, carry, precision="highest")
-    ))
+    )
 
 
-def _residual_sharded(mesh, a0, Am, al, b0, Bm, bl, x0, X, xl) -> float:
+def _norm_sharded(mesh: Mesh, first, mids, last) -> float:
+    return float(_norm_sharded_val(mesh, first, mids, last))
+
+
+def _residual_sharded_val(
+    mesh, a0, Am, al, b0, Bm, bl, x0, X, xl
+) -> jnp.ndarray:
     """``|b - A x|`` with every train sharded: the operator apply and
     the direct-sum difference are core-local (leading-axis maps, no
     bond traffic — GSPMD keeps the train sharding), the norm is the
-    distributed orthogonalization sweep."""
+    distributed orthogonalization sweep.  Traceable (device scalar)."""
     dtp = x0.dtype
 
     # apply: op core (s, i, j, t) x state core (r, j, q) -> fused
@@ -257,7 +316,13 @@ def _residual_sharded(mesh, a0, Am, al, b0, Bm, bl, x0, X, xl) -> float:
 
     spec4 = NamedSharding(mesh, P("model", None, None, None))
     mids_d = jax.device_put(mids_d, spec4)
-    return _norm_sharded(mesh, first_d, mids_d, last_d)
+    return _norm_sharded_val(mesh, first_d, mids_d, last_d)
+
+
+def _residual_sharded(mesh, a0, Am, al, b0, Bm, bl, x0, X, xl) -> float:
+    return float(_residual_sharded_val(
+        mesh, a0, Am, al, b0, Bm, bl, x0, X, xl
+    ))
 
 
 def als_solve_sharded(
@@ -317,19 +382,25 @@ def als_solve_sharded(
 
     history: List[float] = []
     res = float("inf")
-    for _ in range(sweeps):
-        x0c, X, xl = als_sweep_sharded(
-            mesh, x0c, X, xl, a0, Am, al, b0, Bm, bl, lam_d,
-            warm_f, warm_m, warm_l,
-            dense_limit=dense_limit, cg_iters=cg_iters, spd=spd,
-        )
-        res = _residual_sharded(
-            mesh, a0, Am, al, b0, Bm, bl, x0c, X, xl
-        )
-        history.append(res)
-        if res < tol:
-            break
-    return PackedTT(x0c[0], X, xl[..., 0]), res, history
+    if sweeps <= 0:
+        return PackedTT(x0c[0], X, xl[..., 0]), res, history
+    # one program for the whole sweep loop (residual + stop on device)
+    # — no host syncs between sweeps; cap bucketed to powers of two so
+    # nearby budgets share a compile (mirrors ops.als.als_solve)
+    cap = 1 << max(sweeps - 1, 1).bit_length()
+    z0, X, xl, rec = _als_loop_sharded_fn(
+        mesh, int(dense_limit), int(cg_iters), bool(spd), cap
+    )(
+        x0c, X, xl, a0, Am, al, b0, Bm, bl, lam_d,
+        warm_f, warm_m, warm_l,
+        jnp.asarray(sweeps, jnp.int32), jnp.asarray(tol, dtp),
+    )
+    rec = np.asarray(rec)  # ONE host fetch for the whole loop
+    n_done = int(rec[-1])
+    history = [float(v) for v in rec[:n_done]]
+    if history:
+        res = history[-1]
+    return PackedTT(z0[0], X, xl[..., 0]), res, history
 
 
 # -- rank-adaptive distributed solves --------------------------------------------

@@ -28,6 +28,7 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tensor_networks_tpu.ops.eigen import (
@@ -57,12 +58,13 @@ __all__ = [
 
 
 @lru_cache(maxsize=16)
-def _eig_sharded_fn(mesh: Mesh, use_mass: bool, use_pen: bool):
-    """Jitted shard_map program for one sharded eigensolver sweep,
+def _eig_sharded_raw(mesh: Mesh, use_mass: bool, use_pen: bool):
+    """UNJITTED shard_map program for one sharded eigensolver sweep,
     cached per (mesh, mass?, deflation?) — ``shift`` is a traced
     operand.  ``Mm``/``VM`` (and the matching boundary cores) are
     dummy zeros when the feature is off; the shared helpers ignore
-    them."""
+    them.  Left unjitted so the multi-sweep loop program can trace it
+    inside ``lax.while_loop`` (:func:`_eig_loop_sharded_fn`)."""
     n_stages = mesh.shape["model"]
 
     def body(x0, X_local, xl, a0, Am_local, al, mk0, Mm_local, mkl,
@@ -160,7 +162,61 @@ def _eig_sharded_fn(mesh: Mesh, use_mass: bool, use_pen: bool):
                   rep, shd, rep, rep, shd, rep, rep),
         out_specs=(rep, shd, rep, rep, rep),
     )
-    return jax.jit(fn)
+    return fn
+
+
+@lru_cache(maxsize=16)
+def _eig_sharded_fn(mesh: Mesh, use_mass: bool, use_pen: bool):
+    """Jitted single-sweep form of :func:`_eig_sharded_raw`."""
+    return jax.jit(_eig_sharded_raw(mesh, use_mass, use_pen))
+
+
+@lru_cache(maxsize=16)
+def _eig_loop_sharded_fn(mesh: Mesh, use_mass: bool, use_pen: bool,
+                         cap: int):
+    """The whole distributed sweep LOOP as one program — the sharded
+    mirror of :func:`ops.eigen._eig_loop_impl`: up to ``cap`` sweeps
+    with the Rayleigh convergence test on device, so a multi-sweep
+    solve costs zero host round-trips between sweeps (each per-sweep
+    ``float()`` is a cross-host sync on a real pod).  ``sweeps`` and
+    ``tol`` are device scalars; ``cap`` is bucketed to powers of two
+    by the caller.  Returns the final cores plus a ``(2 cap + 1,)``
+    record: per-half-sweep Rayleigh values with the executed sweep
+    count in the tail."""
+    smfn = _eig_sharded_raw(mesh, use_mass, use_pen)
+
+    def loop(x0c, X, xl, a0, Am, al, mk0, Mm, mkl, v0, VM, vl,
+             shift, sweeps, tol):
+        dt = x0c.dtype
+        tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+
+        def cond(c):
+            _, _, _, _, _, i, done = c
+            return jnp.logical_and(i < sweeps, jnp.logical_not(done))
+
+        def body(c):
+            z0, Xc, vlq, lam_prev, hist, i, _ = c
+            z0n, Xn, vlqn, lam_f, lam_b = smfn(
+                z0, Xc, vlq, a0, Am, al, mk0, Mm, mkl, v0, VM, vl,
+                shift,
+            )
+            hist = jax.lax.dynamic_update_slice(
+                hist, jnp.stack([lam_f, lam_b]), (2 * i,)
+            )
+            conv = jnp.abs(lam_prev - lam_b) <= tol * jnp.maximum(
+                jnp.abs(lam_b), tiny
+            )
+            return (z0n, Xn, vlqn, lam_b, hist, i + 1, conv)
+
+        c0 = (
+            x0c, X, xl, jnp.asarray(jnp.inf, dt),
+            jnp.full((2 * cap,), jnp.nan, dt),
+            jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        )
+        z0, Xo, vlq, _, hist, i, _ = jax.lax.while_loop(cond, body, c0)
+        return z0, Xo, vlq, jnp.concatenate([hist, i.astype(dt)[None]])
+
+    return jax.jit(loop)
 
 
 def place_eigsh_sharded(mesh: Mesh, X, Am, Mm=None, VM=None):
@@ -250,21 +306,24 @@ def als_eigsh_sharded(
         else jnp.zeros((), dt)
     )
 
-    fn = _eig_sharded_fn(mesh, use_mass, use_pen)
     history: List[float] = []
     lam = float("inf")
-    for _sweep in range(sweeps):
-        x0c, X, xl, lam_f, lam_b = fn(
-            x0c, X, xl, a0, Am, al, mk0, Mm, mkl, v0, VM, vl, shift_d
-        )
-        history.append(float(lam_f))
-        new_lam = float(lam_b)
-        history.append(new_lam)
-        if abs(lam - new_lam) <= tol * max(abs(new_lam), 1e-300):
-            lam = new_lam
-            break
-        lam = new_lam
-    return PackedTT(x0c[0], X, xl[..., 0]), lam, history
+    if sweeps <= 0:
+        return PackedTT(x0c[0], X, xl[..., 0]), lam, history
+    # one program for the whole sweep loop — no host syncs between
+    # sweeps; cap bucketed to powers of two so nearby budgets share a
+    # compile (mirrors ops.eigen.als_eigsh's fused path)
+    cap = 1 << max(sweeps - 1, 1).bit_length()
+    z0, X, xl, rec = _eig_loop_sharded_fn(mesh, use_mass, use_pen, cap)(
+        x0c, X, xl, a0, Am, al, mk0, Mm, mkl, v0, VM, vl, shift_d,
+        jnp.asarray(sweeps, jnp.int32), jnp.asarray(tol, dt),
+    )
+    rec = np.asarray(rec)  # ONE host fetch for the whole loop
+    n_done = int(rec[-1])
+    history = [float(v) for v in rec[: 2 * n_done]]
+    if history:
+        lam = history[-1]
+    return PackedTT(z0[0], X, xl[..., 0]), lam, history
 
 
 def _inner_sharded(mesh: Mesh, a: PackedTT, b: PackedTT) -> float:

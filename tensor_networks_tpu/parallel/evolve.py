@@ -31,6 +31,7 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tensor_networks_tpu.ops.evolve import (
@@ -161,7 +162,7 @@ def _tdvp_sharded_fn(mesh: Mesh, dense_limit: int, kdim: int):
             P(),
         ),
     )
-    return jax.jit(fn)
+    return jax.jit(fn), fn
 
 
 def tdvp_step_sharded(
@@ -180,9 +181,33 @@ def tdvp_step_sharded(
     (``ops.evolve._tdvp_step_impl`` shapes; ``X``/``Am`` sharded along
     the train — see :func:`place_tdvp_sharded`).  Returns
     ``(x0', X', xl', norm)``."""
-    return _tdvp_sharded_fn(mesh, int(dense_limit), int(kdim))(
+    return _tdvp_sharded_fn(mesh, int(dense_limit), int(kdim))[0](
         x0, X, xl, a0, Am, al, h
     )
+
+
+@lru_cache(maxsize=16)
+def _tdvp_traj_sharded_fn(mesh: Mesh, dense_limit: int, kdim: int):
+    """The whole sharded TDVP trajectory as ONE program: a ``lax.scan``
+    over steps (static step count via the scan length), norms stacked
+    in-program — zero host round-trips between steps (the per-step
+    ``float(nrm)`` was a cross-host sync per step on a real pod).
+    Mirrors the fused single-device trajectory
+    (``ops.evolve.tdvp_trajectory``)."""
+    smfn = _tdvp_sharded_fn(mesh, dense_limit, kdim)[1]
+
+    def traj(x0, X, xl, a0, Am, al, h, steps_arr):
+        def body(c, _):
+            z0, Xc, zl = c
+            z0n, Xn, zln, nrm = smfn(z0, Xc, zl, a0, Am, al, h)
+            return (z0n, Xn, zln), nrm
+
+        (z0, Xo, zl), norms = jax.lax.scan(
+            body, (x0, X, xl), steps_arr
+        )
+        return z0, Xo, zl, norms
+
+    return jax.jit(traj)
 
 
 def place_tdvp_sharded(mesh: Mesh, X: jnp.ndarray, Am: jnp.ndarray):
@@ -216,8 +241,9 @@ def evolve_tdvp_sharded(
     per-chip memory scales as ``1/P``, including the initial
     right-canonicalization (distributed QR sweep — the full train is
     never materialized on one device).  Needs ``d - 2`` divisible by
-    the model-axis size.  Returns ``(u_final, norms)``; the per-step
-    norm fetch is the step barrier (one scalar per step).
+    the model-axis size.  Returns ``(u_final, norms)``; the whole
+    trajectory runs as ONE scanned program and the norms are fetched
+    once at the end.
     """
     dtp = u0.first.dtype
     X, Am = place_tdvp_sharded(mesh, u0.mids, A.mids.astype(dtp))
@@ -227,13 +253,14 @@ def evolve_tdvp_sharded(
     a0 = A.first[None].astype(dtp)
     al = A.last[..., None].astype(dtp)
     h = jnp.asarray(float(dt), dtp)
-    norms: List[float] = []
-    for _ in range(steps):
-        x0, X, xl, nrm = tdvp_step_sharded(
-            mesh, x0, X, xl, a0, Am, al, h,
-            dense_limit=dense_limit, kdim=krylov,
-        )
-        norms.append(float(nrm))
+    if steps <= 0:
+        return PackedTT(x0[0], X, xl[..., 0]), []
+    # the whole trajectory is ONE program (lax.scan over steps) — no
+    # host syncs between steps; the norms come back as one array
+    x0, X, xl, norms = _tdvp_traj_sharded_fn(
+        mesh, int(dense_limit), int(krylov)
+    )(x0, X, xl, a0, Am, al, h, jnp.zeros((steps,), dtp))
+    norms = [float(v) for v in np.asarray(norms)]
     return PackedTT(x0[0], X, xl[..., 0]), norms
 
 
@@ -583,7 +610,37 @@ def _tdvp2_sharded_fn(mesh: Mesh, dense_limit: int, kdim: int, rank: int):
         in_specs=(rep, shd, rep, rep, shd, shd, rep, rep, rep),
         out_specs=(rep, shd, rep, rep, shd, shd),
     )
-    return jax.jit(fn)
+    return jax.jit(fn), fn
+
+
+@lru_cache(maxsize=16)
+def _tdvp2_traj_sharded_fn(mesh: Mesh, dense_limit: int, kdim: int,
+                           rank: int):
+    """The whole sharded two-site trajectory as ONE scanned program:
+    per-step norm and max effective bond rank computed in-program, so
+    a multi-step run costs zero host round-trips between steps (the
+    per-step norm + three rank fetches were four cross-host syncs per
+    step on a real pod)."""
+    smfn = _tdvp2_sharded_fn(mesh, dense_limit, kdim, rank)[1]
+
+    def traj(x0, X, xl, a0, Am, A1, al, h, ej, steps_arr):
+        def body(c, _):
+            z0, Xc, zl = c
+            z0n, Xn, zln, kb, kf, kbk = smfn(
+                z0, Xc, zl, a0, Am, A1, al, h, ej
+            )
+            nrm = jnp.linalg.norm(z0n)
+            rk = jnp.maximum(
+                jnp.max(kb), jnp.maximum(jnp.max(kf), jnp.max(kbk))
+            )
+            return (z0n, Xn, zln), (nrm, rk)
+
+        (z0, Xo, zl), (norms, rks) = jax.lax.scan(
+            body, (x0, X, xl), steps_arr
+        )
+        return z0, Xo, zl, norms, rks
+
+    return jax.jit(traj)
 
 
 def evolve_tdvp2_sharded(
@@ -636,14 +693,13 @@ def evolve_tdvp2_sharded(
     al = A.last[..., None].astype(dtp)
     h = jnp.asarray(float(dt), dtp)
     ej = jnp.asarray(eps, dtp)
-    fn = _tdvp2_sharded_fn(mesh, int(dense_limit), int(krylov),
-                           int(max_rank))
-    norms: List[float] = []
-    ranks: List[int] = []
-    for _ in range(steps):
-        x0, X, xl, kb, kf, kbk = fn(x0, X, xl, a0, Am, A1, al, h, ej)
-        norms.append(float(jnp.linalg.norm(x0)))
-        ranks.append(int(max(
-            int(jnp.max(kb)), int(jnp.max(kf)), int(jnp.max(kbk))
-        )))
+    if steps <= 0:
+        return PackedTT(x0[0], X, xl[..., 0]), [], []
+    # the whole trajectory is ONE scanned program — norms and the
+    # per-step max effective ranks come back as arrays, fetched once
+    x0, X, xl, nrm_arr, rk_arr = _tdvp2_traj_sharded_fn(
+        mesh, int(dense_limit), int(krylov), int(max_rank)
+    )(x0, X, xl, a0, Am, A1, al, h, ej, jnp.zeros((steps,), dtp))
+    norms = [float(v) for v in np.asarray(nrm_arr)]
+    ranks = [int(v) for v in np.asarray(rk_arr)]
     return PackedTT(x0[0], X, xl[..., 0]), norms, ranks

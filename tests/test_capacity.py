@@ -104,7 +104,7 @@ def _compiled_sweep(solver: str, n_model: int):
     X, Am = place_tdvp_sharded(mesh, x0.mids, op.mids.astype(dtp))
     carry, X, last_q = tt_right_orth_sharded(mesh, X, x0.last)
     x0c = jnp.matmul(x0.first, carry, precision="highest")[None]
-    fn = _tdvp_sharded_fn(mesh, 512, 8)
+    fn = _tdvp_sharded_fn(mesh, 512, 8)[0]
     return fn.lower(
         repl(x0c),
         X,

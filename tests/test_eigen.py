@@ -162,18 +162,18 @@ def test_eigsh_k_slots_compile_once_and_match():
     across all k eigenpairs (a zero train's penalty is exactly zero),
     where the growing-stack form traces one program per deflation
     count; eigenvalues agree to roundoff."""
-    from tensor_networks_tpu.ops.eigen import _eig_sweep_fused, als_eigsh_k
+    from tensor_networks_tpu.ops.eigen import _eig_loop_fused, als_eigsh_k
 
     K, delta = 5, 0.3
     op = qtt_screened_laplacian(K, delta=delta)
     x0 = pk.pad_rank(qtt_exponential(K, c=2.0), 4)
-    before = _eig_sweep_fused._cache_size()
+    before = _eig_loop_fused._cache_size()
     _, vals = als_eigsh_k(op, x0, 3, sweeps=8)
-    grew = _eig_sweep_fused._cache_size() - before
+    grew = _eig_loop_fused._cache_size() - before
     assert grew <= 1, f"slots path traced {grew} programs"
-    before = _eig_sweep_fused._cache_size()
+    before = _eig_loop_fused._cache_size()
     _, vals2 = als_eigsh_k(op, x0, 3, sweeps=8, slots=False)
-    grew2 = _eig_sweep_fused._cache_size() - before
+    grew2 = _eig_loop_fused._cache_size() - before
     assert grew2 >= 2, f"expected per-J traces without slots, got {grew2}"
     np.testing.assert_allclose(vals, vals2, rtol=1e-9, atol=1e-11)
 

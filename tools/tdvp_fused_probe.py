@@ -149,43 +149,78 @@ def run_probes(reps: int = 10) -> dict:
           f"(norm {n2[-1]:.6f}, ranks {rk}); "
           f"fused speedup {t2_host / t2_fused:.1f}x")
 
-    # same pair for the ALS sweep (the theta-stepping workhorse)
+    # same pair for the ALS sweep (the theta-stepping workhorse).
+    # The fused path runs the WHOLE sweep loop as one program (one
+    # dispatch + one fetch per solve), so the honest per-sweep number
+    # is the SLOPE between two sweep budgets inside one compile bucket
+    # (cap=16 covers sweeps 9..16); tol=-1 disables the on-device
+    # early stop (tol=0 can trigger on bit-identical f32 iterates).
+    # The host loop keeps wall/2 — its per-sweep dispatches ARE its
+    # production cost.
     from tensor_networks_tpu.ops.als import als_solve
+
+    s_lo, s_hi = 9, 16
+
+    def _slope(fn):
+        fn(s_lo)  # compile (cap=16 program)
+        t_lo = min(_wall(lambda: fn(s_lo)) for _ in range(3))
+        t_hi = min(_wall(lambda: fn(s_hi)) for _ in range(3))
+        return (t_hi - t_lo) / (s_hi - s_lo), t_lo
+
+    def _wall(f):
+        t0 = time.perf_counter()
+        f()
+        return time.perf_counter() - t0
 
     b = pk.pad_rank(qtt_exponential(K, c=-1.0), rank)
     b = type(b)(*(x.astype(f32) for x in b))
-    for label, fl in (("fused", True), ("host-loop", False)):
-        t0 = time.perf_counter()
+
+    def _als(sw):
         _, res, _ = als_solve(
-            A, b, u0, sweeps=1, tol=0.0, spd=True, fused=fl
+            A, b, u0, sweeps=sw, tol=-1.0, spd=True, fused=True
         )
-        t_first = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _, res, _ = als_solve(
-            A, b, u0, sweeps=2, tol=0.0, spd=True, fused=fl
-        )
-        t_sweep = (time.perf_counter() - t0) / 2
-        out[f"als_sweep_{'tpu' if fl else 'host'}_ms"] = round(
-            t_sweep * 1e3, 2
-        )
-        print(f"[als-probe] {label} sweep: {t_sweep * 1e3:.1f} ms "
-              f"(first {t_first:.1f} s, res {res:.3e})")
+        return res
+
+    per, t_lo = _slope(_als)
+    out["als_sweep_tpu_ms"] = round(per * 1e3, 2)
+    print(f"[als-probe] fused sweep: {per * 1e3:.1f} ms slope "
+          f"(solve@{s_lo} {t_lo * 1e3:.0f} ms, res {_als(s_lo):.3e})")
+
+    t0 = time.perf_counter()
+    _, res, _ = als_solve(
+        A, b, u0, sweeps=1, tol=0.0, spd=True, fused=False
+    )
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _, res, _ = als_solve(
+        A, b, u0, sweeps=2, tol=0.0, spd=True, fused=False
+    )
+    t_sweep = (time.perf_counter() - t0) / 2
+    out["als_sweep_host_ms"] = round(t_sweep * 1e3, 2)
+    print(f"[als-probe] host-loop sweep: {t_sweep * 1e3:.1f} ms "
+          f"(first {t_first:.1f} s, res {res:.3e})")
 
     # DMRG eigensolver sweep on the same generator
     from tensor_networks_tpu.ops.eigen import als_eigsh
 
-    for label, fl in (("fused", True), ("host-loop", False)):
-        t0 = time.perf_counter()
-        _, lam, _ = als_eigsh(A, u0, sweeps=1, tol=0.0, fused=fl)
-        t_first = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _, lam, _ = als_eigsh(A, u0, sweeps=2, tol=0.0, fused=fl)
-        t_sweep = (time.perf_counter() - t0) / 2
-        out[f"eigsh_sweep_{'tpu' if fl else 'host'}_ms"] = round(
-            t_sweep * 1e3, 2
-        )
-        print(f"[eigsh-probe] {label} sweep: {t_sweep * 1e3:.1f} ms "
-              f"(first {t_first:.1f} s, lam {lam:.6e})")
+    def _eig(sw):
+        _, lam, _ = als_eigsh(A, u0, sweeps=sw, tol=-1.0, fused=True)
+        return lam
+
+    per, t_lo = _slope(_eig)
+    out["eigsh_sweep_tpu_ms"] = round(per * 1e3, 2)
+    print(f"[eigsh-probe] fused sweep: {per * 1e3:.1f} ms slope "
+          f"(solve@{s_lo} {t_lo * 1e3:.0f} ms, lam {_eig(s_lo):.6e})")
+
+    t0 = time.perf_counter()
+    _, lam, _ = als_eigsh(A, u0, sweeps=1, tol=0.0, fused=False)
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _, lam, _ = als_eigsh(A, u0, sweeps=2, tol=0.0, fused=False)
+    t_sweep = (time.perf_counter() - t0) / 2
+    out["eigsh_sweep_host_ms"] = round(t_sweep * 1e3, 2)
+    print(f"[eigsh-probe] host-loop sweep: {t_sweep * 1e3:.1f} ms "
+          f"(first {t_first:.1f} s, lam {lam:.6e})")
 
 
     return out
