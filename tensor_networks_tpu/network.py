@@ -656,8 +656,6 @@ class TensorNetwork:
 
         return name
 
-        return _post(None, name)
-
     # -- cost & canonical structure ------------------------------------------------------
 
     def cost(self) -> int:

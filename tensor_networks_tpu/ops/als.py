@@ -412,7 +412,12 @@ def als_solve(
     Returns ``(x, residual, history)`` where ``history`` is the true
     residual norm after each sweep (measured exactly via
     :func:`~tensor_networks_tpu.ops.packed.norm_exact`) and the sweep
-    loop stops once it drops below ``tol``.
+    loop stops once it drops below ``tol``.  On the fused path the
+    history buffer lives on device in the TRAIN dtype — for f32 trains
+    the returned ``history``/``residual`` values carry ~1e-7 relative
+    resolution even though they arrive as Python floats (the host loop
+    records full-precision values; use ``fused=False`` when comparing
+    history against tolerances tighter than the train dtype's eps).
 
     The projected local systems are solved densely up to
     ``dense_limit`` unknowns, else by ``cg_iters`` CG steps — on the

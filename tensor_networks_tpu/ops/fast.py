@@ -391,14 +391,44 @@ def _proj_basis_cols(proj, masks, mach):
     )
     q = q * masks[:, None, :]
     eye = jnp.eye(r, dtype=dt)
-    for _ in range(2):
-        gq = jnp.einsum("kab,kac->kbc", q, q, precision="highest")
+
+    # The NS polish only converges while the kept-block orthogonality
+    # defect is < 1 (quadratic basin); that premise holds when the sign
+    # iteration converged (kept singular values of P @ Qp ~ 1) but an
+    # under-converged / near-breakdown projector can land outside it,
+    # where the old CholQR2 path degraded gracefully and NS diverges.
+    # Guard: measure the defect from the first Gram and, when any batch
+    # entry exceeds 0.1, re-CholQR those entries before polishing
+    # (lax.cond — the recovery GEMMs cost nothing on the common path).
+    gq = jnp.einsum("kab,kac->kbc", q, q, precision="highest")
+    tgt = eye[None] * masks[:, None, :]  # diag(mask): kept cols -> 1
+    defect = jnp.max(jnp.abs(gq - tgt), axis=(-2, -1))
+    bad = defect > 0.1
+
+    def _recover(args):
+        qc, gqc = args
+        jit2 = (jnp.einsum("kaa->k", gqc) / r + 1e-30) * (20.0 * mach)
+        l2, _ = _chol_adaptive(gqc, jit2)
+        q2 = jax.lax.linalg.triangular_solve(
+            l2, qc, left_side=False, lower=True, transpose_a=True
+        )
+        q2 = q2 * masks[:, None, :]
+        q2 = jnp.where(bad[:, None, None], q2, qc)
+        gq2 = jnp.einsum("kab,kac->kbc", q2, q2, precision="highest")
+        return q2, gq2
+
+    q, gq = jax.lax.cond(
+        jnp.any(bad), _recover, lambda args: args, (q, gq)
+    )
+    for step in range(2):
         q = jnp.einsum(
             "kab,kbc->kac",
             q,
             1.5 * eye[None] - 0.5 * gq,
             precision="highest",
         )
+        if step == 0:
+            gq = jnp.einsum("kab,kac->kbc", q, q, precision="highest")
     return q
 
 

@@ -187,24 +187,36 @@ def tdvp_step_sharded(
 
 
 @lru_cache(maxsize=16)
-def _tdvp_traj_sharded_fn(mesh: Mesh, dense_limit: int, kdim: int):
-    """The whole sharded TDVP trajectory as ONE program: a ``lax.scan``
-    over steps (static step count via the scan length), norms stacked
+def _tdvp_traj_sharded_fn(mesh: Mesh, dense_limit: int, kdim: int,
+                          cap: int):
+    """The whole sharded TDVP trajectory as ONE program: a
+    ``lax.while_loop`` up to ``cap`` steps with the actual step count a
+    device scalar, norms recorded into a NaN-padded ``(cap,)`` buffer
     in-program — zero host round-trips between steps (the per-step
     ``float(nrm)`` was a cross-host sync per step on a real pod).
-    Mirrors the fused single-device trajectory
-    (``ops.evolve.tdvp_trajectory``)."""
+    ``cap`` is bucketed to powers of two by the caller, like the
+    solver loops (``_eig_loop_sharded_fn``), so nearby step counts
+    share one compiled program — a scan of raw length ``steps`` would
+    recompile the whole trajectory per distinct count (relay compiles
+    of nested-scan programs cost 20-60 s+).  The while_loop exits at
+    ``steps`` exactly, so padded capacity costs no compute."""
     smfn = _tdvp_sharded_fn(mesh, dense_limit, kdim)[1]
 
-    def traj(x0, X, xl, a0, Am, al, h, steps_arr):
-        def body(c, _):
-            z0, Xc, zl = c
-            z0n, Xn, zln, nrm = smfn(z0, Xc, zl, a0, Am, al, h)
-            return (z0n, Xn, zln), nrm
+    def traj(x0, X, xl, a0, Am, al, h, steps):
+        dt = x0.dtype
 
-        (z0, Xo, zl), norms = jax.lax.scan(
-            body, (x0, X, xl), steps_arr
-        )
+        def cond(c):
+            return c[4] < steps
+
+        def body(c):
+            z0, Xc, zl, norms, i = c
+            z0n, Xn, zln, nrm = smfn(z0, Xc, zl, a0, Am, al, h)
+            norms = jax.lax.dynamic_update_slice(norms, nrm[None], (i,))
+            return (z0n, Xn, zln, norms, i + 1)
+
+        c0 = (x0, X, xl, jnp.full((cap,), jnp.nan, dt),
+              jnp.asarray(0, jnp.int32))
+        z0, Xo, zl, norms, _ = jax.lax.while_loop(cond, body, c0)
         return z0, Xo, zl, norms
 
     return jax.jit(traj)
@@ -255,12 +267,14 @@ def evolve_tdvp_sharded(
     h = jnp.asarray(float(dt), dtp)
     if steps <= 0:
         return PackedTT(x0[0], X, xl[..., 0]), []
-    # the whole trajectory is ONE program (lax.scan over steps) — no
-    # host syncs between steps; the norms come back as one array
+    # the whole trajectory is ONE program (while_loop up to a pow2-
+    # bucketed cap) — no host syncs between steps; the norms come back
+    # as one NaN-padded array, trimmed to the executed step count
+    cap = 1 << max(steps - 1, 1).bit_length()
     x0, X, xl, norms = _tdvp_traj_sharded_fn(
-        mesh, int(dense_limit), int(krylov)
-    )(x0, X, xl, a0, Am, al, h, jnp.zeros((steps,), dtp))
-    norms = [float(v) for v in np.asarray(norms)]
+        mesh, int(dense_limit), int(krylov), cap
+    )(x0, X, xl, a0, Am, al, h, jnp.asarray(steps, jnp.int32))
+    norms = [float(v) for v in np.asarray(norms)[:steps]]
     return PackedTT(x0[0], X, xl[..., 0]), norms
 
 
@@ -615,17 +629,25 @@ def _tdvp2_sharded_fn(mesh: Mesh, dense_limit: int, kdim: int, rank: int):
 
 @lru_cache(maxsize=16)
 def _tdvp2_traj_sharded_fn(mesh: Mesh, dense_limit: int, kdim: int,
-                           rank: int):
-    """The whole sharded two-site trajectory as ONE scanned program:
-    per-step norm and max effective bond rank computed in-program, so
-    a multi-step run costs zero host round-trips between steps (the
-    per-step norm + three rank fetches were four cross-host syncs per
-    step on a real pod)."""
+                           rank: int, cap: int):
+    """The whole sharded two-site trajectory as ONE program: a
+    ``lax.while_loop`` up to ``cap`` steps (pow2-bucketed by the
+    caller, exact ``steps`` a device scalar — one compiled program per
+    bucket instead of one per distinct step count), per-step norm and
+    max effective bond rank recorded into NaN/-1-padded ``(cap,)``
+    buffers in-program, so a multi-step run costs zero host
+    round-trips between steps (the per-step norm + three rank fetches
+    were four cross-host syncs per step on a real pod)."""
     smfn = _tdvp2_sharded_fn(mesh, dense_limit, kdim, rank)[1]
 
-    def traj(x0, X, xl, a0, Am, A1, al, h, ej, steps_arr):
-        def body(c, _):
-            z0, Xc, zl = c
+    def traj(x0, X, xl, a0, Am, A1, al, h, ej, steps):
+        dt = x0.dtype
+
+        def cond(c):
+            return c[5] < steps
+
+        def body(c):
+            z0, Xc, zl, norms, rks, i = c
             z0n, Xn, zln, kb, kf, kbk = smfn(
                 z0, Xc, zl, a0, Am, A1, al, h, ej
             )
@@ -633,11 +655,15 @@ def _tdvp2_traj_sharded_fn(mesh: Mesh, dense_limit: int, kdim: int,
             rk = jnp.maximum(
                 jnp.max(kb), jnp.maximum(jnp.max(kf), jnp.max(kbk))
             )
-            return (z0n, Xn, zln), (nrm, rk)
+            norms = jax.lax.dynamic_update_slice(norms, nrm[None], (i,))
+            rks = jax.lax.dynamic_update_slice(
+                rks, rk.astype(jnp.int32)[None], (i,)
+            )
+            return (z0n, Xn, zln, norms, rks, i + 1)
 
-        (z0, Xo, zl), (norms, rks) = jax.lax.scan(
-            body, (x0, X, xl), steps_arr
-        )
+        c0 = (x0, X, xl, jnp.full((cap,), jnp.nan, dt),
+              jnp.full((cap,), -1, jnp.int32), jnp.asarray(0, jnp.int32))
+        z0, Xo, zl, norms, rks, _ = jax.lax.while_loop(cond, body, c0)
         return z0, Xo, zl, norms, rks
 
     return jax.jit(traj)
@@ -695,11 +721,13 @@ def evolve_tdvp2_sharded(
     ej = jnp.asarray(eps, dtp)
     if steps <= 0:
         return PackedTT(x0[0], X, xl[..., 0]), [], []
-    # the whole trajectory is ONE scanned program — norms and the
-    # per-step max effective ranks come back as arrays, fetched once
+    # the whole trajectory is ONE program (while_loop up to a pow2-
+    # bucketed cap) — norms and the per-step max effective ranks come
+    # back as padded arrays, trimmed to the executed step count
+    cap = 1 << max(steps - 1, 1).bit_length()
     x0, X, xl, nrm_arr, rk_arr = _tdvp2_traj_sharded_fn(
-        mesh, int(dense_limit), int(krylov), int(max_rank)
-    )(x0, X, xl, a0, Am, A1, al, h, ej, jnp.zeros((steps,), dtp))
-    norms = [float(v) for v in np.asarray(nrm_arr)]
-    ranks = [int(v) for v in np.asarray(rk_arr)]
+        mesh, int(dense_limit), int(krylov), int(max_rank), cap
+    )(x0, X, xl, a0, Am, A1, al, h, ej, jnp.asarray(steps, jnp.int32))
+    norms = [float(v) for v in np.asarray(nrm_arr)[:steps]]
+    ranks = [int(v) for v in np.asarray(rk_arr)[:steps]]
     return PackedTT(x0[0], X, xl[..., 0]), norms, ranks
