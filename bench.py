@@ -1181,10 +1181,15 @@ def _leg_cross_device(B: _Bench):
         target.node_tensor(node).update_val_size(
             jnp.asarray(np.asarray(v) / np.sqrt(rt_), jnp.float32)
         )
-    dfunc = FuncTensorNetwork(t_inds, target)
-    for bexp in range(3, 14):  # prewarm pow2 evaluate buckets
+    # round-5 fiber precision: the cross samples its fiber matrices
+    # through the double-word device evaluation (~1e-13 relative on
+    # f32 cores) — with f32 fibers the whole approximation had a ~1e-6
+    # error floor (BENCH r04: 4.9e-6)
+    dfunc = FuncTensorNetwork(t_inds, target, precision="dw")
+    for bexp in range(3, 14):  # prewarm pow2 evaluate buckets (dw)
         target.evaluate(
-            t_inds, rng_c.integers(0, nt_, size=(2**bexp, dt_))
+            t_inds, rng_c.integers(0, nt_, size=(2**bexp, dt_)),
+            precision="dw",
         )
     cnet = TensorNetwork.rand_tt(t_inds, [1] * (dt_ - 1))
     tic = time.perf_counter()
@@ -1196,18 +1201,30 @@ def _leg_cross_device(B: _Bench):
             validation_size=2000,
             max_iters=6,
         ),
-    ).cross(cnet, eps=1e-4)
+    ).cross(cnet, eps=1e-8)
     B.s["cdev_wall"] = time.perf_counter() - tic
     grid_c = rng_c.integers(0, nt_, size=(4096, dt_))
+    # dw-measured approximation error (the honest model error: both
+    # sides sampled at ~1e-13) and the plain-f32 end-to-end error a
+    # default evaluate call would see
+    got_dw = np.asarray(
+        cres.net.evaluate(t_inds, grid_c, precision="dw")
+    )
+    real_dw = np.asarray(
+        target.evaluate(t_inds, grid_c, precision="dw")
+    )
+    B.s["cdev_err_dw"] = float(
+        np.linalg.norm(got_dw - real_dw) / np.linalg.norm(real_dw)
+    )
     got_c = np.asarray(cres.net.evaluate(t_inds, grid_c))
-    real_c = np.asarray(dfunc(grid_c))
     B.s["cdev_err"] = float(
-        np.linalg.norm(got_c - real_c) / np.linalg.norm(real_c)
+        np.linalg.norm(got_c - real_dw) / np.linalg.norm(real_dw)
     )
     B.s["cdev_calls"] = dfunc.num_calls()
     print(
-        f"[bench] cross device-target d=8 n=32 r=24: "
-        f"{B.s['cdev_wall']:.1f} s, rel err {B.s['cdev_err']:.1e}, "
+        f"[bench] cross device-target d=8 n=32 r=24 (dw fibers): "
+        f"{B.s['cdev_wall']:.1f} s, rel err dw "
+        f"{B.s['cdev_err_dw']:.1e} / f32-eval {B.s['cdev_err']:.1e}, "
         f"{B.s['cdev_calls']} unique device evals",
         file=sys.stderr,
     )

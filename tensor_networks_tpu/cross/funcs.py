@@ -145,15 +145,23 @@ class FuncData(CachedFunc):
 
 class FuncTensorNetwork(CachedFunc):
     """An existing network exposed as a tensor function; evaluation is
-    the network's jitted batched-gather contraction."""
+    the network's jitted batched-gather contraction.
 
-    def __init__(self, indices: List[Index], net):
+    ``precision="dw"``: sample through the double-word device
+    evaluation (~1e-13 relative on f32 cores) — the fiber precision of
+    the on-chip cross loop, whose approximation error floor is the
+    fiber noise (f32 fibers put a ~1e-6 floor under the whole cross;
+    BENCH r04)."""
+
+    def __init__(self, indices: List[Index], net, precision: str = None):
         super().__init__(indices)
         self.net = net
+        self.precision = precision
 
     def _run(self, args: np.ndarray) -> np.ndarray:
         return self.net.evaluate(
-            self.indices, np.asarray(args).astype(int)
+            self.indices, np.asarray(args).astype(int),
+            precision=self.precision,
         )
 
     def cost(self) -> int:

@@ -786,13 +786,21 @@ class TensorNetwork:
     # -- batched evaluation -------------------------------------------------------------------
 
     def evaluate(
-        self, indices: Sequence[Index], values: np.ndarray
+        self, indices: Sequence[Index], values: np.ndarray,
+        precision: str = None,
     ) -> np.ndarray:
         """Evaluate the represented tensor at a batch of multi-indices
         without densifying.
 
         Per-node gathers plus one batched contraction; batch sizes are
         padded to powers of two so XLA compiles O(log N) distinct shapes.
+
+        ``precision="dw"`` (uniform TT chains): run the device
+        evaluation in double-word arithmetic (Ozaki split products,
+        hi/lo combined to f64 on host) — ~1e-13 relative on f32 cores
+        vs ~1e-7 for the plain f32 device paths.  This is the on-chip
+        cross loop's fiber precision (VERDICT r4 item 5).  Topologies
+        the packed route cannot express fall back to the default path.
         """
         values = np.asarray(values).astype(int)
         n_total = values.shape[0]
@@ -806,7 +814,15 @@ class TensorNetwork:
         host = self._host_eval_ok(
             indices, _next_pow2(min(_EVAL_CHUNK, n_total))
         )
-        ragged = None if host else self._ragged_evaluator(indices)
+        if precision == "dw":
+            # dw beats both default routes when the chain packs; when
+            # it does not, the host-f64 route (if eligible) is the
+            # accurate fallback, then the default device path
+            ragged = self._ragged_evaluator(indices, precision="dw")
+            if ragged is not None:
+                host = False
+        else:
+            ragged = None if host else self._ragged_evaluator(indices)
 
         out = np.empty(n_total)
         start = 0
@@ -828,7 +844,9 @@ class TensorNetwork:
             start += batch
         return out
 
-    def _ragged_evaluator(self, indices: Sequence[Index]):
+    def _ragged_evaluator(
+        self, indices: Sequence[Index], precision: str = None
+    ):
         """Segment-sorted ragged-matmul route for uniform TT chains.
 
         Device evaluation of a linear chain with one uniform-size free
@@ -846,9 +864,12 @@ class TensorNetwork:
         ``update_val_size`` replaces the value array, so mutation
         invalidates the cache without any bookkeeping in the mutators.
         """
-        if jax.default_backend() != "tpu" and (
+        if precision != "dw" and jax.default_backend() != "tpu" and (
             os.environ.get("TNT_FORCE_PALLAS") != "1"
         ):
+            # the dw route is plain XLA (no Mosaic) and is requested
+            # explicitly for accuracy, so it runs on any backend; the
+            # default f32 fast paths stay TPU-gated
             return None
         if len(self.network.nodes) < 3:
             return None
@@ -884,12 +905,14 @@ class TensorNetwork:
             [f.size - 1 for f in frees], jnp.int32
         )[None, :]
 
-        def run(chunk: np.ndarray) -> jnp.ndarray:
+        def run(chunk: np.ndarray):
             # clamp like XLA's gather so out-of-range points keep the
             # device path's documented semantics (see the routing
             # comment in :meth:`evaluate`); the ragged kernel's sorted
             # groups would otherwise drop them to garbage
             idx = jnp.clip(jnp.asarray(chunk[:, cols], jnp.int32), 0, ub)
+            if precision == "dw":
+                return _pk.evaluate_dw(pk, idx)
             return _pk.evaluate(pk, idx, precision="highest")
 
         return run

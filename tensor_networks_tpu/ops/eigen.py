@@ -30,6 +30,7 @@ solver is GMRES, ``pytens/algs.py:2700``).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Tuple
 
 import jax
@@ -45,6 +46,7 @@ from tensor_networks_tpu.ops.als import (
     _left_orth,
     _local_dense,
     _local_rhs,
+    _matvec,
     _right_orth,
 )
 from tensor_networks_tpu.ops.packed import (
@@ -144,6 +146,135 @@ def _local_ground_state(L, ak, R, Lg, Rg, pens, shift):
     return w[0], v.reshape(-1)
 
 
+@lru_cache(maxsize=32)
+def _lanczos_seed_np(m: int):
+    """Deterministic dense start vector for the matrix-free local
+    solve (host rng at trace time — a compile-time constant; generic
+    direction, nonzero overlap with the ground state a.s.)."""
+    rng = np.random.default_rng(13)
+    v = rng.standard_normal(m)
+    return v / np.linalg.norm(v)
+
+
+def _local_ground_state_lanczos(L, ak, R, Lg, Rg, pens, shift, iters,
+                                warm=None):
+    """Matrix-free local ground state for LARGE local problems.
+
+    Same generalized problem as :func:`_local_ground_state` (whitened
+    frame-Gram metric, penalty deflation), but never materializes the
+    ``(m, m)`` local matrix: a Lanczos process with full (CGS2)
+    reorthogonalization runs on the whitened operator apply — the same
+    rank-r einsum contractions the ALS CG local solve uses
+    (``als._matvec``) — and one ``(iters, iters)`` eigh extracts the
+    Ritz ground pair.  The dense path's dead-coordinate up-shift is
+    unnecessary here: dead whitened coordinates are masked out of the
+    start vector and out of every apply, so the Krylov space never
+    leaves the alive subspace and no spurious eigenvalue can enter.
+
+    TPU rationale (VERDICT r4 item 8): ``jnp.linalg.eigh`` neither
+    batches nor pipelines on TPU (the K=22 r=8 eigsh sweep is 95%
+    sequential 128-dim eighs at the ~465 us latency floor) and costs
+    ~m^3 — at r=64 QTT shapes the local problem is m = 8192, where a
+    dense eigh is minutes-slow while these applies are rank-r GEMMs
+    that run on the MXU.  Breakdown (happy or numerical) is handled
+    in-program: steps past a vanishing beta are masked out of the
+    tridiagonal with a large diagonal so they cannot contaminate the
+    minimum Ritz pair.
+    """
+    dt = L.dtype
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+    wl, ml = _whitener(Lg)
+    wr, mr = _whitener(Rg)
+    m1, m2 = wl.shape[1], wr.shape[1]
+    n = ak.shape[2]
+    alive = jnp.broadcast_to(
+        ml[:, None, None] & mr[None, None, :], (m1, n, m2)
+    ).astype(dt)
+    mflat = m1 * n * m2
+    npen = pens.shape[0]
+    if npen:
+        pw = jnp.einsum(
+            "zajc,am,cn->zmjn",
+            pens.reshape(npen, wl.shape[0], n, wr.shape[0]),
+            wl, wr, precision="highest",
+        ).reshape(npen, mflat)
+
+    def apply(vflat):
+        v = vflat.reshape(m1, n, m2) * alive
+        x = jnp.einsum("mjn,am,cn->ajc", v, wl, wr, precision="highest")
+        y = _matvec(L, ak, R, x)
+        z = jnp.einsum("piq,pm,qn->min", y, wl, wr, precision="highest")
+        z = (z * alive).reshape(mflat)
+        if npen:
+            z = z + shift * (pw.T @ (pw @ vflat))
+        return z
+
+    K = int(iters)
+    seed = jnp.asarray(_lanczos_seed_np(mflat), dt) * alive.reshape(-1)
+    if warm is not None:
+        # Warm-start from the current core: as the sweep converges the
+        # core approaches the local ground state, so each visit REFINES
+        # instead of re-converging from a cold Krylov space (without
+        # this the global Rayleigh error plateaus at the fixed-budget
+        # Lanczos residual — measured 1.2e-4 on the K=6 f64 regression
+        # config vs ~1e-10 warm).  Whitened coordinates of a raw core
+        # x are W^+ x = W^T G x (W whitens the Gram: W^T G W = I on
+        # valid directions).  A small fixed perturbation guarantees
+        # nonzero ground-state overlap even from a pathological core.
+        wlg = wl.T @ (0.5 * (Lg + Lg.T))
+        grw = (0.5 * (Rg + Rg.T)) @ wr
+        v0w = jnp.einsum(
+            "ma,ajc,cn->mjn", wlg, warm.reshape(wl.shape[0], n,
+                                                wr.shape[0]), grw,
+            precision="highest",
+        ).reshape(mflat) * alive.reshape(-1)
+        v0 = v0w + 1e-4 * jnp.linalg.norm(v0w) * seed
+        v0 = jnp.where(jnp.linalg.norm(v0) > tiny, v0, seed)
+    else:
+        v0 = seed
+    v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), tiny)
+    Vb = jnp.zeros((K, mflat), dt).at[0].set(v0)
+    alphas = jnp.zeros((K,), dt)
+    betas = jnp.zeros((K,), dt)
+    valid = jnp.zeros((K,), bool).at[0].set(True)
+
+    def body(j, c):
+        Vb, alphas, betas, valid, amax = c
+        vj = Vb[j]
+        w = apply(vj)
+        a_j = vj @ w
+        amax = jnp.maximum(amax, jnp.abs(a_j))
+        alphas = alphas.at[j].set(a_j)
+        # full reorthogonalization, two CGS passes (numerically MGS-
+        # equivalent with the second pass; all matmul-shaped)
+        w = w - Vb.T @ (Vb @ w)
+        w = w - Vb.T @ (Vb @ w)
+        b_j = jnp.linalg.norm(w)
+        ok = b_j > jnp.sqrt(jnp.asarray(jnp.finfo(dt).eps, dt)) * amax
+        betas = betas.at[j].set(jnp.where(ok, b_j, 0.0))
+        # .at[] drops the out-of-bounds write at j = K-1
+        Vb = Vb.at[j + 1].set(
+            jnp.where(ok, w / jnp.maximum(b_j, tiny), 0.0)
+        )
+        valid = valid.at[j + 1].set(valid[j] & ok)
+        return Vb, alphas, betas, valid, amax
+
+    Vb, alphas, betas, valid, amax = jax.lax.fori_loop(
+        0, K, body, (Vb, alphas, betas, valid, jnp.asarray(0.0, dt))
+    )
+    big = 10.0 * (amax + jnp.abs(shift) + 1.0)
+    diag = jnp.where(valid, alphas, big)
+    off = betas[:-1] * valid[1:].astype(dt)
+    T = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
+    wv, Y = jnp.linalg.eigh(T)
+    u = Vb.T @ Y[:, 0]
+    vraw = jnp.einsum(
+        "mjn,am,cn->ajc", u.reshape(m1, n, m2), wl, wr,
+        precision="highest",
+    )
+    return wv[0], vraw.reshape(-1)
+
+
 @jax.jit
 def _adv_left_mb(L, xk, mk, vk):
     """Left env of the three-train sandwich x^T M v (bra ``xk``, ket
@@ -224,11 +355,14 @@ class _EigHelpers:
     operands are ignored (dummy zeros) when the corresponding feature
     is off."""
 
-    def __init__(self, use_mass: bool, use_pen: bool, dt, J: int = 0):
+    def __init__(self, use_mass: bool, use_pen: bool, dt, J: int = 0,
+                 dense_limit: int = 1024, lanczos_iters: int = 64):
         self.use_mass = use_mass
         self.use_pen = use_pen
         self.dt = dt
         self.J = J
+        self.dense_limit = dense_limit
+        self.lanczos_iters = lanczos_iters
         self.one3 = jnp.ones((1, 1, 1), dt)
         self.one2 = jnp.ones((1, 1), dt)
 
@@ -274,10 +408,20 @@ class _EigHelpers:
             out = _local_rhs_v(Lb, vk, Rb)
         return out.reshape(out.shape[0], -1)
 
-    def solve(self, L, R, Lg, Rg, ak, mk, pens, shift):
+    def solve(self, L, R, Lg, Rg, ak, mk, pens, shift, warm=None):
         if self.use_mass:
+            # the mass metric keeps the dense local path (its whitening
+            # needs the full Galerkin-projected metric, not a Kronecker
+            # bond pair) — raise dense_limit-scale mass problems via
+            # rank splitting instead
             return _local_ground_state_mass(L, ak, R, Lg, mk, Rg, pens,
                                             shift)
+        m = L.shape[2] * ak.shape[2] * R.shape[2]
+        if m > self.dense_limit:
+            return _local_ground_state_lanczos(
+                L, ak, R, Lg, Rg, pens, shift, self.lanczos_iters,
+                warm=warm,
+            )
         return _local_ground_state(L, ak, R, Lg, Rg, pens, shift)
 
 
@@ -306,7 +450,8 @@ def _eig_fwd_body_of(h: _EigHelpers, shift):
         L, Lg, Lb = carry
         (xk, ak, mk, vk), (Rk, Rgk, Rbk) = inp
         pens_k = h.pens_of(Lb, Rbk, mk, vk, xk.size)
-        _, vec_k = h.solve(L, Rk, Lg, Rgk, ak, mk, pens_k, shift)
+        _, vec_k = h.solve(L, Rk, Lg, Rgk, ak, mk, pens_k, shift,
+                           warm=xk)
         qk = _left_orth(vec_k.reshape(xk.shape))
         nxt = (
             _adv_left(L, qk, ak),
@@ -325,7 +470,8 @@ def _eig_bwd_body_of(h: _EigHelpers, shift):
         R, Rg, Rb = carry
         (qk, (Lk, Lgk, Lbk)), (ak, mk, vk) = inp
         pens_k = h.pens_of(Lbk, Rb, mk, vk, qk.size)
-        _, vec_k = h.solve(Lk, R, Lgk, Rg, ak, mk, pens_k, shift)
+        _, vec_k = h.solve(Lk, R, Lgk, Rg, ak, mk, pens_k, shift,
+                           warm=qk)
         vk_new = _right_orth(vec_k.reshape(qk.shape))
         nxt = (
             _adv_right(R, vk_new, ak),
@@ -337,7 +483,8 @@ def _eig_bwd_body_of(h: _EigHelpers, shift):
     return bwd
 
 
-def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
+def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift,
+                    dense_limit: int = 1024, lanczos_iters: int = 64):
     """One full eigensolver sweep (left->right, right->left) as a
     single program.
 
@@ -356,7 +503,8 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
         V0, VM, VL = vstk
         J = V0.shape[0]
 
-    h = _EigHelpers(use_mass, use_pen, dt, J if use_pen else 0)
+    h = _EigHelpers(use_mass, use_pen, dt, J if use_pen else 0,
+                    dense_limit, lanczos_iters)
 
     # per-position operator/mass/deflation cores, bundled for the scans
     mk0 = m0 if use_mass else None
@@ -390,7 +538,7 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
     # left -> right half
     pens = h.pens_of(h.p_seed(), rb_front, mk0, v0, x0c.size)
     _, vec = h.solve(one3, r_front, h.g_seed(), rg_front, a0, mk0,
-                     pens, shift)
+                     pens, shift, warm=x0c)
     q0 = _left_orth(vec.reshape(x0c.shape))
     lenv = _adv_left(one3, q0, a0)
     lg = h.g_adv_l(h.g_seed(), q0, mk0)
@@ -403,7 +551,7 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
 
     pens = h.pens_of(lb_back, h.p_seed(), mkl, vl, xlc.size)
     lam_f, vec = h.solve(l_back, one3, lg_back, h.g_seed(), al, mkl,
-                         pens, shift)
+                         pens, shift, warm=xlc)
 
     # right -> left half.  The host loop re-solves the last core here,
     # but the eigen local solve does not depend on the current core
@@ -423,16 +571,19 @@ def _eig_sweep_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift):
 
     pens = h.pens_of(h.p_seed(), rb_back, mk0, v0, q0.size)
     lam_b, vec = h.solve(one3, r_back, h.g_seed(), rg_back, a0, mk0,
-                         pens, shift)
+                         pens, shift, warm=q0)
     z0 = vec.reshape(q0.shape)
     return z0, V, vlq, lam_f, lam_b
 
 
-_eig_sweep_fused = jax.jit(_eig_sweep_impl)
+_eig_sweep_fused = jax.jit(
+    _eig_sweep_impl, static_argnames=("dense_limit", "lanczos_iters")
+)
 
 
 def _eig_loop_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift,
-                   sweeps, tol, cap):
+                   sweeps, tol, cap, dense_limit: int = 1024,
+                   lanczos_iters: int = 64):
     """The whole fused sweep LOOP as one program: up to ``cap`` sweeps
     with the convergence test on device, so a multi-sweep solve costs
     zero host round-trips between sweeps (each ``float()`` through the
@@ -453,7 +604,8 @@ def _eig_loop_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift,
     def body(c):
         z0, Vm, vlq, lam_prev, hist, i, _ = c
         z0n, Vmn, vlqn, lam_f, lam_b = _eig_sweep_impl(
-            z0, Vm, vlq, a0, Am, al, mstk, vstk, shift
+            z0, Vm, vlq, a0, Am, al, mstk, vstk, shift,
+            dense_limit, lanczos_iters,
         )
         hist = jax.lax.dynamic_update_slice(
             hist, jnp.stack([lam_f, lam_b]), (2 * i,)
@@ -472,7 +624,10 @@ def _eig_loop_impl(x0c, X, xlc, a0, Am, al, mstk, vstk, shift,
     return z0, Vm, vlq, jnp.concatenate([hist, i.astype(dt)[None]])
 
 
-_eig_loop_fused = jax.jit(_eig_loop_impl, static_argnames=("cap",))
+_eig_loop_fused = jax.jit(
+    _eig_loop_impl,
+    static_argnames=("cap", "dense_limit", "lanczos_iters"),
+)
 
 
 def _op_fro_norm(op: PackedTTOp) -> float:
@@ -512,14 +667,28 @@ def als_eigsh(
     shift: float = None,
     mass: PackedTTOp = None,
     fused: bool = None,
+    dense_limit: int = 1024,
+    lanczos_iters: int = 64,
 ) -> Tuple[PackedTT, float, List[float]]:
     """Smallest eigenpair of a symmetric TT-operator at the ranks of
     ``x0`` by one-site DMRG.
 
+    Local problems up to ``dense_limit`` unknowns are solved by one
+    dense whitened eigh; above it (MXU-scale ranks: r=64 QTT locals
+    are 8192 unknowns) a matrix-free Lanczos with ``lanczos_iters``
+    steps runs rank-r GEMM applies instead — TPU eigh is sequential
+    and ~m^3 while the applies batch onto the MXU
+    (:func:`_local_ground_state_lanczos`).  The ``mass`` metric always
+    uses the dense path.
+
     Returns ``(x, lam, history)`` — the unit-norm eigenvector train,
     the Rayleigh quotient, and its value after each half-sweep; the
     sweep loop stops when the per-sweep improvement drops below
-    ``tol * |lam|``.  Grow ranks with :func:`als_eigsh_adaptive`.
+    ``tol * |lam|``.  Grow ranks with :func:`als_eigsh_adaptive`.  On
+    the fused path the history buffer lives on device in the TRAIN
+    dtype — f32 trains return ``history``/``lam`` values at ~1e-7
+    relative resolution (the host loop records full-precision floats;
+    use ``fused=False`` for comparisons tighter than the train eps).
 
     ``deflate`` lists already-computed (unit-norm) eigenvector trains:
     each local solve adds the penalty ``shift * p p^T`` for their
@@ -615,7 +784,8 @@ def als_eigsh(
         z0, Vm, vlq, rec = _eig_loop_fused(
             *fz, a0f, amf, alf, mstk, vstk, shift_d,
             jnp.asarray(sweeps, jnp.int32), jnp.asarray(tol, dt),
-            cap=cap,
+            cap=cap, dense_limit=int(dense_limit),
+            lanczos_iters=int(lanczos_iters),
         )
         rec = np.asarray(rec)  # ONE host fetch for the whole loop
         n_done = int(rec[-1])
@@ -662,6 +832,11 @@ def als_eigsh(
         if use_mass:
             return _local_ground_state_mass(
                 L, as_[k], R, Lg_or_Lm, ms_[k], Rg_or_Rm, pens, shift_d
+            )
+        if xs[k].size > dense_limit:
+            return _local_ground_state_lanczos(
+                L, as_[k], R, Lg_or_Lm, Rg_or_Rm, pens, shift_d,
+                int(lanczos_iters), warm=xs[k],
             )
         return _local_ground_state(
             L, as_[k], R, Lg_or_Lm, Rg_or_Rm, pens, shift_d

@@ -376,6 +376,19 @@ def _eval_routed(first, mids, last, idx, precision: str) -> jnp.ndarray:
     return tt_evaluate_batched(first, mids, last, idx)
 
 
+def evaluate_dw(x: PackedTT, idx) -> np.ndarray:
+    """Evaluate the train at (B, d) multi-indices in DOUBLE-WORD
+    arithmetic: every per-step product runs as an Ozaki split-matmul
+    and the hi/lo pair is combined to f64 on the host — ~1e-13
+    relative on f32 cores vs ~1e-7 for the plain f32 paths.  The
+    on-chip cross loop samples its fiber matrices through this
+    (``TensorNetwork.evaluate(..., precision="dw")``); the device
+    program stays pure f32."""
+    from tensor_networks_tpu.kernels.dw_eval import tt_evaluate_dw
+
+    return tt_evaluate_dw(x.first, x.mids, x.last, idx)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
 def tt_evaluate_fast(first, mids, last, idx, precision: str = "bf16x3"):
     """Differentiable batched evaluation with the fast forward pass.

@@ -281,3 +281,37 @@ def test_eigsh_k_merges_user_deflate():
     ref = np.linalg.eigvalsh(A)[:3]
     assert abs(vals[0] - ref[1]) < 1e-11
     assert abs(vals[1] - ref[2]) < 1e-11
+
+
+def test_eigsh_lanczos_locals_match_dense():
+    """MXU-scale local-solve path (round 5): forcing every local
+    problem through the matrix-free warm-started Lanczos solver
+    (``dense_limit=0``) reproduces the dense whitened-eigh ground
+    state on the K=6 screened Laplacian — fused AND host loops.  At
+    production ranks (r=64: m=8192 local unknowns) the dense eigh is
+    ~m^3-infeasible on TPU, so this path is the r>=64 eigsh engine."""
+    K, delta = 6, 1.0
+    op = qtt_screened_laplacian(K, delta=delta)
+    x0 = pk.pad_rank(qtt_exponential(K, c=3.0), 8)
+    ref = _trid_min(2**K, delta)
+    for fused in (True, False):
+        x, lam, hist = als_eigsh(
+            op, x0, sweeps=10, dense_limit=0, lanczos_iters=48,
+            fused=fused,
+        )
+        assert abs(lam - ref) < 1e-6, (fused, lam, ref)
+        assert abs(float(pk.norm_exact(x)) - 1.0) < 1e-8
+
+
+def test_eigsh_lanczos_breakdown_is_masked():
+    """Happy breakdown: Lanczos budgets far above the alive subspace
+    dimension must not let decoupled zero blocks contaminate the
+    minimum Ritz pair (the valid-chain masking in
+    ``_local_ground_state_lanczos``)."""
+    K = 4
+    op = qtt_screened_laplacian(K, delta=0.5)
+    x0 = pk.pad_rank(qtt_exponential(K), 4)
+    # iters far above every local dimension -> guaranteed breakdown
+    x, lam, _ = als_eigsh(op, x0, sweeps=6, dense_limit=0,
+                          lanczos_iters=96)
+    assert abs(lam - _trid_min(2**K, 0.5)) < 1e-8

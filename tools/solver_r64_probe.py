@@ -1,0 +1,358 @@
+"""Solver family at MXU-relevant rank (r=64) on the current backend.
+
+VERDICT r4 item 2: the round-4 solver numbers were K=22 rank-8 f32 —
+a latency-bound toy (95% of the eigsh sweep was 44 sequential 128-dim
+eighs at the TPU's ~465 us eigh latency floor).  This probe runs the
+screened-Poisson QTT system at K=14, rank 64, where the local
+problems are 8192 unknowns and the work is rank-64 GEMMs:
+
+* fused ALS solve (CG local solves, all matrix-free GEMM applies),
+  slope-timed between two sweep budgets in one compile bucket;
+* fused DMRG eigsh sweep using the round-5 matrix-free Lanczos local
+  ground-state path (``ops.eigen._local_ground_state_lanczos``) — the
+  dense whitened eigh at m=8192 would be minutes-slow on TPU;
+* a NumPy-f64 reference ALS at the SAME config (same algorithm: one-
+  site ALS, CG local solves, QR orthogonalization) so the speedup is
+  apples-to-apples — the pytens reference has no TT solver at all
+  (its only solver is GMRES, pytens/algs.py:2700), so the NumPy twin
+  plays the role its algorithms play in bench.py's inner/round legs;
+* an eigh-vs-Lanczos local-solve ablation at r=32 (m=4096), where the
+  dense path is still feasible, recorded for VALIDATION.md (VERDICT
+  r4 item 8).
+
+Returns a dict for the bench's ``solver_tpu_r64`` block, including
+achieved GFLOP/s computed from the exact contraction shapes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.environ.setdefault("TNT_ENABLE_X64", "0")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np
+
+K_DIM = 14
+RANK = 64
+CG_ITERS = 48
+LANCZOS_ITERS = 48
+S_LO, S_HI = 3, 6  # sweep budgets inside one pow2 compile bucket (cap=8)
+
+
+def _wall(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
+def _slope(fn, lo, hi, reps=3):
+    fn(lo)  # compile the bucketed program
+    t_lo = min(_wall(lambda: fn(lo)) for _ in range(reps))
+    t_hi = min(_wall(lambda: fn(hi)) for _ in range(reps))
+    return (t_hi - t_lo) / (hi - lo), t_lo
+
+
+def _als_sweep_flops(d, r, n, s, cg_iters):
+    """FLOPs of one fused ALS sweep (fwd+bwd): per local solve
+    ``cg_iters`` matvecs at ``~4 s n r^3`` (the two rank-r GEMM
+    contractions dominate; the s^2 n^2 r^2 middle term is <2% at
+    r=64), plus ~2 env advances and one QR per core."""
+    matvec = 4.0 * s * n * r**3
+    local = cg_iters * matvec
+    env = 2.0 * matvec
+    qr = 2.0 * n * r**3
+    return 2 * d * (local + env + qr)
+
+
+def _eig_sweep_flops(d, r, n, s, iters):
+    """FLOPs of one fused eigsh sweep with Lanczos locals: per local
+    ``iters`` whitened applies (matvec + 4 whitening GEMMs ~2 n r^3
+    each) + CGS2 reorth (4 K m flops/step), plus env advances."""
+    m = r * n * r
+    applyf = 4.0 * s * n * r**3 + 8.0 * n * r**3
+    reorth = 4.0 * iters * m
+    local = iters * (applyf + reorth)
+    env = 2.0 * 4.0 * s * n * r**3
+    return 2 * d * (local + env)
+
+
+# ------------------------- NumPy-f64 twin ALS -------------------------
+
+
+def _np_right_canonicalize(xs):
+    for k in range(len(xs) - 1, 0, -1):
+        r1, nn, r2 = xs[k].shape
+        q, rr = np.linalg.qr(xs[k].reshape(r1, nn * r2).T)
+        pad = r1 - q.shape[1]
+        if pad > 0:
+            q = np.pad(q, ((0, 0), (0, pad)))
+            rr = np.pad(rr, ((0, pad), (0, 0)))
+        xs[k] = q.T.reshape(r1, nn, r2)
+        xs[k - 1] = np.einsum("anb,cb->anc", xs[k - 1], rr)
+
+
+def _np_cg(matvec, b, iters):
+    x = np.zeros_like(b)
+    r = b.copy()
+    p = r.copy()
+    rs = float(r @ r)
+    for _ in range(iters):
+        ap = matvec(p)
+        denom = float(p @ ap)
+        if denom <= 0:
+            break
+        al = rs / denom
+        x += al * p
+        r -= al * ap
+        rs_new = float(r @ r)
+        if rs_new < 1e-28 * rs:
+            break
+        p = r + (rs_new / rs) * p
+        rs = rs_new
+    return x
+
+
+def numpy_als_sweep(xs, as_, bs, cg_iters=CG_ITERS):
+    """One full one-site ALS sweep (fwd+bwd) in NumPy f64 — the same
+    algorithm as the fused device sweep (CG local solves from x0=0,
+    QR orthogonalization, env advances), on a right-canonicalized
+    core list.  Mutates ``xs``; returns nothing (timing harness)."""
+    d = len(xs)
+
+    def adv_l(L, x, A):
+        return np.einsum("psa,ajc,sijt,piq->qtc", L, x, A, x,
+                         optimize=True)
+
+    def adv_r(R, x, A):
+        return np.einsum("qtc,ajc,sijt,piq->psa", R, x, A, x,
+                         optimize=True)
+
+    def adv_lb(Lb, x, b):
+        return np.einsum("ab,bjd,ajq->qd", Lb, b, x, optimize=True)
+
+    def adv_rb(Rb, x, b):
+        return np.einsum("cd,bjd,ajc->ab", Rb, b, x, optimize=True)
+
+    def local_solve(L, R, Lb, Rb, A, bk, shape):
+        rhs = np.einsum("ab,bjd,cd->ajc", Lb, bk, Rb, optimize=True)
+
+        def mv(vf):
+            v = vf.reshape(shape)
+            y = np.einsum("psa,ajc,sijt,qtc->piq", L, v, A, R,
+                          optimize=True)
+            return y.reshape(-1)
+
+        return _np_cg(mv, rhs.reshape(-1), cg_iters).reshape(shape)
+
+    one3 = np.ones((1, 1, 1))
+    one2 = np.ones((1, 1))
+    # right env chains (pre-absorb)
+    rs_ = [one3]
+    rbs = [one2]
+    for k in range(d - 1, 0, -1):
+        rs_.append(adv_r(rs_[-1], xs[k], as_[k]))
+        rbs.append(adv_rb(rbs[-1], xs[k], bs[k]))
+    rs_, rbs = rs_[::-1], rbs[::-1]
+
+    ls_, lbs = [one3], [one2]
+    for k in range(d):
+        xs[k] = local_solve(ls_[-1], rs_[k], lbs[-1], rbs[k], as_[k],
+                            bs[k], xs[k].shape)
+        if k < d - 1:
+            r1, nn, r2 = xs[k].shape
+            q, _ = np.linalg.qr(xs[k].reshape(r1 * nn, r2))
+            pad = r2 - q.shape[1]
+            if pad > 0:
+                q = np.pad(q, ((0, 0), (0, pad)))
+            xs[k] = q.reshape(r1, nn, r2)
+            ls_.append(adv_l(ls_[-1], xs[k], as_[k]))
+            lbs.append(adv_lb(lbs[-1], xs[k], bs[k]))
+
+    rs2, rbs2 = [one3], [one2]
+    for k in range(d - 1, -1, -1):
+        xs[k] = local_solve(ls_[k], rs2[-1], lbs[k], rbs2[-1], as_[k],
+                            bs[k], xs[k].shape)
+        if k > 0:
+            r1, nn, r2 = xs[k].shape
+            q, _ = np.linalg.qr(xs[k].reshape(r1, nn * r2).T)
+            pad = r1 - q.shape[1]
+            if pad > 0:
+                q = np.pad(q, ((0, 0), (0, pad)))
+            xs[k] = q.T.reshape(r1, nn, r2)
+            rs2.append(adv_r(rs2[-1], xs[k], as_[k]))
+            rbs2.append(adv_rb(rbs2[-1], xs[k], bs[k]))
+
+
+def _packed_to_numpy_lists(op, rhs, x):
+    """Uniform (end-bond-1) NumPy core lists from packed operands."""
+    xs = (
+        [np.asarray(x.first, np.float64)[None]]
+        + [np.asarray(c, np.float64) for c in x.mids]
+        + [np.asarray(x.last, np.float64)[..., None]]
+    )
+    as_ = (
+        [np.asarray(op.first, np.float64)[None]]
+        + [np.asarray(c, np.float64) for c in op.mids]
+        + [np.asarray(op.last, np.float64)[..., None]]
+    )
+    bs = (
+        [np.asarray(rhs.first, np.float64)[None]]
+        + [np.asarray(c, np.float64) for c in rhs.mids]
+        + [np.asarray(rhs.last, np.float64)[..., None]]
+    )
+    return xs, as_, bs
+
+
+def run_probes(budget_s: float = 420.0) -> dict:
+    """Run the r=64 probes under a soft wall-clock budget.  Caller is
+    responsible for chip-health gating (bench's chip_health leg)."""
+    import jax.numpy as jnp
+
+    from tensor_networks_tpu.ops import packed as pk
+    from tensor_networks_tpu.ops.als import als_solve
+    from tensor_networks_tpu.ops.eigen import als_eigsh
+    from tensor_networks_tpu.ops.qtt import (
+        qtt_exponential,
+        qtt_screened_laplacian,
+    )
+
+    t_start = time.monotonic()
+
+    def rem():
+        return budget_s - (time.monotonic() - t_start)
+
+    out = {"config": {
+        "K": K_DIM, "rank": RANK, "cg_iters": CG_ITERS,
+        "lanczos_iters": LANCZOS_ITERS, "dtype": "float32",
+    }}
+    f32 = jnp.float32
+    A = qtt_screened_laplacian(K_DIM, delta=1.0)
+    A = type(A)(*(x.astype(f32) for x in A))
+    rhs = pk.pad_rank(qtt_exponential(K_DIM, c=3.0), RANK)
+    rhs = type(rhs)(*(x.astype(f32) for x in rhs))
+    x0 = rhs
+    s_op = A.mids.shape[1]
+    n = 2
+
+    # ---- fused ALS at r=64 (CG locals; m = 8192 > dense_limit) ----
+    def _als(sw):
+        _, res, _ = als_solve(
+            A, rhs, x0, sweeps=sw, tol=-1.0, spd=True,
+            cg_iters=CG_ITERS, fused=True,
+        )
+        return res
+
+    per, t_lo = _slope(_als, S_LO, S_HI)
+    res_final = _als(S_HI)
+    flops = _als_sweep_flops(K_DIM, RANK, n, s_op, CG_ITERS)
+    out["als_sweep_ms"] = round(per * 1e3, 2)
+    out["als_gflops"] = round(flops / per / 1e9, 1)
+    out["als_rel_resid"] = float(
+        f"{res_final / float(pk.norm_exact(rhs)):.2e}"
+    )
+    print(
+        f"[r64-probe] ALS r={RANK}: {per * 1e3:.1f} ms/sweep slope "
+        f"({out['als_gflops']} GFLOP/s, resid {out['als_rel_resid']}, "
+        f"solve@{S_LO} {t_lo * 1e3:.0f} ms)"
+    )
+
+    # ---- NumPy-f64 twin ALS, one sweep at the same config ----
+    if rem() > 60:
+        xs, as_, bs = _packed_to_numpy_lists(A, rhs, x0)
+        _np_right_canonicalize(xs)
+        t0 = time.perf_counter()
+        numpy_als_sweep(xs, as_, bs)
+        t_np = time.perf_counter() - t0
+        out["als_numpy_f64_sweep_ms"] = round(t_np * 1e3, 1)
+        out["als_vs_numpy_x"] = round(t_np / per, 1)
+        print(
+            f"[r64-probe] NumPy f64 twin: {t_np * 1e3:.0f} ms/sweep "
+            f"-> {out['als_vs_numpy_x']}x"
+        )
+    else:
+        out["als_numpy_f64_sweep_ms"] = None
+
+    # ---- fused eigsh at r=64 (Lanczos locals) ----
+    if rem() > 90:
+        def _eig(sw):
+            _, lam, _ = als_eigsh(
+                A, x0, sweeps=sw, tol=-1.0, fused=True,
+                lanczos_iters=LANCZOS_ITERS,
+            )
+            return lam
+
+        per_e, t_lo_e = _slope(_eig, S_LO, S_HI)
+        lam = _eig(S_LO)
+        eflops = _eig_sweep_flops(K_DIM, RANK, n, s_op, LANCZOS_ITERS)
+        out["eigsh_sweep_ms"] = round(per_e * 1e3, 2)
+        out["eigsh_gflops"] = round(eflops / per_e / 1e9, 1)
+        out["eigsh_lam"] = float(f"{lam:.6e}")
+        print(
+            f"[r64-probe] eigsh r={RANK} (lanczos): "
+            f"{per_e * 1e3:.1f} ms/sweep slope "
+            f"({out['eigsh_gflops']} GFLOP/s, lam {lam:.6e})"
+        )
+
+    # ---- ablation at r=32: dense whitened eigh vs Lanczos locals ----
+    # (at r=64 the dense path is ~m^3-infeasible; r=32 -> m=4096 is
+    # the largest config where both run.  Recorded for VALIDATION.md.)
+    if rem() > 120:
+        r32 = 32
+        rhs32 = pk.pad_rank(qtt_exponential(K_DIM, c=3.0), r32)
+        rhs32 = type(rhs32)(*(x.astype(f32) for x in rhs32))
+
+        def _eig32(sw, dense_limit):
+            _, lam, _ = als_eigsh(
+                A, rhs32, sweeps=sw, tol=-1.0, fused=True,
+                dense_limit=dense_limit,
+                lanczos_iters=LANCZOS_ITERS,
+            )
+            return lam
+
+        per_l, _ = _slope(lambda sw: _eig32(sw, 1024), S_LO, S_HI)
+        lam_l = _eig32(S_LO, 1024)
+        out["eigsh_r32_lanczos_ms"] = round(per_l * 1e3, 2)
+        out["eigsh_r32_lanczos_lam"] = float(f"{lam_l:.6e}")
+        try:
+            per_d, _ = _slope(lambda sw: _eig32(sw, 1 << 20), S_LO, S_HI)
+            lam_d = _eig32(S_LO, 1 << 20)
+            out["eigsh_r32_dense_ms"] = round(per_d * 1e3, 2)
+            out["eigsh_r32_dense_lam"] = float(f"{lam_d:.6e}")
+            print(
+                f"[r64-probe] r32 ablation: lanczos "
+                f"{per_l * 1e3:.1f} ms vs dense eigh "
+                f"{per_d * 1e3:.1f} ms (lam {lam_l:.6e} / {lam_d:.6e})"
+            )
+        except Exception as exc:
+            out["eigsh_r32_dense_ms"] = None
+            print(f"[r64-probe] r32 dense ablation failed: {exc}")
+
+    out["elapsed_s"] = round(time.monotonic() - t_start, 1)
+    return out
+
+
+if __name__ == "__main__":
+    import json
+
+    import jax
+
+    # standalone runs share bench.py's persistent compile cache so the
+    # driver-run bench replays these (minutes-long) relay compiles
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".jax_cache",
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as exc:
+        print(f"[r64-probe] compile cache unavailable: {exc}")
+
+    print(json.dumps(run_probes(), indent=2))
