@@ -41,7 +41,7 @@ K_DIM = 14
 RANK = 64
 CG_ITERS = 48
 LANCZOS_ITERS = 48
-S_LO, S_HI = 3, 6  # sweep budgets inside one pow2 compile bucket (cap=8)
+S_LO, S_HI = 5, 8  # sweep budgets inside ONE pow2 compile bucket (cap=8)
 
 
 def _wall(f):
@@ -298,39 +298,43 @@ def run_probes(budget_s: float = 420.0) -> dict:
             f"({out['eigsh_gflops']} GFLOP/s, lam {lam:.6e})"
         )
 
-    # ---- ablation at r=32: dense whitened eigh vs Lanczos locals ----
-    # (at r=64 the dense path is ~m^3-infeasible; r=32 -> m=4096 is
-    # the largest config where both run.  Recorded for VALIDATION.md.)
+    # ---- ablation: dense whitened eigh vs Lanczos locals (VERDICT
+    # r4 item 8).  r=16 (m=512) is the largest config where the dense
+    # path is still tractable on TPU: eigh neither batches nor
+    # pipelines and scales ~m^3 from its ~465 us floor at m=128, so
+    # m=4096 (r=32) is already ~15 s per local and r=64 is hours —
+    # that projection IS the ablation's conclusion; this leg measures
+    # the crossover region.
     if rem() > 120:
-        r32 = 32
-        rhs32 = pk.pad_rank(qtt_exponential(K_DIM, c=3.0), r32)
-        rhs32 = type(rhs32)(*(x.astype(f32) for x in rhs32))
+        r16 = 16
+        rhs16 = pk.pad_rank(qtt_exponential(K_DIM, c=3.0), r16)
+        rhs16 = type(rhs16)(*(x.astype(f32) for x in rhs16))
 
-        def _eig32(sw, dense_limit):
+        def _eig16(sw, dense_limit):
             _, lam, _ = als_eigsh(
-                A, rhs32, sweeps=sw, tol=-1.0, fused=True,
+                A, rhs16, sweeps=sw, tol=-1.0, fused=True,
                 dense_limit=dense_limit,
                 lanczos_iters=LANCZOS_ITERS,
             )
             return lam
 
-        per_l, _ = _slope(lambda sw: _eig32(sw, 1024), S_LO, S_HI)
-        lam_l = _eig32(S_LO, 1024)
-        out["eigsh_r32_lanczos_ms"] = round(per_l * 1e3, 2)
-        out["eigsh_r32_lanczos_lam"] = float(f"{lam_l:.6e}")
+        per_l, _ = _slope(lambda sw: _eig16(sw, 128), S_LO, S_HI)
+        lam_l = _eig16(S_LO, 128)
+        out["eigsh_r16_lanczos_ms"] = round(per_l * 1e3, 2)
+        out["eigsh_r16_lanczos_lam"] = float(f"{lam_l:.6e}")
         try:
-            per_d, _ = _slope(lambda sw: _eig32(sw, 1 << 20), S_LO, S_HI)
-            lam_d = _eig32(S_LO, 1 << 20)
-            out["eigsh_r32_dense_ms"] = round(per_d * 1e3, 2)
-            out["eigsh_r32_dense_lam"] = float(f"{lam_d:.6e}")
+            per_d, _ = _slope(lambda sw: _eig16(sw, 1 << 20), S_LO, S_HI)
+            lam_d = _eig16(S_LO, 1 << 20)
+            out["eigsh_r16_dense_ms"] = round(per_d * 1e3, 2)
+            out["eigsh_r16_dense_lam"] = float(f"{lam_d:.6e}")
             print(
-                f"[r64-probe] r32 ablation: lanczos "
+                f"[r64-probe] r16 ablation: lanczos "
                 f"{per_l * 1e3:.1f} ms vs dense eigh "
                 f"{per_d * 1e3:.1f} ms (lam {lam_l:.6e} / {lam_d:.6e})"
             )
         except Exception as exc:
-            out["eigsh_r32_dense_ms"] = None
-            print(f"[r64-probe] r32 dense ablation failed: {exc}")
+            out["eigsh_r16_dense_ms"] = None
+            print(f"[r64-probe] r16 dense ablation failed: {exc}")
 
     out["elapsed_s"] = round(time.monotonic() - t_start, 1)
     return out
@@ -355,4 +359,7 @@ if __name__ == "__main__":
     except Exception as exc:
         print(f"[r64-probe] compile cache unavailable: {exc}")
 
-    print(json.dumps(run_probes(), indent=2))
+    print(json.dumps(
+        run_probes(float(os.environ.get("TNT_R64_BUDGET", "420"))),
+        indent=2,
+    ))
