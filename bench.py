@@ -1579,10 +1579,15 @@ def _run_legs(B: _Bench):
     B.leg("search_small", 30, _leg_search_small)
     if B.s["on_tpu"]:
         B.leg("solver_tpu", 180, _leg_solver_tpu)
-        B.leg("solver_r64", 150, _leg_solver_r64)
         B.leg("cross_device", 90, _leg_cross_device)
         B.leg("bfs8", 240, _leg_bfs8)
     B.leg("solver_cpu", 120, _leg_solver_cpu)
+    if B.s["on_tpu"]:
+        # LAST among chip legs: a cache-miss compile of the r=64
+        # solver programs runs tens of minutes through the relay and
+        # cannot be preempted in-process — if it blows the budget,
+        # the SIGALRM emission still carries every earlier leg
+        B.leg("solver_r64", 150, _leg_solver_r64)
     # roofline may gain entries from later legs? no — inputs are all
     # earlier; re-run cheaply in case evaluate filled in after a retry
     if "roofline" not in B.s:

@@ -124,27 +124,39 @@ def numpy_als_sweep(xs, as_, bs, cg_iters=CG_ITERS):
     core list.  Mutates ``xs``; returns nothing (timing harness)."""
     d = len(xs)
 
+    # Explicit pairwise staging (the same decomposition the device
+    # matvec uses, als._matvec): np.einsum's optimizer REFUSES to
+    # decompose the 4-operand forms here (reports optimized scaling ==
+    # naive 8 and runs the naive 8-index loop at ~8.7 s per matvec —
+    # 400x the pairwise cost), which would inflate the speedup claim
+    # ~100x.  A fair twin gets the good contraction order.
     def adv_l(L, x, A):
-        return np.einsum("psa,ajc,sijt,piq->qtc", L, x, A, x,
-                         optimize=True)
+        t1 = np.einsum("psa,ajc->psjc", L, x)
+        t2 = np.einsum("psjc,sijt->pitc", t1, A)
+        return np.einsum("pitc,piq->qtc", t2, x)
 
     def adv_r(R, x, A):
-        return np.einsum("qtc,ajc,sijt,piq->psa", R, x, A, x,
-                         optimize=True)
+        t1 = np.einsum("qtc,ajc->qtaj", R, x)
+        t2 = np.einsum("qtaj,sijt->qasi", t1, A)
+        return np.einsum("qasi,piq->psa", t2, x)
 
     def adv_lb(Lb, x, b):
-        return np.einsum("ab,bjd,ajq->qd", Lb, b, x, optimize=True)
+        t1 = np.einsum("ab,bjd->ajd", Lb, b)
+        return np.einsum("ajd,ajq->qd", t1, x)
 
     def adv_rb(Rb, x, b):
-        return np.einsum("cd,bjd,ajc->ab", Rb, b, x, optimize=True)
+        t1 = np.einsum("bjd,cd->bjc", b, Rb)
+        return np.einsum("bjc,ajc->ab", t1, x)
 
     def local_solve(L, R, Lb, Rb, A, bk, shape):
-        rhs = np.einsum("ab,bjd,cd->ajc", Lb, bk, Rb, optimize=True)
+        t1 = np.einsum("ab,bjd->ajd", Lb, bk)
+        rhs = np.einsum("ajd,cd->ajc", t1, Rb)
 
         def mv(vf):
             v = vf.reshape(shape)
-            y = np.einsum("psa,ajc,sijt,qtc->piq", L, v, A, R,
-                          optimize=True)
+            v1 = np.einsum("psa,ajc->psjc", L, v)
+            v2 = np.einsum("psjc,sijt->pitc", v1, A)
+            y = np.einsum("pitc,qtc->piq", v2, R)
             return y.reshape(-1)
 
         return _np_cg(mv, rhs.reshape(-1), cg_iters).reshape(shape)
