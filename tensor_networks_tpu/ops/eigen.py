@@ -250,7 +250,14 @@ def _local_ground_state_lanczos(L, ak, R, Lg, Rg, pens, shift, iters,
         w = w - Vb.T @ (Vb @ w)
         w = w - Vb.T @ (Vb @ w)
         b_j = jnp.linalg.norm(w)
-        ok = b_j > jnp.sqrt(jnp.asarray(jnp.finfo(dt).eps, dt)) * amax
+        # breakdown gate at the ROUND-OFF scale, not sqrt(eps): with
+        # full reorthogonalization, continuing past a small beta only
+        # appends another orthonormal direction (harmless expansion),
+        # while a sqrt(eps) gate truncates the Krylov space as soon as
+        # the residual reaches ~sqrt(eps)*|H| — measured as a 5e-4
+        # Rayleigh stall at f32 r=64 (and a 1e-8 stall at f64) before
+        # this fix.  50*eps*amax keeps true happy breakdown detected.
+        ok = b_j > 50.0 * jnp.asarray(jnp.finfo(dt).eps, dt) * amax
         betas = betas.at[j].set(jnp.where(ok, b_j, 0.0))
         # .at[] drops the out-of-bounds write at j = K-1
         Vb = Vb.at[j + 1].set(
