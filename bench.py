@@ -1129,7 +1129,12 @@ def _leg_solver_tpu(B: _Bench):
     )
     _probe_mod = _ilu.module_from_spec(_spec)
     _spec.loader.exec_module(_probe_mod)
-    out = _probe_mod.run_probes(reps=5)
+    # the probe prints progress with plain print(): keep stdout clean
+    # for the one-JSON-line driver contract
+    import contextlib
+
+    with contextlib.redirect_stdout(sys.stderr):
+        out = _probe_mod.run_probes(reps=5)
     out["status"] = "ok"
     B.s["solver_tpu"] = out
 
@@ -1151,9 +1156,12 @@ def _leg_solver_r64(B: _Bench):
     )
     _probe_mod = _ilu.module_from_spec(_spec)
     _spec.loader.exec_module(_probe_mod)
-    out = _probe_mod.run_probes(
-        budget_s=max(60.0, min(B.remaining() - 30.0, 420.0))
-    )
+    import contextlib
+
+    with contextlib.redirect_stdout(sys.stderr):
+        out = _probe_mod.run_probes(
+            budget_s=max(60.0, min(B.remaining() - 30.0, 420.0))
+        )
     out["status"] = "ok"
     B.s["solver_tpu_r64"] = out
 
@@ -1447,12 +1455,19 @@ def _leg_roofline(B: _Bench):
         }
 
     # ragged evaluate (f32): per point per mid-step one (1,r)@(r,r)
-    # GEMV = 2 r^2 flops; bytes = the gathered (r,r) slices.
+    # GEMV = 2 r^2 flops.  Bytes: the segment-sorted kernel reads each
+    # group's (r,r) slice ONCE per group (not per point), so traffic
+    # is the point-vector stream (read+write per step) plus one pass
+    # over the mid-core stack — counting slices per point gave a
+    # >100%-of-roof absurdity.
     t = B.get("t_eval_ragged_f32")
     n_pts = B.get("n_pts", 0)
     if t == t and n_pts:
         ev_flops = 2.0 * n_pts * (D - 2) * R * R
-        ev_bytes = n_pts * (D - 2) * R * R * 4.0
+        ev_bytes = (
+            n_pts * (D - 2) * R * 8.0  # carry read + write per step
+            + (D - 2) * N * R * R * 4.0  # mid stack, one pass
+        )
         rl["evaluate_ragged_f32"] = {
             "ms": round(t * 1e3, 2),
             "gflops": round(ev_flops / t / 1e9, 1),
@@ -1460,7 +1475,7 @@ def _leg_roofline(B: _Bench):
             "hbm_pct": round(100 * ev_bytes / t / hbm, 1),
             "mxu_bf16_pct": round(100 * ev_flops / t / mxu, 1),
             "flops_formula": "2*npts*(d-2)*r^2",
-            "bytes_formula": "gathered (r,r) slices",
+            "bytes_formula": "carry stream r/w + one mid-stack pass",
         }
     B.s["roofline"] = rl
     print(f"[bench] roofline: {json.dumps(rl)}", file=sys.stderr)

@@ -878,22 +878,44 @@ class TensorNetwork:
         key = tuple(
             self.node_tensor(n).value for n in self.network.nodes
         )
-        cached = getattr(self, "_ragged_cache", None)
-        if (
-            cached is not None
-            and len(cached[0]) == len(key)
-            and all(a is b for a, b in zip(cached[0], key))
-        ):
-            pk, frees = cached[1], cached[2]
+        if precision == "dw":
+            # keep the chain in host f64 (pack_ragged would truncate
+            # f64 cores to f32 on a no-x64 backend — the 1.6e-7 floor
+            # of the round-5 first-pass on-chip cross); the dw kernel
+            # word-splits f64 cores so their full values are honored
+            from tensor_networks_tpu.kernels.dw_eval import pack_chain_np
+
+            cached = getattr(self, "_ragged_cache_dw", None)
+            if (
+                cached is not None
+                and len(cached[0]) == len(key)
+                and all(a is b for a, b in zip(cached[0], key))
+            ):
+                pk, frees = cached[1], cached[2]
+            else:
+                packed = pack_chain_np(self)
+                if packed is None:
+                    return None
+                pk = packed[:3]
+                frees = packed[3]
+                self._ragged_cache_dw = (key, pk, frees)
         else:
-            extracted = _pk.chain_cores(self)
-            if extracted is None:
-                return None
-            frees = extracted[2]
-            pk = _pk.pack_ragged(self)
-            if pk is None:
-                return None
-            self._ragged_cache = (key, pk, frees)
+            cached = getattr(self, "_ragged_cache", None)
+            if (
+                cached is not None
+                and len(cached[0]) == len(key)
+                and all(a is b for a, b in zip(cached[0], key))
+            ):
+                pk, frees = cached[1], cached[2]
+            else:
+                extracted = _pk.chain_cores(self)
+                if extracted is None:
+                    return None
+                frees = extracted[2]
+                pk = _pk.pack_ragged(self)
+                if pk is None:
+                    return None
+                self._ragged_cache = (key, pk, frees)
         try:
             cols = [list(indices).index(f) for f in frees]
         except ValueError:  # evaluation over different index set
@@ -912,7 +934,11 @@ class TensorNetwork:
             # groups would otherwise drop them to garbage
             idx = jnp.clip(jnp.asarray(chunk[:, cols], jnp.int32), 0, ub)
             if precision == "dw":
-                return _pk.evaluate_dw(pk, idx)
+                from tensor_networks_tpu.kernels.dw_eval import (
+                    tt_evaluate_dw,
+                )
+
+                return tt_evaluate_dw(pk[0], pk[1], pk[2], idx)
             return _pk.evaluate(pk, idx, precision="highest")
 
         return run

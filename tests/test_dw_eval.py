@@ -71,3 +71,40 @@ def test_dw_evaluate_clamps_out_of_range():
     ref = net.evaluate(inds, np.clip(wild, 0, n - 1), precision="dw")
     got = net.evaluate(inds, wild, precision="dw")
     assert np.allclose(got, ref)
+
+
+def test_dw_evaluate_honors_f64_cores():
+    """Approximant nets assembled on host carry f64 cores; the dw
+    route must word-split them (hi/lo f32 pairs) rather than truncate
+    to f32 at pack time — the 1.6e-7 floor of the round-5 first-pass
+    on-chip cross."""
+    d, n, r = 6, 5, 8
+    rng = np.random.default_rng(11)
+    inds = [Index(f"k{k}", n) for k in range(d)]
+    net = TensorNetwork.rand_tt(inds, [r] * (d - 1))
+    # f64 values with sub-f32 detail: f32 truncation would lose ~1e-8
+    for node in list(net.network.nodes):
+        v = np.asarray(net.value(node), np.float64)
+        v = v + 1e-4 * rng.standard_normal(v.shape)  # break f32 grid
+        net.node_tensor(node).update_val_size(v)
+
+    from tensor_networks_tpu.kernels.dw_eval import pack_chain_np
+
+    first, mids, last, _ = pack_chain_np(net)
+    assert first.dtype == np.float64
+    dense = _dense_f64(first, mids, last)
+
+    idx = rng.integers(0, n, size=(256, d))
+    truth = np.array([dense[tuple(p)] for p in idx])
+    got = net.evaluate(inds, idx, precision="dw")
+    scale = np.max(np.abs(truth))
+    assert np.max(np.abs(got - truth)) / scale < 1e-12
+
+    # the f32-truncated evaluation of the same cores is measurably
+    # worse — proves the dw route is not silently truncating
+    f32_dense = _dense_f64(
+        first.astype(np.float32), mids.astype(np.float32),
+        last.astype(np.float32),
+    )
+    f32_vals = np.array([f32_dense[tuple(p)] for p in idx])
+    assert np.max(np.abs(f32_vals - truth)) / scale > 1e-9
