@@ -290,6 +290,14 @@ def run_probes(budget_s: float = 420.0) -> dict:
         out["als_numpy_f64_sweep_ms"] = None
 
     # ---- fused eigsh at r=64 (Lanczos locals) ----
+    # lam context: the K=14 screened Laplacian's low spectrum is a
+    # CLUSTER (~100 states within 1.3e-4 of the bottom, spacing
+    # (k pi/N)^2), so a fixed 48-dim Krylov resolves the energy to
+    # cluster-density scale ~2e-4 — the accuracy knob is
+    # lanczos_iters: measured on this config (CPU f32, 16 sweeps)
+    # 48 -> 2.1e-4, 96 -> 1.7e-5, 160 -> 6.9e-7 (the f32 floor),
+    # at cost linear in iters.  The default set reports the
+    # throughput point; TNT_R64_ACCURACY=1 adds the 160-iter row.
     if rem() > 90:
         def _eig(sw):
             _, lam, _ = als_eigsh(
@@ -308,6 +316,23 @@ def run_probes(budget_s: float = 420.0) -> dict:
             f"[r64-probe] eigsh r={RANK} (lanczos): "
             f"{per_e * 1e3:.1f} ms/sweep slope "
             f"({out['eigsh_gflops']} GFLOP/s, lam {lam:.6e})"
+        )
+
+    if os.environ.get("TNT_R64_ACCURACY") == "1" and rem() > 90:
+        def _eig160(sw):
+            _, lam, _ = als_eigsh(
+                A, x0, sweeps=sw, tol=-1.0, fused=True,
+                lanczos_iters=160,
+            )
+            return lam
+
+        per_a, _ = _slope(_eig160, S_LO, S_HI)
+        lam_a = _eig160(S_HI)
+        out["eigsh_iters160_sweep_ms"] = round(per_a * 1e3, 2)
+        out["eigsh_iters160_lam"] = float(f"{lam_a:.6e}")
+        print(
+            f"[r64-probe] eigsh r={RANK} (lanczos 160): "
+            f"{per_a * 1e3:.1f} ms/sweep, lam {lam_a:.6e}"
         )
 
     # ---- ablation: dense whitened eigh vs Lanczos locals (VERDICT
