@@ -14,7 +14,7 @@ Prints ONE JSON line:
 where value is the geometric mean of the two speedups.
 
 DEADLINE DISCIPLINE (round 5): the whole run works against a
-wall-clock budget (``TNT_BENCH_BUDGET`` seconds, default 900).  The
+wall-clock budget (``TNT_BENCH_BUDGET`` seconds, default 1100).  The
 headline legs (numpy refs, inner, rounding family) always run; every
 optional leg runs only if enough budget remains (recording
 ``skipped_budget`` otherwise), and the JSON line is emitted from a
@@ -513,22 +513,34 @@ def _leg_numpy_refs(B: _Bench):
     )
 
 
-def _leg_chip_health(B: _Bench):
-    # chip-health probe FIRST: the relay degrades ~50x transiently, and
-    # a benchmark that doesn't know the chip state reports phantom
-    # regressions.  The factor is embedded in the JSON (self-diagnosing).
+def _derive_chip_health(B: _Bench):
+    """Health factor derived from the inner leg's own zipper timing.
+
+    tools/chip_health.py compiles its probe programs fresh in every
+    process (~7 min of relay compiles for 4.5 s of measurement —
+    pallas programs do not replay from the persistent cache), which
+    twice ate most of a bench budget.  The inner leg already measures
+    the SAME pallas zipper at the same config, so the factor is free:
+    us/call vs the known-healthy ~460 us (scan zipper ~950 us when
+    pallas is unavailable)."""
     if not B.s["on_tpu"]:
         B.s["chip_health_status"] = "not_tpu"
         return
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
-    from chip_health import probe as _chip_probe
-
-    health = _chip_probe()
-    B.s["chip_health_x"] = float(health["factor"])
-    B.s["chip_health_status"] = health["status"]
+    t = B.get("t_inner")
+    scan_only = t == B.get("t_inner_scan")
+    healthy = 950e-6 if scan_only else 460e-6
+    if t != t:
+        B.s["chip_health_status"] = "unmeasured"
+        return
+    factor = t / healthy
+    B.s["chip_health_x"] = float(factor)
+    B.s["chip_health_status"] = (
+        "degraded" if factor > 3.0 else "healthy"
+    )
     print(
-        f"[bench] chip health: {health['status']} "
-        f"({health['factor']:.2f}x vs healthy zipper)",
+        f"[bench] chip health (derived from inner leg): "
+        f"{B.s['chip_health_status']} ({factor:.2f}x vs healthy "
+        f"{'scan' if scan_only else 'pallas'} zipper)",
         file=sys.stderr,
     )
 
@@ -1485,7 +1497,7 @@ def _leg_roofline(B: _Bench):
 
 
 def main():
-    budget = float(os.environ.get("TNT_BENCH_BUDGET", "900"))
+    budget = float(os.environ.get("TNT_BENCH_BUDGET", "1100"))
     B = _Bench(budget)
 
     # unwind-to-emission paths: the driver's `timeout` sends SIGTERM;
@@ -1584,8 +1596,8 @@ def _run_legs(B: _Bench):
     # ---- the leg chain: required headline first, optional legs in
     # decreasing (value / cost) order, expensive budget sinks last ----
     B.leg("numpy_refs", 40, _leg_numpy_refs, required=True)
-    B.leg("chip_health", 30, _leg_chip_health)
     B.leg("inner", 90, _leg_inner, required=True)
+    B.leg("chip_health", 5, _derive_chip_health)
     B.leg("round_family", 200, _leg_round_family, required=True)
     B.leg("evaluate", 150, _leg_evaluate)
     B.leg("ensemble", 90, _leg_ensemble)
