@@ -14,7 +14,7 @@ Prints ONE JSON line:
 where value is the geometric mean of the two speedups.
 
 DEADLINE DISCIPLINE (round 5): the whole run works against a
-wall-clock budget (``TNT_BENCH_BUDGET`` seconds, default 1100).  The
+wall-clock budget (``TNT_BENCH_BUDGET`` seconds, default 1500).  The
 headline legs (numpy refs, inner, rounding family) always run; every
 optional leg runs only if enough budget remains (recording
 ``skipped_budget`` otherwise), and the JSON line is emitted from a
@@ -1497,7 +1497,12 @@ def _leg_roofline(B: _Bench):
 
 
 def main():
-    budget = float(os.environ.get("TNT_BENCH_BUDGET", "1100"))
+    # ~11 min of the budget is a FIXED per-process cost: the Mosaic
+    # (pallas) probe programs do not replay from the persistent cache,
+    # so the inner/evaluate legs recompile them every run.  1500 s
+    # covers the full leg chain warm; if the driver's own timeout is
+    # tighter, the SIGTERM handler still emits everything measured.
+    budget = float(os.environ.get("TNT_BENCH_BUDGET", "1500"))
     B = _Bench(budget)
 
     # unwind-to-emission paths: the driver's `timeout` sends SIGTERM;
@@ -1606,15 +1611,16 @@ def _run_legs(B: _Bench):
     B.leg("search_small", 30, _leg_search_small)
     if B.s["on_tpu"]:
         B.leg("solver_tpu", 180, _leg_solver_tpu)
-        B.leg("cross_device", 90, _leg_cross_device)
-        B.leg("bfs8", 240, _leg_bfs8)
+        B.leg("cross_device", 120, _leg_cross_device)
     B.leg("solver_cpu", 120, _leg_solver_cpu)
     if B.s["on_tpu"]:
-        # LAST among chip legs: a cache-miss compile of the r=64
-        # solver programs runs tens of minutes through the relay and
-        # cannot be preempted in-process — if it blows the budget,
-        # the SIGALRM emission still carries every earlier leg
+        # a cache-miss compile of the r=64 solver programs runs tens
+        # of minutes through the relay and cannot be preempted
+        # in-process — if it blows the budget, the SIGALRM emission
+        # still carries every earlier leg.  bfs8 (a secondary metric,
+        # and the most expensive leg) goes last.
         B.leg("solver_r64", 150, _leg_solver_r64)
+        B.leg("bfs8", 260, _leg_bfs8)
     # roofline may gain entries from later legs? no — inputs are all
     # earlier; re-run cheaply in case evaluate filled in after a retry
     if "roofline" not in B.s:
