@@ -112,9 +112,21 @@ def maxvol_device(
 
 
 def maxvol_auto(a, tol: float = 1.05, max_iters: int = 200):
-    """Pick host or device maxvol by problem size."""
+    """Pick host or device maxvol by problem size AND precision.
+
+    An f64 fiber on a no-x64 backend (TPU) must stay on host: the
+    device path's ``jnp.asarray`` silently truncates it to f32, and
+    the interpolation coefficients it returns become the approximant's
+    cores — this put a 1.6e-7 floor under the whole on-chip cross
+    even after the fibers themselves were made ~1e-13-faithful
+    (round 5; the CPU-x64 run of the same fixture reaches 3.9e-15).
+    """
     a_np = np.asarray(a)
     if a_np.size >= _DEVICE_SIZE_THRESHOLD:
+        import jax
+
+        if a_np.dtype == np.float64 and not jax.config.jax_enable_x64:
+            return maxvol(a_np, tol, max_iters)
         rows, b = maxvol_device(a_np, tol, max_iters)
         return np.asarray(rows), np.asarray(b)
     return maxvol(a_np, tol, max_iters)
