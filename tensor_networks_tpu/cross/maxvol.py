@@ -28,6 +28,26 @@ import numpy as np
 _DEVICE_SIZE_THRESHOLD = 64 * 1024  # entries; below this, host wins
 
 
+def _q(mag: np.ndarray) -> np.ndarray:
+    """Decision-hardened magnitudes: values within 1e-10 relative of
+    each other TIE (argmax then picks the first index).
+
+    Pivot selection is a chain of argmax decisions; a near-tie flipped
+    by sub-1e-13 evaluation noise (e.g. the double-word device fiber
+    path vs exact host fibers) sends the whole cross down a different
+    pivot trajectory — measured round 5: one flipped row at sweep 2
+    of a rank-24 fixture was the entire difference between a 5e-14
+    and a 1.6e-7 final model.  Quantizing the DECISION (never the
+    arithmetic) makes trajectories invariant to sub-1e-10 noise, at
+    no cost to pivot quality (1e-10-equivalent rows are equivalent
+    for volume purposes).
+    """
+    m = np.max(mag) if mag.size else 0.0
+    if m <= 0:
+        return mag
+    return np.round(mag * (1e10 / m))
+
+
 def _lu_row_pivots(a: np.ndarray) -> np.ndarray:
     """Rows chosen by partially-pivoted Gaussian elimination: a cheap,
     well-conditioned starting set for the maxvol iteration."""
@@ -35,7 +55,7 @@ def _lu_row_pivots(a: np.ndarray) -> np.ndarray:
     n, r = a.shape
     piv = np.arange(n)
     for k in range(r):
-        i = k + int(np.argmax(np.abs(a[k:, k])))
+        i = k + int(np.argmax(_q(np.abs(a[k:, k]))))
         if i != k:
             a[[k, i]] = a[[i, k]]
             piv[[k, i]] = piv[[i, k]]
@@ -57,7 +77,7 @@ def maxvol(
     rows = _lu_row_pivots(a)
     b = np.linalg.solve(a[rows].T, a.T).T  # A @ inv(A[rows])
     for _ in range(max_iters):
-        flat = int(np.argmax(np.abs(b)))
+        flat = int(np.argmax(_q(np.abs(b))))
         i, j = divmod(flat, r)
         if abs(b[i, j]) <= tol:
             break

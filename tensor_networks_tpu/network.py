@@ -824,10 +824,15 @@ class TensorNetwork:
         else:
             ragged = None if host else self._ragged_evaluator(indices)
 
+        # the dw kernel's Ozaki combine materializes (chunks, seg, B)
+        # temporaries — at the default 65536-point chunk that is GBs of
+        # HBM (observed OOM); 8192-point chunks are verified exact and
+        # fit comfortably
+        chunk_cap = 8192 if (precision == "dw" and ragged) else _EVAL_CHUNK
         out = np.empty(n_total)
         start = 0
         while start < n_total:
-            batch = min(_EVAL_CHUNK, n_total - start)
+            batch = min(chunk_cap, n_total - start)
             padded = _next_pow2(batch)
             chunk = values[start : start + batch]
             if padded != batch:
