@@ -29,23 +29,27 @@ _DEVICE_SIZE_THRESHOLD = 64 * 1024  # entries; below this, host wins
 
 
 def _q(mag: np.ndarray) -> np.ndarray:
-    """Decision-hardened magnitudes: values within 1e-10 relative of
+    """Decision-hardened magnitudes: values within 1e-6 relative of
     each other TIE (argmax then picks the first index).
 
     Pivot selection is a chain of argmax decisions; a near-tie flipped
-    by sub-1e-13 evaluation noise (e.g. the double-word device fiber
-    path vs exact host fibers) sends the whole cross down a different
-    pivot trajectory — measured round 5: one flipped row at sweep 2
-    of a rank-24 fixture was the entire difference between a 5e-14
-    and a 1.6e-7 final model.  Quantizing the DECISION (never the
-    arithmetic) makes trajectories invariant to sub-1e-10 noise, at
-    no cost to pivot quality (1e-10-equivalent rows are equivalent
-    for volume purposes).
+    by sub-1e-13 evaluation noise (e.g. the TPU vs CPU rounding
+    residuals of the double-word fiber path — both exact to ~1e-14,
+    but with different low-bit patterns) sends the whole cross down a
+    different pivot trajectory — measured round 5: ONE flipped row of
+    a (288, 9) fiber at sweep 2 of a rank-24 fixture was the entire
+    difference between a 5e-14 and a 1.6e-7 final model, and each
+    platform broke that fixed tie its own way in every seed (10/10 vs
+    0/5).  The rank-1 update chain amplifies input noise, so the tie
+    window must sit far above it: 1e-6 relative.  That granularity is
+    quality-neutral — maxvol runs at tol 1.05, and candidates within
+    1e-6 of each other are volume-equivalent; only the DECISION is
+    quantized, never the arithmetic.
     """
     m = np.max(mag) if mag.size else 0.0
     if m <= 0:
         return mag
-    return np.round(mag * (1e10 / m))
+    return np.round(mag * (1e6 / m))
 
 
 def _lu_row_pivots(a: np.ndarray) -> np.ndarray:
