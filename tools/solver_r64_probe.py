@@ -51,10 +51,23 @@ def _wall(f):
 
 
 def _slope(fn, lo, hi, reps=3):
+    """Min-filtered slope between two budgets in one compile bucket.
+
+    Relay jitter can leave min(t_lo) above min(t_hi), producing a
+    NEGATIVE slope (seen once in a driver-style run: -5.35 ms).  On a
+    non-positive slope, retry with more reps; if it persists, fall
+    back to the wall/budget upper bound (includes one dispatch+fetch,
+    so it over-reports by ~25 ms / budget) — callers can spot the
+    fallback because it equals t_hi/hi exactly.
+    """
     fn(lo)  # compile the bucketed program
-    t_lo = min(_wall(lambda: fn(lo)) for _ in range(reps))
-    t_hi = min(_wall(lambda: fn(hi)) for _ in range(reps))
-    return (t_hi - t_lo) / (hi - lo), t_lo
+    for attempt_reps in (reps, 2 * reps):
+        t_lo = min(_wall(lambda: fn(lo)) for _ in range(attempt_reps))
+        t_hi = min(_wall(lambda: fn(hi)) for _ in range(attempt_reps))
+        per = (t_hi - t_lo) / (hi - lo)
+        if per > 0:
+            return per, t_lo
+    return t_hi / hi, t_lo
 
 
 def _als_sweep_flops(d, r, n, s, cg_iters):
